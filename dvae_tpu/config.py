@@ -1,0 +1,141 @@
+"""Configuration trees for the TPU-native coupled-mixture-VAE framework.
+
+One dataclass config tree replaces the reference's per-entry-point argparse
+duplication (reference: train.py:172-267, dist/train_smartseq.py:530-572) and
+mirrors the hyperparameter set of ``VAEConfig`` (reference: mmidas/nn_model.py:14-36).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+
+class ShardingStrategy(str, Enum):
+    """Parity with the reference FSDP sharding-strategy matrix.
+
+    Reference: fsdp_mnist.py:215-228 maps the CLI strings
+    {full, grad-op, no, hybrid, hybrid-zero2, ddp} onto torch FSDP strategies.
+    On TPU these become sharding rules over a ``jax.sharding.Mesh`` — see
+    dvae_tpu/parallel/sharding.py for the exact mapping.
+    """
+
+    FULL_SHARD = "full"            # ZeRO-3: params + grads + opt state sharded
+    SHARD_GRAD_OP = "grad-op"      # ZeRO-2: grads + opt state sharded, params replicated
+    NO_SHARD = "no"                # pure data parallel (FSDP NO_SHARD)
+    HYBRID_SHARD = "hybrid"        # shard within ICI slice, replicate across slices
+    HYBRID_SHARD_ZERO2 = "hybrid-zero2"
+    DDP = "ddp"                    # plain DDP: replicate everything, shard batch
+
+
+class ReparamNoise(str, Enum):
+    """Noise distribution for the state-variable reparameterization.
+
+    The reference draws *uniform* noise in ``reparameterize``
+    (mmidas/nn_model.py:427 uses ``torch.rand_like``) while its augmenter uses
+    Gaussian (mmidas/augmentation/aug_utils.py:64).  We default to Gaussian
+    (the statistically-correct VAE) and keep ``UNIFORM`` as a bit-faithful
+    compatibility flag.
+    """
+
+    GAUSSIAN = "gaussian"
+    UNIFORM = "uniform"
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """Hyperparameters of the multi-arm mixVAE.
+
+    Field names and defaults mirror the reference ``VAEConfig``
+    (mmidas/nn_model.py:14-36) so that a reference user can carry their
+    config over unchanged.
+    """
+
+    n_categories: int = 92          # C: number of latent categories (cell types)
+    state_dim: int = 2              # S: continuous state dimension
+    input_dim: int = 5032           # D: number of genes
+    fc_dim: int = 100               # F: hidden width
+    lowD_dim: int = 10              # L: latent representation width
+    x_drop: float = 0.5             # input dropout probability
+    s_drop: float = 0.2             # state dropout probability
+    lr: float = 0.001
+    lam: float = 1.0                # coupling factor
+    lam_pc: float = 1.0             # coupling factor for the reference prior
+    n_arm: int = 2                  # A: number of arms
+    temp: float = 1.0               # Gumbel-softmax temperature
+    tau: float = 0.005              # softmax sharpening temperature
+    beta: float = 1.0               # KL regularizer
+    hard: bool = False              # straight-through Gumbel-softmax
+    variational: bool = True
+    ref_prior: bool = False
+    trained_model: Optional[str] = None
+    n_pr: int = 0                   # number of pruned categories at init
+    momentum: float = 0.01          # batch-norm running-stats momentum
+    mode: str = "MSE"               # reconstruction loss: "MSE" or "ZINB"
+    eps: float = 1e-8               # numerical-stability constant
+    # --- TPU-build extensions (not present in the reference) ---
+    reparam_noise: ReparamNoise = ReparamNoise.GAUSSIAN
+    dtype: str = "float32"          # compute dtype for activations
+    use_pallas: bool = False        # use fused Pallas kernels for hot ops
+
+    def replace(self, **kw) -> "VAEConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pairs(self) -> int:
+        """Number of distinct arm pairs; min 1 to match ``arm_combs``
+        (reference: mmidas/nn_model.py:47-50)."""
+        return max(self.n_arm * (self.n_arm - 1) // 2, 1)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device-mesh shape.
+
+    Axes:
+      * ``data``: batch-axis data parallelism (reference DDP / DistributedSampler)
+      * ``arm``:  arm parallelism — the A structurally-identical VAEs are free
+        parallelism (the reference runs them in a sequential python loop,
+        mmidas/nn_model.py:329, and was probing toward batching them in
+        dist/vmapping.py and dist/conv.ipynb)
+      * ``fsdp``: parameter sharding (ZeRO-style, reference fsdp_mnist.py:215-228)
+
+    ``data × arm × fsdp`` must equal the total device count.  A hybrid
+    (multi-slice) layout maps ``fsdp`` to ICI-connected devices and ``data``
+    across slices/DCN (reference HYBRID_SHARD, fsdp_mnist.py:223-226).
+    """
+
+    data: int = 1
+    arm: int = 1
+    fsdp: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.data * self.arm * self.fsdp
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration (reference: train.py:172-267 defaults)."""
+
+    n_epoch: int = 50000
+    n_epoch_p: int = 0              # pruning-phase epochs
+    batch_size: int = 5000
+    min_con: float = 0.99           # pruning consensus threshold
+    max_prun_it: int = 0
+    good_enuf_consensus: float = 0.75  # early-stop (reference cpl_mixvae.py:336)
+    seed: int = 546                    # reference train.py:27
+    optimizer: str = "adam"            # "adam" | "adamw"
+    # TPU-build extensions:
+    epochs_per_jit: int = 10        # epochs fused into one on-device lax.scan
+    eval_every: int = 10            # host-side val/consensus cadence (epochs)
+    ckpt_every: int = 10            # checkpoint cadence (reference cpl_mixvae.py:777)
+    sharding: ShardingStrategy = ShardingStrategy.NO_SHARD
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    bf16: bool = False              # bfloat16 activations/params compute
+    aug_noise: float = 0.1          # augmenter noise scale (reference cpl_mixvae.py:423)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,172 @@
+"""AnnData (.h5ad) input layer for Smart-seq / 10x scRNA-seq matrices.
+
+Equivalent capability to the reference ``mmidas/utils/dataloader.py:13-70``
+(``load_data``): h5ad → dense log1p expression matrix + gene ids + cluster
+labels + one-hot / softened-prior encodings.  Differences from the reference:
+
+  * returns a typed ``CellDataset`` instead of a loose dict (the dict view is
+    still available via ``.as_dict()`` for drop-in parity);
+  * anndata is an optional dependency — a synthetic-data generator
+    (``synthetic_dataset``) with the same statistical shape backs all tests
+    and benchmarks, so the framework runs with zero external data;
+  * the reference's ``rmv_type`` branch references an undefined variable
+    (``dataloader.py:45`` — SURVEY.md appendix A); here it is implemented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x - np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+@dataclass
+class CellDataset:
+    """A loaded cell×gene dataset with cluster annotations.
+
+    ``log1p``: (N, D) float32 log1p-CPM expression.
+    ``gene_id``: (D,) gene names.
+    ``cluster_label``: (N,) string cluster labels.
+    ``cluster_id``: (N,) 1-based dense integer labels (reference contract,
+    ``dataloader.py:53-56``).
+    ``c_onehot``: (N, K) one-hot encoding of the labels.
+    ``c_p``: (N, K) softened prior softmax((onehot+eps)/tau)
+    (``dataloader.py:63``) — consumed by the ref_prior training mode.
+    ``n_type``: number of distinct cluster labels.
+    """
+
+    log1p: np.ndarray
+    gene_id: np.ndarray
+    cluster_label: np.ndarray
+    cluster_id: np.ndarray
+    c_onehot: np.ndarray
+    c_p: np.ndarray
+    n_type: int
+    obs: dict = field(default_factory=dict)
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.log1p.shape[0])
+
+    @property
+    def n_genes(self) -> int:
+        return int(self.log1p.shape[1])
+
+    def as_dict(self) -> dict:
+        d = dict(self.obs)
+        d.update(
+            log1p=self.log1p, gene_id=self.gene_id,
+            cluster_label=self.cluster_label, cluster_id=self.cluster_id,
+            c_onehot=self.c_onehot, c_p=self.c_p, n_type=self.n_type,
+        )
+        return d
+
+
+def _encode_labels(labels: np.ndarray, eps: float, tau: float):
+    """Dense 1-based ids, one-hot, and softened prior from string labels."""
+    uniq = np.unique(labels)
+    lut = {l: i for i, l in enumerate(uniq)}
+    int_enc = np.array([lut[l] for l in labels], dtype=np.int64)
+    cluster_id = (int_enc + 1).astype(np.float64)
+    K = len(uniq)
+    onehot = np.zeros((len(labels), K), dtype=np.float64)
+    onehot[np.arange(len(labels)), int_enc] = 1.0
+    c_p = _softmax((onehot + eps) / tau, axis=1)
+    return cluster_id, onehot, c_p, K
+
+
+def load_data(
+    datafile: str,
+    n_gene: int = 0,
+    gene_id: Sequence[str] = (),
+    rmv_type: Sequence[str] = (),
+    min_num: int = 10,
+    eps: float = 1e-1,
+    tau: float = 1.0,
+    verbose: bool = True,
+) -> CellDataset:
+    """Load an .h5ad file (reference ``load_data``, dataloader.py:13-70).
+
+    ``min_num`` drops clusters with fewer cells (the reference computes the
+    filter but — bug — never applies it to the rows; we apply it, which is
+    the evident intent, and keep the label encoding over surviving cells).
+    """
+    import anndata  # optional dep; only needed for real data
+
+    adata = anndata.read_h5ad(datafile)
+    X = adata.X
+    genes = np.array(adata.var.index)
+
+    if len(gene_id) > 0:
+        gene_idx = np.concatenate(
+            [np.where(genes == gg)[0] for gg in gene_id]).astype(int)
+        genes = genes[gene_idx]
+        X = X[:, gene_idx]
+    elif n_gene > 0:
+        genes = genes[:n_gene]
+        X = X[:, :n_gene]
+
+    if hasattr(X, "todense"):
+        X = np.asarray(X.todense())
+    X = np.asarray(X, dtype=np.float32)
+
+    labels = np.asarray(adata.obs["cluster"].values).astype(str)
+    obs = {k: np.asarray(adata.obs[k].values) for k in adata.obs.keys()}
+
+    keep = np.ones(len(labels), dtype=bool)
+    for tt in rmv_type:
+        keep &= labels != tt
+    uniq, counts = np.unique(labels[keep], return_counts=True)
+    small = set(uniq[counts < min_num])
+    if small:
+        keep &= ~np.isin(labels, list(small))
+
+    X, labels = X[keep], labels[keep]
+    obs = {k: v[keep] for k, v in obs.items()}
+
+    cluster_id, onehot, c_p, K = _encode_labels(labels, eps, tau)
+    ds = CellDataset(log1p=X, gene_id=genes, cluster_label=labels,
+                     cluster_id=cluster_id, c_onehot=onehot, c_p=c_p,
+                     n_type=K, obs=obs)
+    if verbose:
+        print(" --------- Data Summary --------- ")
+        print(f"# cell types: {K} | # cells: {ds.n_cells} | # genes: {ds.n_genes}")
+    return ds
+
+
+def synthetic_dataset(
+    n_cells: int = 2000,
+    n_genes: int = 500,
+    n_types: int = 10,
+    seed: int = 0,
+    eps: float = 1e-1,
+    tau: float = 1.0,
+    sparsity: float = 0.7,
+) -> CellDataset:
+    """Synthetic log1p-CPM-like data with planted cluster structure.
+
+    Mimics the statistical shape of the Smart-seq data (sparse non-negative
+    log1p values, per-cluster mean expression programs) so the full training
+    stack — including consensus/clusterability metrics — exercises
+    meaningfully without the .h5ad inputs.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.gamma(2.0, 2.0, (n_types, n_genes)).astype(np.float32)
+    centers *= rng.random((n_types, n_genes)) > sparsity
+    assign = rng.integers(0, n_types, n_cells)
+    X = centers[assign] + rng.normal(0, 0.3, (n_cells, n_genes)).astype(np.float32)
+    X = np.maximum(X, 0.0).astype(np.float32)
+
+    labels = np.array([f"type_{i:03d}" for i in assign])
+    cluster_id, onehot, c_p, K = _encode_labels(labels, eps, tau)
+    return CellDataset(
+        log1p=X, gene_id=np.array([f"g{j}" for j in range(n_genes)]),
+        cluster_label=labels, cluster_id=cluster_id, c_onehot=onehot,
+        c_p=c_p, n_type=K)

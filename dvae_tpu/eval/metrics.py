@@ -1,0 +1,172 @@
+"""Consensus / confusion-matrix metrics — the quality kernel of the project.
+
+Equivalent capability to the reference ``mmidas/_utils.py``:
+  * ``compute_confmat``        — :83-93 (vectorized np.add.at)
+  * ``confmat_normalize``      — :96-98
+  * ``compute_confmat_naive``  — :101-112 (oracle)
+  * ``confmat_mean``           — :127-128 (mean diagonal = consensus)
+  * ``classify``               — :78-79
+  * ``reassign``               — :69-71 (Hungarian relabeling)
+  * ``ecdf``                   — :280-282
+  * ``parse_epoch``            — :289-293
+
+plus device-side variants: on TPU the confusion matrix is a one-hot matmul
+(B,C)ᵀ(B,C) → (C,C) on the MXU, so consensus can be accumulated inside the
+jitted epoch without ever shipping per-sample labels to the host (the
+reference instead runs per-sample python loops in its hot path,
+mmidas/cpl_mixvae.py:802-818).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+try:  # optional native fast path (see native/host_ops.cpp)
+    from dvae_tpu.utils import host_ops as _host_ops
+except Exception:  # pragma: no cover
+    _host_ops = None
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) implementations
+# ---------------------------------------------------------------------------
+
+def classify(probs: np.ndarray) -> np.ndarray:
+    """argmax over the last axis."""
+    return np.argmax(probs, axis=-1)
+
+
+def compute_confmat(labels1: np.ndarray, labels2: np.ndarray,
+                    K: int | None = None) -> np.ndarray:
+    """K×K co-occurrence matrix of two label vectors.
+
+    If ``K`` is None it is inferred as the larger unique-label count of the
+    two arrays (all labels assumed present), matching the reference contract.
+    """
+    assert labels1.shape == labels2.shape and labels1.ndim == 1
+    labels1 = labels1.astype(np.int64, copy=False)
+    labels2 = labels2.astype(np.int64, copy=False)
+    if K is None:
+        K = max(len(np.unique(labels1)), len(np.unique(labels2)))
+    if _host_ops is not None and _host_ops.available():
+        return _host_ops.confmat(labels1, labels2, K)
+    # single bincount over fused index — faster than np.add.at
+    idx = labels1 * K + labels2
+    return np.bincount(idx, minlength=K * K).reshape(K, K).astype(np.float64)
+
+
+def compute_confmat_naive(labels1: np.ndarray, labels2: np.ndarray,
+                          K: int | None = None) -> np.ndarray:
+    """Per-sample loop oracle."""
+    assert labels1.shape == labels2.shape and labels1.ndim == 1
+    if K is None:
+        K = max(len(np.unique(labels1)), len(np.unique(labels2)))
+    m = np.zeros((K, K))
+    for i in range(len(labels1)):
+        m[int(labels1[i]), int(labels2[i])] += 1
+    return m
+
+
+def confmat_normalize(cm: np.ndarray) -> np.ndarray:
+    """Divide column j by max(row_j sum, col_j sum); 0 where the max is 0."""
+    maxes = np.maximum(np.sum(cm, axis=0), np.sum(cm, axis=1))
+    return np.divide(cm, maxes, out=np.zeros_like(cm, dtype=np.float64),
+                     where=maxes != 0)
+
+
+def confmat_normalize_naive(cm: np.ndarray) -> np.ndarray:
+    axis_maxes = []
+    for k in range(cm.shape[0]):
+        axis_maxes.append(max(np.sum(cm[k, :]), np.sum(cm[:, k])))
+    axis_maxes = np.array(axis_maxes)
+    return np.divide(cm, axis_maxes, out=np.zeros_like(cm, dtype=np.float64),
+                     where=axis_maxes != 0)
+
+
+def confmat_mean(cm: np.ndarray) -> float:
+    """Mean of the diagonal — the consensus score."""
+    return float(np.mean(np.diag(cm)))
+
+
+def consensus_from_labels(labels: np.ndarray, K: int) -> float:
+    """Mean pairwise consensus over all arm pairs.
+
+    ``labels``: (A, N) integer cluster assignments per arm.
+    Reference pattern: mmidas/cpl_mixvae.py:512-525.
+    """
+    A = labels.shape[0]
+    scores = []
+    for a in range(A):
+        for b in range(a + 1, A):
+            cm = compute_confmat(labels[a], labels[b], K)
+            scores.append(confmat_mean(confmat_normalize(cm)))
+    return float(np.mean(scores)) if scores else 1.0
+
+
+def reassign(x: np.ndarray) -> np.ndarray:
+    """Permute columns by the Hungarian algorithm to maximize the diagonal."""
+    _, col_inds = linear_sum_assignment(-x)
+    return x[:, col_inds]
+
+
+def ecdf(labels: np.ndarray) -> np.ndarray:
+    """Empirical class frequencies (labels assumed dense 0..K-1)."""
+    assert labels.ndim == 1
+    return np.bincount(labels) / len(labels)
+
+
+def no_ext(text: str) -> str:
+    return "".join(text.split(".")[:-1])
+
+
+def parse_epoch(s: str):
+    """Extract the epoch number from a checkpoint filename."""
+    try:
+        return int(no_ext(s).split("_epoch_")[-1])
+    except (ValueError, IndexError):
+        return s
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) implementations — used inside jitted epoch loops
+# ---------------------------------------------------------------------------
+
+def confmat_device(labels1, labels2, K: int):
+    """(C,C) confusion matrix as a one-hot matmul — MXU-friendly.
+
+    jit-safe; ``labels*`` are integer arrays of equal length.
+    """
+    oh1 = jax.nn.one_hot(labels1, K, dtype=jnp.float32)
+    oh2 = jax.nn.one_hot(labels2, K, dtype=jnp.float32)
+    return oh1.T @ oh2
+
+
+def pairwise_confmats_device(labels, K: int):
+    """All-pairs confusion matrices for (A, N) device labels.
+
+    Returns (A, A, K, K); only the a<b triangle is meaningful.
+    One einsum → batched MXU matmuls.
+    """
+    oh = jax.nn.one_hot(labels, K, dtype=jnp.float32)  # (A, N, K)
+    return jnp.einsum("ank,bnm->abkm", oh, oh,
+                      preferred_element_type=jnp.float32)
+
+
+def consensus_device(labels, K: int):
+    """Mean pairwise consensus, fully on device. ``labels``: (A, N) ints."""
+    A = labels.shape[0]
+    cms = pairwise_confmats_device(labels, K)          # (A, A, K, K)
+    col = jnp.sum(cms, axis=-2)                        # (A, A, K)
+    row = jnp.sum(cms, axis=-1)                        # (A, A, K)
+    maxes = jnp.maximum(col, row)
+    diag = jnp.diagonal(cms, axis1=-2, axis2=-1)       # (A, A, K)
+    norm_diag = jnp.where(maxes != 0, diag / jnp.where(maxes == 0, 1, maxes), 0.0)
+    per_pair = jnp.mean(norm_diag, axis=-1)            # (A, A)
+    iu = jnp.triu_indices(A, k=1)
+    n_pairs = A * (A - 1) // 2
+    if n_pairs == 0:
+        return jnp.asarray(1.0)
+    return jnp.mean(per_pair[iu])

@@ -1,0 +1,256 @@
+"""Loss functions of the coupled mixVAE, fully vectorized over arms.
+
+Reference semantics: ``mixVAE_model.loss`` (mmidas/nn_model.py:495-598) plus
+its helper functions (:39-87).  The reference computes the O(A²) coupling
+terms in a python double loop over arm pairs; here the pairwise sums are
+computed from a single (A, A) Gram matrix — one MXU matmul instead of A²
+elementwise passes, with no (A, A, B, C) intermediate.  Naive loop versions
+are kept for oracle testing, mirroring the reference's own
+naive/vectorized idiom (mmidas/nn_model.py:600-628, tests/test_utils.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dvae_tpu.config import VAEConfig
+from dvae_tpu.models.mixvae import MixVAEOutputs
+from dvae_tpu.models.sampling import hard_one_hot_st
+
+_LOG_CLAMP = -100.0  # torch.nn.functional.binary_cross_entropy clamps log at -100
+
+
+class LossOutputs(NamedTuple):
+    """Mirrors the reference 9-tuple (mmidas/nn_model.py:588-598)."""
+
+    total: jax.Array        # scalar — total training loss
+    loss_rec: jax.Array     # (A,) per-arm reconstruction loss
+    loss_joint: jax.Array   # scalar — coupling loss (incl. constants)
+    neg_entropy: jax.Array  # scalar — mean negative joint entropy per pair
+    c_dist: jax.Array       # scalar — mean simplex distance per pair
+    c_l2_dist: jax.Array    # scalar — mean L2 distance between c samples
+    kl: jax.Array           # (A,) per-arm state KL divergence
+    ll: jax.Array           # (A,) per-arm Gaussian log-likelihood proxy
+
+
+# ---------------------------------------------------------------------------
+# Pieces
+# ---------------------------------------------------------------------------
+
+def binarize(x: jax.Array, thr: float) -> jax.Array:
+    """where(x > thr, 1, 0) — reference mmidas/nn_model.py:39-40."""
+    return jnp.where(x > thr, 1.0, 0.0).astype(x.dtype)
+
+
+def bce(p: jax.Array, t: jax.Array) -> jax.Array:
+    """Elementwise-mean binary cross entropy with torch's -100 log clamp."""
+    logp = jnp.clip(jnp.log(p), _LOG_CLAMP)
+    log1p_ = jnp.clip(jnp.log(1.0 - p), _LOG_CLAMP)
+    return -jnp.mean(t * logp + (1.0 - t) * log1p_)
+
+
+def kl_gaussian(mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """-0.5 * mean_B(1 + logvar - mu² - exp(logvar)) summed over state dims.
+
+    Reference ``kl`` (mmidas/nn_model.py:43-44): mean over the batch axis,
+    sum over the state axis.
+    """
+    return jnp.sum(-0.5 * jnp.mean(1 + logvar - mean**2 - jnp.exp(logvar), axis=0))
+
+
+def recon_loss_mse(x_rec: jax.Array, x: jax.Array, thr: float = 0.1) -> jax.Array:
+    """0.5·sumMSE/B + 0.5·BCE(binarize(x_rec), binarize(x)).
+
+    Reference mmidas/nn_model.py:542-546.  The binarized-BCE term carries
+    **zero gradient** in the reference too — ``binarize`` is a hard ``where``
+    through which autograd produces no gradient — so it is a value-only
+    regularization metric; we make that explicit with ``stop_gradient``.
+    """
+    B = x.shape[0]
+    mse = 0.5 * jnp.sum((x_rec - x) ** 2) / B
+    bce_term = 0.5 * bce(binarize(x_rec, thr), binarize(x, thr))
+    return mse + jax.lax.stop_gradient(bce_term)
+
+
+def zinb_loss(x_rec: jax.Array, x_p: jax.Array, x_r: jax.Array, x: jax.Array,
+              eps: float = 1e-6) -> jax.Array:
+    """Zero-inflated negative-binomial reconstruction loss.
+
+    Same math as the reference ``zinb_loss`` (mmidas/nn_model.py:642-676):
+    inputs are log1p expression values, converted back to counts; r/p/z are
+    the NB rate, success probability and zero-inflation probability heads.
+    """
+    k = jnp.exp(x) - 1.0
+    r = x_rec + eps
+    p = (1 - eps) * (x_p + eps)
+    z = (1 - eps) * (x_r + eps)
+
+    nonzero = (x > 0).astype(x.dtype)
+    loss_zero = (nonzero - 1.0) * jnp.log(z + (1.0 - z) * (1.0 - p) ** r)
+    loss_nonzero = nonzero * (
+        -jax.lax.lgamma(k + r) + jax.lax.lgamma(r)
+        - k * jnp.log(p) - r * jnp.log(1.0 - p) - jnp.log(1.0 - z)
+    )
+    return jnp.mean(loss_zero + loss_nonzero)
+
+
+def inv_sd(c: jax.Array, eps: float) -> jax.Array:
+    """sqrt(1 / (var_B(c) + eps)) with *unbiased* batch variance.
+
+    Reference ``inv_var`` (mmidas/nn_model.py:75-82); torch ``Tensor.var``
+    defaults to the unbiased (N-1) estimator.
+    Accepts (B, C) → (1, C) or (A, B, C) → (A, 1, C).
+    """
+    axis = c.ndim - 2
+    var = jnp.var(c, axis=axis, keepdims=True, ddof=1)
+    return jnp.sqrt(1.0 / (var + eps))
+
+
+def neg_entropy(c: jax.Array, logc: jax.Array) -> jax.Array:
+    """mean_B sum_C c·log c — reference ``neg_entropy`` (mmidas/nn_model.py:65-66)."""
+    return jnp.mean(jnp.sum(c * logc, axis=-1), axis=-1)
+
+
+def _pair_sums_from_gram(v: jax.Array) -> jax.Array:
+    """Σ_{a<b} mean_B ‖v_a − v_b‖² for v of shape (A, B, C), via one Gram matmul.
+
+    mean_B ‖v_a − v_b‖² = G_aa + G_bb − 2·G_ab with
+    G = einsum('abc,dbc->ad', v, v) / B, so the pair sum collapses to
+    A·tr(G) − sum(G).
+    """
+    B = v.shape[1]
+    g = jnp.einsum("abc,dbc->ad", v, v,
+                   preferred_element_type=jnp.float32) / B
+    A = v.shape[0]
+    tr = jnp.trace(g)
+    return A * tr - jnp.sum(g)
+
+
+def coupling_distance(c: jax.Array, eps: float) -> jax.Array:
+    """Σ over arm pairs of the mean simplex distance (Gram-matrix form).
+
+    Equivalent to the reference's ``simplex_dist`` accumulation
+    (mmidas/nn_model.py:558-569) and its ``loss_vectorize`` (:617-628)
+    up to the pair *sum* (the reference returns the pair mean there).
+    """
+    logc = jnp.log(c + eps)
+    prec = logc * inv_sd(c, eps)
+    return _pair_sums_from_gram(prec)
+
+
+def coupling_distance_naive(c: jax.Array, eps: float) -> jax.Array:
+    """Loop-over-pairs oracle for ``coupling_distance``."""
+    A = c.shape[0]
+    total = 0.0
+    for a in range(A):
+        pa = jnp.log(c[a] + eps) * inv_sd(c[a], eps)
+        for b in range(a + 1, A):
+            pb = jnp.log(c[b] + eps) * inv_sd(c[b], eps)
+            total = total + jnp.mean(jnp.sum((pa - pb) ** 2, axis=-1))
+    return total
+
+
+def l2_pair_sum_naive(v: jax.Array) -> jax.Array:
+    A = v.shape[0]
+    total = 0.0
+    for a in range(A):
+        for b in range(a + 1, A):
+            total = total + jnp.mean(jnp.sum((v[a] - v[b]) ** 2, axis=-1))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Full loss
+# ---------------------------------------------------------------------------
+
+def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
+                prior_c: Optional[jax.Array] = None) -> LossOutputs:
+    """Total cpl-mixVAE loss (reference mmidas/nn_model.py:495-598).
+
+      total = max(A−1, 1)·Σ_a (rec_a + β·KL_a)
+            + λ·Σ_{pairs} d_simplex + Σ_{pairs} (−H_a − H_b)
+            + n_pairs·((C/2)·log 2π − ½·log 2λ)
+
+    All per-arm terms are computed vectorized over the leading A axis;
+    pair sums come from (A, A) Gram matrices (one MXU matmul each).
+
+    With ``ref_prior`` each arm additionally couples to the fixed prior
+    (extra entropy / L2 / λ_pc·BCE terms, reference :571-576 — note the
+    reference's current-generation loss asserts this path off at :578; the
+    working semantics are preserved from the pre-refactor generation).
+    """
+    A, C = cfg.n_arm, cfg.n_categories
+    B = xs.shape[1]
+    eps = cfg.eps
+
+    # --- per-arm reconstruction + KL (vmapped) ---
+    if cfg.mode == "ZINB":
+        loss_rec = jax.vmap(lambda r, p, z, x: zinb_loss(r, p, z, x))(
+            outs.x_rec, outs.p_x, outs.r_x, xs)
+    else:
+        loss_rec = jax.vmap(recon_loss_mse)(outs.x_rec, xs)
+
+    if cfg.variational:
+        kl = jax.vmap(kl_gaussian)(outs.s_mean, outs.s_logvar)
+    else:
+        kl = jnp.zeros((A,), xs.dtype)
+
+    ll = jax.vmap(lambda r, x: jnp.mean((r - x) ** 2))(outs.x_rec, xs) \
+        + B * math.log(2 * math.pi)
+
+    loss_ind_sum = jnp.sum(loss_rec + cfg.beta * kl)
+
+    # --- coupling terms ---
+    c = outs.c
+    logc = jnp.log(c + eps)
+    negent = neg_entropy(c, logc)                       # (A,)
+
+    n_pairs = A * (A - 1) // 2
+    if n_pairs > 0:
+        sum_c_dists = coupling_distance(c, eps)
+        sum_c_l2 = _pair_sums_from_gram(outs.c_smp)
+        # each arm participates in (A-1) pairs (reference :565)
+        sum_c_ents = (A - 1) * jnp.sum(negent)
+    else:
+        sum_c_dists = jnp.asarray(0.0, xs.dtype)
+        sum_c_l2 = jnp.asarray(0.0, xs.dtype)
+        sum_c_ents = jnp.asarray(0.0, xs.dtype)
+
+    n_dist_terms = n_pairs
+    n_ent_terms = n_pairs
+    n_l2_terms = n_pairs
+
+    if cfg.ref_prior and prior_c is not None:
+        c_bin = jax.vmap(lambda ca: hard_one_hot_st(ca))(c)  # hard one-hot, no noise
+        prior_bce = jax.vmap(lambda cb: bce(cb, prior_c))(c_bin)  # (A,)
+        prior_l2 = jax.vmap(
+            lambda sm: jnp.mean(jnp.sum((sm - prior_c) ** 2, axis=-1)))(outs.c_smp)
+        sum_c_ents = sum_c_ents + jnp.sum(negent)
+        sum_c_l2 = sum_c_l2 + jnp.sum(prior_l2)
+        sum_c_dists = sum_c_dists + cfg.lam_pc * jnp.sum(prior_bce)
+        n_dist_terms += A
+        n_ent_terms += A
+        n_l2_terms += A
+
+    const = max(n_pairs, 1) * ((C / 2) * math.log(2 * math.pi)
+                               - 0.5 * math.log(2 * cfg.lam))
+    loss_joint = cfg.lam * sum_c_dists + sum_c_ents + const
+    total = max(A - 1, 1) * loss_ind_sum + loss_joint
+
+    denom_d = max(n_dist_terms, 1)
+    denom_e = max(n_ent_terms, 1)
+    denom_l = max(n_l2_terms, 1)
+    return LossOutputs(
+        total=total,
+        loss_rec=loss_rec,
+        loss_joint=loss_joint,
+        neg_entropy=sum_c_ents / denom_e,
+        c_dist=sum_c_dists / denom_d,
+        c_l2_dist=sum_c_l2 / denom_l,
+        kl=kl,
+        ll=ll,
+    )

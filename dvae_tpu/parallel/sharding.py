@@ -1,0 +1,174 @@
+"""Device-mesh construction and the FSDP sharding-strategy matrix.
+
+Equivalent capability to the reference's distributed layer — PyTorch FSDP
+with strategies {full, grad-op, no, hybrid, hybrid-zero2, ddp}
+(fsdp_mnist.py:215-228), DDP (fsdp_mnist.py:407-410), DistributedSampler
+batch sharding, and NCCL bootstrap (mmidas/_dist_utils.py) — re-designed for
+TPU:
+
+  * One logical ``Mesh`` with axes ``('data', 'arm', 'fsdp')`` replaces
+    process-group plumbing.  There is no rendezvous code: on multi-host TPU,
+    ``jax.distributed.initialize()`` + the TPU runtime do what
+    MASTER_ADDR/PORT + NCCL init did (reference mmidas/_dist_utils.py:12-48).
+  * Sharding strategies are **pytree sharding rules**, not module wrappers —
+    the auto-wrap policy machinery (fsdp_mnist.py:239-240) has no analogue
+    because XLA shards at the array level.
+  * Collectives (all-gather of sharded params into the matmuls,
+    reduce-scatter of grads, psum of metrics) are emitted by the XLA
+    partitioner from the shardings; they ride ICI within a slice.  The
+    hybrid strategies map the ``fsdp`` axis to ICI-connected devices within
+    a slice and ``data`` across slices/DCN — the reference's
+    HYBRID_SHARD/_HYBRID_SHARD_ZERO2 (fsdp_mnist.py:223-226).
+  * The ``arm`` axis is new capability: the A structurally-identical VAE
+    arms are stacked on a leading axis (models/mixvae.py) and can be sharded
+    across devices — true "ensemble parallelism" the reference only probed
+    at (dist/vmapping.py, dist/conv.ipynb).
+
+Strategy → placement:
+
+  | strategy      | params      | grads/opt state | batch                |
+  |---------------|-------------|-----------------|----------------------|
+  | ddp / no      | replicated  | replicated      | sharded (all axes)   |
+  | full (ZeRO-3) | fsdp-sharded| fsdp-sharded    | sharded (all axes)   |
+  | grad-op (Z-2) | replicated  | fsdp-sharded    | sharded (all axes)   |
+  | hybrid        | fsdp-sharded (per slice), replicated across data | same | sharded |
+  | hybrid-zero2  | replicated  | fsdp-sharded per slice | sharded       |
+
+With pjit + NamedSharding the distinction between hybrid and full is purely
+which devices the ``fsdp`` axis spans (ICI slice vs whole mesh): callers
+control that through ``MeshConfig``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvae_tpu.config import MeshConfig, ShardingStrategy
+
+AXES = ("data", "arm", "fsdp")
+BATCH_AXES = ("data", "fsdp")  # every device computes a distinct micro-batch
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    """Build the logical device mesh.
+
+    With ``cfg=None``, use all local devices on the ``data`` axis (pure DP).
+    ``data × arm × fsdp`` must equal the device count.  For multi-slice
+    hybrids, pass devices ordered so that the trailing ``fsdp`` axis walks
+    ICI neighbors (jax's default device order does this on TPU).
+    """
+    if devices is None:
+        devices = jax.devices()
+    cfg = cfg or MeshConfig(data=len(devices))
+    n = cfg.n_devices
+    if n != len(devices):
+        raise ValueError(
+            f"mesh {cfg} needs {n} devices, got {len(devices)}")
+    arr = np.asarray(devices).reshape(cfg.data, cfg.arm, cfg.fsdp)
+    return Mesh(arr, AXES)
+
+
+def _leaf_pspec(path_leaf_shape, mesh: Mesh, shard_fsdp: bool,
+                shard_arm: bool) -> P:
+    """PartitionSpec for one stacked-arm leaf of shape (A, ...).
+
+    Rule: the leading A axis shards over ``arm`` when divisible; under an
+    fsdp strategy the *largest* remaining dim divisible by the fsdp axis
+    size shards over ``fsdp``.  Layers too small to shard stay replicated —
+    the TPU answer to the reference's size_based(20000) auto-wrap policy
+    (train.py:141-143): tiny 100×100 layers are latency-bound to shard, the
+    big D×F input/output layers are what matters (SURVEY.md §7.3).
+    """
+    shape = path_leaf_shape
+    arm_size = mesh.shape["arm"]
+    fsdp_size = mesh.shape["fsdp"]
+    spec = [None] * len(shape)
+    if shard_arm and arm_size > 1 and shape[0] % arm_size == 0:
+        spec[0] = "arm"
+    if shard_fsdp and fsdp_size > 1 and len(shape) > 1:
+        # pick the largest non-arm dim divisible by the fsdp axis
+        cands = [(shape[i], i) for i in range(1, len(shape))
+                 if shape[i] % fsdp_size == 0]
+        if cands:
+            _, i = max(cands)
+            spec[i] = "fsdp"
+    return P(*spec)
+
+
+def param_shardings(params, mesh: Mesh, strategy: ShardingStrategy):
+    """NamedSharding pytree for the stacked-arm parameters."""
+    shard_fsdp = strategy in (ShardingStrategy.FULL_SHARD,
+                              ShardingStrategy.HYBRID_SHARD)
+    return jax.tree_util.tree_map(
+        lambda p: NamedSharding(
+            mesh, _leaf_pspec(p.shape, mesh, shard_fsdp, shard_arm=True)),
+        params)
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh,
+                        strategy: ShardingStrategy):
+    """NamedSharding pytree for the optax state.
+
+    ZeRO-2 strategies (grad-op, hybrid-zero2) shard the optimizer moments
+    even when params are replicated (reference fsdp_mnist.py:219-220); ZeRO-3
+    states follow the param shardings; DDP/no replicate everything.
+    """
+    shard_opt = strategy in (
+        ShardingStrategy.FULL_SHARD, ShardingStrategy.HYBRID_SHARD,
+        ShardingStrategy.SHARD_GRAD_OP, ShardingStrategy.HYBRID_SHARD_ZERO2)
+
+    param_leaves = {id(l) for l in jax.tree_util.tree_leaves(params)}
+    replicated = NamedSharding(mesh, P())
+
+    def rule(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return replicated
+        if not shard_opt:
+            return replicated
+        # moment tensors mirror param shapes; shard them with the param rule
+        return NamedSharding(
+            mesh, _leaf_pspec(leaf.shape, mesh, shard_fsdp=True,
+                              shard_arm=True))
+
+    del param_leaves
+    return jax.tree_util.tree_map(rule, opt_state)
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 1, ndim: int = 3,
+                   arm_axis: Optional[int] = 0) -> NamedSharding:
+    """Sharding for an (A, B, D) input batch: arms over ``arm``, batch over
+    ``data``×``fsdp`` (every device computes a distinct micro-batch — FSDP
+    and DDP semantics alike)."""
+    spec = [None] * ndim
+    if arm_axis is not None and mesh.shape["arm"] > 1:
+        spec[arm_axis] = "arm"
+    spec[batch_axis] = BATCH_AXES
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def bn_shardings(bn_state, mesh: Mesh):
+    """Batch-norm running stats: shard over ``arm`` only (they are per-arm
+    vectors; the reference never syncs them across ranks — no SyncBatchNorm
+    anywhere in the repo — and our batch-axis mean/var *is* global within
+    the jitted step, which is strictly more correct)."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(
+            mesh, _leaf_pspec(s.shape, mesh, shard_fsdp=False,
+                              shard_arm=True)),
+        bn_state)
+
+
+def strategy_shardings(strategy: ShardingStrategy, mesh: Mesh, params,
+                       bn_state, opt_state):
+    """One-call bundle: (param_sh, bn_sh, opt_sh) for a strategy."""
+    return (param_shardings(params, mesh, strategy),
+            bn_shardings(bn_state, mesh),
+            opt_state_shardings(opt_state, params, mesh, strategy))

@@ -1,0 +1,287 @@
+"""Jitted training/eval steps and the fused multi-epoch epoch runner.
+
+Equivalent capability to the hot loop of the reference trainer
+(``cpl_mixVAE.train``, mmidas/cpl_mixvae.py:400-525: per-batch augmenter
+forward → model forward → loss → backward → step; per-epoch metric
+all_reduce + consensus), re-designed TPU-first:
+
+  * One **pure train step** (params, bn, opt, key) × batch → new state +
+    metrics, jit-compiled once.  The reference pays python dispatch, a
+    GPU→CPU ``to_np`` sync per batch per arm (cpl_mixvae.py:477), and a
+    manual ``dist.all_reduce`` per epoch (:480-483); here metrics are
+    reduced by the XLA partitioner and nothing leaves the device until the
+    host asks.
+  * The **epoch runner fuses E epochs into one ``lax.scan``** — at the
+    production shape (N≈20k, B=5000 → 4 steps/epoch, up to 500k epochs) the
+    reference's per-epoch host work dominates wall-clock (SURVEY.md §7.3);
+    here an epoch is 4 scan iterations plus one on-device permutation, and
+    the host wakes up every ``epochs_per_chunk`` epochs only.
+  * Per-epoch **train consensus is computed on device**: argmax labels are
+    accumulated into an (A, N) buffer during the epoch and the all-pairs
+    confusion-matrix consensus is one batched one-hot einsum on the MXU
+    (eval/metrics.consensus_device) — replacing the reference's per-sample
+    python loops (cpl_mixvae.py:802-818).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dvae_tpu.config import TrainConfig, VAEConfig
+from dvae_tpu.eval.metrics import consensus_device
+from dvae_tpu.models import mixvae
+from dvae_tpu.models.losses import LossOutputs, mixvae_loss
+
+
+class TrainState(NamedTuple):
+    """The carried training state (a pure pytree)."""
+
+    params: Any            # stacked-arm parameter pytree
+    bn: Any                # batch-norm running stats
+    opt_state: Any         # optax state
+    mask: jax.Array        # (C,) category keep-mask (pruning; all-ones = off)
+    key: jax.Array         # PRNG key, split every step
+    epoch: jax.Array       # scalar int32
+
+
+class StepMetrics(NamedTuple):
+    """Per-step scalars (mirrors the reference wandb dict,
+    cpl_mixvae.py:541-560)."""
+
+    total: jax.Array
+    loss_rec: jax.Array     # (A,)
+    loss_joint: jax.Array
+    neg_entropy: jax.Array
+    c_dist: jax.Array
+    c_l2_dist: jax.Array
+    kl: jax.Array           # (A,)
+
+
+def make_optimizer(cfg: VAEConfig, name: str = "adam") -> optax.GradientTransformation:
+    """adam/adamw with the reference defaults (train.py:144-149, lr=1e-3)."""
+    if name == "adamw":
+        return optax.adamw(cfg.lr)
+    if name == "adam":
+        return optax.adam(cfg.lr)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def init_train_state(key: jax.Array, cfg: VAEConfig,
+                     tx: optax.GradientTransformation,
+                     dtype=jnp.float32) -> TrainState:
+    k_init, k_run = jax.random.split(key)
+    params = mixvae.init_params(k_init, cfg, dtype)
+    bn = mixvae.init_bn_state(cfg, dtype)
+    opt_state = tx.init(params)
+    mask = jnp.ones((cfg.n_categories,), dtype)
+    return TrainState(params, bn, opt_state, mask, k_run,
+                      jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Single step
+# ---------------------------------------------------------------------------
+
+AugmentFn = Callable[[jax.Array, jax.Array, int], jax.Array]
+# (key, x(B,D), n_arm) -> (A, B, D) per-arm views
+
+
+def expand_arms(key: jax.Array, x: jax.Array, n_arm: int) -> jax.Array:
+    """No-augmentation default: all arms see the same batch
+    (reference ``x.expand(A, -1, -1)``, cpl_mixvae.py:433-436)."""
+    del key
+    return jnp.broadcast_to(x, (n_arm,) + x.shape)
+
+
+def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
+            compute_dtype=None):
+    """Differentiable loss; returns (total, (aux, new_bn, labels))."""
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params)
+        xs = xs.astype(compute_dtype)
+    outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
+                                train=True, mask=mask, prior_c=prior_c)
+    aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c)
+    labels = jnp.argmax(outs.c, axis=-1)  # (A, B) int — for consensus
+    return aux.total.astype(jnp.float32), (aux, new_bn, labels)
+
+
+def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation,
+                    augment: Optional[AugmentFn] = None,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    step(state, x(B,D), prior_c(B,C)|None, temp) →
+        (new_state, StepMetrics, labels(A,B))
+    """
+    compute_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
+    aug = augment or expand_arms
+
+    def step(state: TrainState, x: jax.Array,
+             prior_c: Optional[jax.Array], temp) -> tuple:
+        key, k_aug, k_fwd = jax.random.split(state.key, 3)
+        xs = aug(k_aug, x, cfg.n_arm)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (aux, new_bn, labels)), grads = grad_fn(
+            state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
+            prior_c, compute_dtype)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, state.params)
+        # pruning: zero grads of masked-out category units
+        grads = _mask_grads(grads, state.mask, cfg)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = _mask_params(new_params, state.mask, cfg)
+        metrics = StepMetrics(aux.total, aux.loss_rec, aux.loss_joint,
+                              aux.neg_entropy, aux.c_dist, aux.c_l2_dist,
+                              aux.kl)
+        new_state = TrainState(new_params, new_bn, new_opt, state.mask,
+                               key, state.epoch)
+        return new_state, metrics, labels
+
+    return step
+
+
+def _category_mask_cols(tree_update):
+    return tree_update
+
+
+def _mask_params(params, mask, cfg: VAEConfig):
+    """Multiplicative category masks — the TPU-native form of the
+    reference's ``torch.nn.utils.prune.custom_from_mask`` on
+    fcc/fc_mu/fc_sigma/fc6 (cpl_mixvae.py:1152-1161).
+
+    fcc:  (A, L, C) — mask output columns (category logits).
+    fc_mu/fc_sigma: (A, L+C, S) — mask the C input *rows* that carry c_smp.
+    fc6:  (A, C+S, L) — mask the C input rows.
+    A full mask (all ones) multiplies by 1.0 and XLA folds it away.
+    """
+    C = cfg.n_categories
+    L = cfg.lowD_dim
+    p = dict(params)
+    p["fcc"] = dict(params["fcc"])
+    p["fcc"]["w"] = params["fcc"]["w"] * mask[None, None, :]
+    p["fcc"]["b"] = params["fcc"]["b"] * mask[None, :]
+    row_mu = jnp.concatenate([jnp.ones((L,), mask.dtype), mask])
+    for name in ("fc_mu", "fc_sigma"):
+        p[name] = dict(params[name])
+        p[name]["w"] = params[name]["w"] * row_mu[None, :, None]
+    row_dec = jnp.concatenate([mask, jnp.ones((cfg.state_dim,), mask.dtype)])
+    p["fc6"] = dict(params["fc6"])
+    p["fc6"]["w"] = params["fc6"]["w"] * row_dec[None, :, None]
+    return p
+
+
+def _mask_grads(grads, mask, cfg: VAEConfig):
+    """Zero gradients flowing into pruned category units (prune.remove
+    semantics: masked weights stay exactly zero through training)."""
+    return _mask_params(grads, mask, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-epoch runner
+# ---------------------------------------------------------------------------
+
+class EpochMetrics(NamedTuple):
+    """Per-epoch aggregates returned to the host every chunk."""
+
+    total: jax.Array        # (E,)
+    loss_rec: jax.Array     # (E, A)
+    loss_joint: jax.Array   # (E,)
+    neg_entropy: jax.Array  # (E,)
+    c_dist: jax.Array       # (E,)
+    c_l2_dist: jax.Array    # (E,)
+    kl: jax.Array           # (E, A)
+    consensus: jax.Array    # (E,) on-device train consensus
+
+
+def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
+                      tx: optax.GradientTransformation,
+                      n_train: int,
+                      augment: Optional[AugmentFn] = None,
+                      epochs_per_chunk: Optional[int] = None):
+    """Build run_epochs(state, x_all, idx_all, prior_all, temp) jit-able fn.
+
+    Runs ``epochs_per_chunk`` epochs fully on device: per epoch an on-device
+    shuffled batch plan (pipeline.epoch_batch_indices semantics, drop_last),
+    ``steps`` train steps via ``lax.scan``, label accumulation, and the
+    consensus einsum.  Returns (state, EpochMetrics).
+    """
+    E = epochs_per_chunk or tcfg.epochs_per_jit
+    B = tcfg.batch_size
+    steps = n_train // B
+    if steps == 0:
+        raise ValueError(f"batch_size {B} > dataset size {n_train}")
+    step_fn = make_train_step(cfg, tcfg, tx, augment)
+    n_used = steps * B
+
+    def one_epoch(state: TrainState, x_all, prior_all, temp):
+        key, k_perm = jax.random.split(state.key)
+        state = state._replace(key=key)
+        perm = jax.random.permutation(k_perm, n_train)[: n_used]
+        plan = perm.reshape(steps, B)
+
+        def body(st, sel):
+            x = jnp.take(x_all, sel, axis=0)
+            prior = (None if prior_all is None
+                     else jnp.take(prior_all, sel, axis=0))
+            st, m, labels = step_fn(st, x, prior, temp)
+            return st, (m, labels)
+
+        state, (ms, labels) = jax.lax.scan(body, state, plan)
+        # labels: (steps, A, B) → (A, steps*B)
+        flat = jnp.moveaxis(labels, 1, 0).reshape(cfg.n_arm, n_used)
+        cons = consensus_device(flat, cfg.n_categories)
+        em = EpochMetrics(
+            total=jnp.mean(ms.total),
+            loss_rec=jnp.mean(ms.loss_rec, axis=0),
+            loss_joint=jnp.mean(ms.loss_joint),
+            neg_entropy=jnp.mean(ms.neg_entropy),
+            c_dist=jnp.mean(ms.c_dist),
+            c_l2_dist=jnp.mean(ms.c_l2_dist),
+            kl=jnp.mean(ms.kl, axis=0),
+            consensus=cons,
+        )
+        state = state._replace(epoch=state.epoch + 1)
+        return state, em
+
+    def run_epochs(state: TrainState, x_all, prior_all, temp):
+        def body(st, _):
+            st, em = one_epoch(st, x_all, prior_all, temp)
+            return st, em
+
+        state, ems = jax.lax.scan(body, state, None, length=E)
+        return state, ems
+
+    return run_epochs
+
+
+# ---------------------------------------------------------------------------
+# Eval step
+# ---------------------------------------------------------------------------
+
+def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
+                   augment: Optional[AugmentFn] = None):
+    """Validation forward: no grad, eval semantics (hard one-hot, no noise,
+    running-stat BN) — reference cpl_mixvae.py:563-761."""
+    aug = augment or expand_arms
+
+    @jax.jit
+    def eval_step(state: TrainState, x, prior_c, temp):
+        key, k_aug, k_fwd = jax.random.split(state.key, 3)
+        xs = aug(k_aug, x, cfg.n_arm)
+        outs, _ = mixvae.apply(state.params, state.bn, cfg, xs, k_fwd,
+                               temp=temp, train=False, mask=state.mask,
+                               prior_c=prior_c)
+        aux = mixvae_loss(cfg, outs, xs, prior_c)
+        labels = jnp.argmax(outs.c, axis=-1)
+        return aux, labels, outs
+
+    return eval_step

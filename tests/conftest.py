@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference has no multi-process unit tests at all (SURVEY.md §4); here
+every sharding test runs against `--xla_force_host_platform_device_count=8`,
+which exercises the same XLA partitioner that runs on a real TPU slice.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize pins JAX_PLATFORMS to the TPU plugin;
+# the config update (post-import, pre-backend-init) reliably forces CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
