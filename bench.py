@@ -1,0 +1,78 @@
+"""Headline benchmark: A=5 Smart-seq-shape coupled-mixVAE training throughput.
+
+Measures steady-state training throughput (cells/sec/chip) of the flagship
+configuration — the reference's production run shape (A=5, B=5000, D=5032,
+C=92; train-scripts/run-train-A5-E500000-a100.sh, reference train.py
+defaults) — on whatever chip jax.devices()[0] is.
+
+``vs_baseline`` compares against an estimated reference throughput of
+25,000 cells/sec on one A100: the reference publishes no benchmark tables
+(BASELINE.md), so this anchor is derived from its compute profile — A=5
+arms ≈ 50M params (dist/fsdp.py:672-675), 6·params·batch ≈ 1.5 TFLOP/step
+at B=5000, fp32 + python per-arm loop + per-batch host syncs on A100 ≈
+200 ms/step → 25k cells/s.  Driver target (BASELINE.json): ≥5× per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CELLS_PER_SEC = 25_000.0  # estimated reference A100 throughput
+
+
+def main() -> None:
+    from dvae_tpu.config import TrainConfig, VAEConfig
+    from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
+                                     make_optimizer)
+
+    cfg = VAEConfig(n_arm=5)  # production defaults: C=92, D=5032, F=100
+    tcfg = TrainConfig(batch_size=5000, epochs_per_jit=5, bf16=True)
+    N = 20_000
+    B = tcfg.batch_size
+    steps_per_epoch = N // B  # 4 — the reference production regime
+
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(
+        np.maximum(rng.normal(1.0, 1.0, (N, cfg.input_dim)), 0.0)
+        .astype(np.float32))
+
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    run = jax.jit(make_epoch_runner(cfg, tcfg, tx, n_train=N))
+
+    # compile + warmup (np.asarray forces a device→host transfer: on the
+    # tunneled axon platform block_until_ready alone does not block)
+    state, ems = run(state, x_all, None, 1.0)
+    np.asarray(ems.total)
+
+    n_chunks = 6
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, ems = run(state, x_all, None, 1.0)
+    np.asarray(ems.total)
+    dt = time.perf_counter() - t0
+
+    epochs = n_chunks * tcfg.epochs_per_jit
+    steps = epochs * steps_per_epoch
+    cells = steps * B
+    cells_per_sec = cells / dt
+    n_local = max(jax.local_device_count(), 1)
+    per_chip = cells_per_sec / n_local
+
+    print(json.dumps({
+        "metric": "train_throughput_A5_smartseq",
+        "value": round(per_chip, 1),
+        "unit": "cells/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_CELLS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

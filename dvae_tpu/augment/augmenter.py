@@ -1,0 +1,275 @@
+"""VAE-GAN data augmenter — noise-conditioned VAE + discriminator.
+
+Equivalent capability to the reference augmenter networks
+(mmidas/augmentation/udagan.py: ``Augmenter`` :16-118, ``Discriminator``
+:121-145, ``Augmenter_smartseq`` :217-329; drift duplicate in networks.py),
+re-designed TPU-first:
+
+  * The reference's "batched" arm-major forward pushes (A, B, D) through
+    BatchNorm1d with a permute trick so the statistics pool over A·B
+    (udagan.py:284-309).  Here the whole forward is written directly on
+    (A, B, D) tensors with batch-norm reductions over the leading two axes
+    — same math, no permutes, one fused XLA program.
+  * Batch-norms: eps=1e-10, momentum=0.01, affine=False (udagan.py:31-88);
+    the noise path ``bnz`` is affine=True (torch default, udagan.py:29).
+  * ``reparam_trick`` draws Gaussian noise and uses the sigmoid head
+    directly as the std (mmidas/augmentation/aug_utils.py:51-64).
+
+Architecture (Augmenter_smartseq, D=input_dim, H=n_dim, Z=latent, NZ=noise):
+  enc:  drop(x) → fc1(D,D//5) BN relu → fc2 BN relu → fc3(,H) BN relu
+        → fc4(H,H) BN relu → concat(noise: elu(BNz(W z)))
+        → fc5(H+NZ, H//5) BN relu → mu=BN(fc_mu), sigma=sigmoid(fc_sigma)
+  dec:  s=mu+ε·sigma → fc6(Z,H//5) … fc10 BN relu → relu(fc11(,D))
+The generic ``Augmenter`` variant (10x / ZINB) differs only in widths, the
+fc5/fc5n split, and optional ZINB head fc11_p (udagan.py:16-118).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-10
+BN_MOMENTUM = 0.01
+
+
+@dataclass(frozen=True)
+class AugmenterConfig:
+    noise_dim: int = 50
+    latent_dim: int = 10
+    input_dim: int = 5032
+    n_dim: int = 500            # smartseq default (udagan.py:217); 100 for 10x
+    p_drop: float = 0.5
+    n_zim: int = 1              # >1 adds the ZINB dropout head fc11_p
+    variant: str = "smartseq"   # "smartseq" | "generic"
+
+
+def _linear_shapes(cfg: AugmenterConfig) -> dict:
+    D, H, Z, NZ = cfg.input_dim, cfg.n_dim, cfg.latent_dim, cfg.noise_dim
+    D5, H5 = D // 5, H // 5
+    shapes = {
+        "noise": (NZ, NZ),          # bias-free (udagan.py:28)
+        "fc1": (D, D5), "fc2": (D5, D5), "fc3": (D5, H), "fc4": (H, H),
+        "fc5": (H + NZ, H5),
+        "fc_mu": (H5, Z), "fc_sigma": (H5, Z),
+        "fc6": (Z, H5), "fc7": (H5, H), "fc8": (H, H), "fc9": (H, D5),
+        "fc10": (D5, D5), "fc11": (D5, D),
+    }
+    if cfg.variant == "generic":
+        # udagan.py:16-118: fc5 without noise exists too; fc8 is absent
+        shapes["fc5_plain"] = (H, H5)
+    if cfg.n_zim > 1:
+        shapes["fc11_p"] = (D5, D)
+    return shapes
+
+
+_BN_LAYERS = ("bnz", "bn1", "bn2", "bn3", "bn4", "bn5", "bn_mu",
+              "bn6", "bn7", "bn8", "bn9", "bn10")
+
+
+def _bn_dims(cfg: AugmenterConfig) -> dict:
+    D5, H, H5, Z, NZ = (cfg.input_dim // 5, cfg.n_dim, cfg.n_dim // 5,
+                        cfg.latent_dim, cfg.noise_dim)
+    return {"bnz": NZ, "bn1": D5, "bn2": D5, "bn3": H, "bn4": H, "bn5": H5,
+            "bn_mu": Z, "bn6": H5, "bn7": H, "bn8": H, "bn9": D5, "bn10": D5}
+
+
+def init_augmenter(key: jax.Array, cfg: AugmenterConfig, dtype=jnp.float32):
+    """Returns (params, bn_state)."""
+    shapes = _linear_shapes(cfg)
+    names = list(shapes)
+    keys = jax.random.split(key, len(names))
+    params = {}
+    for n, k in zip(names, keys):
+        fan_in, fan_out = shapes[n]
+        bound = 1.0 / np.sqrt(fan_in)
+        kw, kb = jax.random.split(k)
+        params[n] = {
+            "w": jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound),
+            "b": (None if n == "noise" else
+                  jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)),
+        }
+    bn = {}
+    for n, d in _bn_dims(cfg).items():
+        bn[n] = {"mean": jnp.zeros((d,), dtype), "var": jnp.ones((d,), dtype)}
+        if n == "bnz":  # affine=True
+            bn[n]["scale"] = jnp.ones((d,), dtype)
+            bn[n]["bias"] = jnp.zeros((d,), dtype)
+    return params, bn
+
+
+def _lin(p, x):
+    y = x @ p["w"]
+    return y if p["b"] is None else y + p["b"]
+
+
+def _bn(x, stats, train: bool):
+    """Normalize over all leading axes (pools over A·B in arm-major mode —
+    the permute-trick semantics of udagan.py:284-309)."""
+    red = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x, axis=red)
+        var = jnp.var(x, axis=red)
+        n = int(np.prod(x.shape[:-1]))
+        unbiased = var * (n / max(n - 1, 1))
+        new = dict(stats)
+        new["mean"] = (1 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * mean
+        new["var"] = (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased
+    else:
+        mean, var, new = stats["mean"], stats["var"], stats
+    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
+    if "scale" in stats:
+        y = y * stats["scale"] + stats["bias"]
+    return y, new
+
+
+def _drop(key, x, rate, train):
+    if not train or rate <= 0:
+        return x
+    keep = 1.0 - rate
+    return jnp.where(jax.random.bernoulli(key, keep, x.shape),
+                     x / keep, 0.0).astype(x.dtype)
+
+
+def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
+                    key: jax.Array, train: bool = False,
+                    noise: bool = True, scale: float = 1.0):
+    """Forward. ``x``: (..., D) — works on (B, D) or arm-major (A, B, D).
+
+    Returns (s, x_out, new_bn) with x_out (..., D) (or (..., 2D) when
+    n_zim>1 — [x_mu, x_p] concatenated like udagan.py:112-115).
+    """
+    k_drop, k_noise, k_reparam = jax.random.split(key, 3)
+    new_bn = dict(bn)
+
+    def bnr(name, h, act=jax.nn.relu):
+        y, new_bn[name] = _bn(h, bn[name], train)
+        return act(y) if act else y
+
+    h = _drop(k_drop, x, cfg.p_drop, train)
+    h = bnr("bn1", _lin(params["fc1"], h))
+    h = bnr("bn2", _lin(params["fc2"], h))
+    h = bnr("bn3", _lin(params["fc3"], h))
+    h = bnr("bn4", _lin(params["fc4"], h))
+
+    if noise or cfg.variant == "smartseq":
+        z = scale * jax.random.normal(k_noise, h.shape[:-1] + (cfg.noise_dim,),
+                                      x.dtype)
+        z = bnr("bnz", _lin(params["noise"], z), act=jax.nn.elu)
+        h = jnp.concatenate([h, z], axis=-1)
+        h = bnr("bn5", _lin(params["fc5"], h))
+    else:
+        h = bnr("bn5", _lin(params["fc5_plain"], h))
+
+    mu = bnr("bn_mu", _lin(params["fc_mu"], h), act=None)
+    sigma = jax.nn.sigmoid(_lin(params["fc_sigma"], h))
+    s = mu + jax.random.normal(k_reparam, mu.shape, mu.dtype) * sigma
+
+    h = bnr("bn6", _lin(params["fc6"], s))
+    h = bnr("bn7", _lin(params["fc7"], h))
+    if cfg.variant == "smartseq":
+        h = bnr("bn8", _lin(params["fc8"], h))
+    h = bnr("bn9", _lin(params["fc9"], h))
+    h = bnr("bn10", _lin(params["fc10"], h))
+    x_mu = jax.nn.relu(_lin(params["fc11"], h))
+    if cfg.n_zim > 1:
+        x_p = jax.nn.sigmoid(_lin(params["fc11_p"], h))
+        return s, jnp.concatenate([x_mu, x_p], axis=-1), new_bn
+    return s, x_mu, new_bn
+
+
+def augment_arms(params, bn, cfg: AugmenterConfig, key: jax.Array,
+                 x: jax.Array, n_arm: int, scale: float = 0.1) -> jax.Array:
+    """Frozen-augmenter per-arm views: (B, D) → (A, B, D).
+
+    The in-training-loop call (reference cpl_mixvae.py:422-425:
+    ``netA(x.expand(A,-1,-1), True, 0.1)[1]`` with the augmenter in .eval()
+    — frozen weights and running BN stats).
+    """
+    xs = jnp.broadcast_to(x, (n_arm,) + x.shape)
+    _, out, _ = apply_augmenter(params, bn, cfg, xs, key, train=False,
+                                noise=True, scale=scale)
+    if cfg.n_zim > 1:
+        D = cfg.input_dim
+        x_mu, x_p = out[..., :D], out[..., D:]
+        # binary-masked ZINB augmentation (build/lib nn_model semantics):
+        # keep entries where the original was nonzero
+        mask = (xs > 0).astype(out.dtype)
+        return x_mu * mask
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (udagan.py:121-145)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    input_dim: int = 5032
+    p_drop: float = 0.2
+
+
+def init_discriminator(key: jax.Array, cfg: DiscriminatorConfig,
+                       dtype=jnp.float32):
+    D = cfg.input_dim
+    D5 = D // 5
+    shapes = {"fc1": (D, D5), "fc2": (D5, D5), "disc": (D5, 1)}
+    keys = jax.random.split(key, len(shapes))
+    params = {}
+    for (n, (fi, fo)), k in zip(shapes.items(), keys):
+        bound = 1.0 / np.sqrt(fi)
+        kw, kb = jax.random.split(k)
+        params[n] = {"w": jax.random.uniform(kw, (fi, fo), dtype, -bound, bound),
+                     "b": jax.random.uniform(kb, (fo,), dtype, -bound, bound)}
+    bn = {n: {"mean": jnp.zeros((D5,), dtype), "var": jnp.ones((D5,), dtype)}
+          for n in ("bn1", "bn2")}
+    return params, bn
+
+
+def apply_discriminator(params, bn, cfg: DiscriminatorConfig, x: jax.Array,
+                        key: jax.Array, train: bool = False):
+    """Returns (features, probs, new_bn)."""
+    new_bn = dict(bn)
+    h = _drop(key, x, cfg.p_drop, train)
+    h, new_bn["bn1"] = _bn(_lin(params["fc1"], h), bn["bn1"], train)
+    h = jax.nn.relu(h)
+    h, new_bn["bn2"] = _bn(_lin(params["fc2"], h), bn["bn2"], train)
+    h = jax.nn.relu(h)
+    probs = jax.nn.sigmoid(_lin(params["disc"], h))
+    return h, probs, new_bn
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading for the training loop
+# ---------------------------------------------------------------------------
+
+def save_augmenter(path: str, params, bn, cfg: AugmenterConfig,
+                   extra: Optional[dict] = None) -> str:
+    """Checkpoint includes the hyperparameter dict, which loading reads
+    back — reference augmentation/train.py:139-147 + cpl_mixvae.py:128-149."""
+    from dvae_tpu.utils.checkpoint import save_checkpoint
+    meta = {"cfg": cfg.__dict__, **(extra or {})}
+    return save_checkpoint(path, {"params": params, "bn": bn}, meta)
+
+
+def load_augmenter(path: str):
+    """Returns (params, bn, cfg)."""
+    from dvae_tpu.utils.checkpoint import load_checkpoint
+    tree, meta = load_checkpoint(path)
+    cfg = AugmenterConfig(**meta["cfg"])
+    params = jax.tree_util.tree_map(jnp.asarray, tree["params"])
+    bn = jax.tree_util.tree_map(jnp.asarray, tree["bn"])
+    return params, bn, cfg
+
+
+def load_augmenter_apply(path: str):
+    """Frozen closure for the trainer: (key, x, n_arm, scale) → (A, B, D)."""
+    params, bn, cfg = load_augmenter(path)
+
+    def fn(key, x, n_arm, scale=0.1):
+        return augment_arms(params, bn, cfg, key, x, n_arm, scale)
+    return fn

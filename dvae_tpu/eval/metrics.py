@@ -106,6 +106,25 @@ def consensus_from_labels(labels: np.ndarray, K: int) -> float:
     return float(np.mean(scores)) if scores else 1.0
 
 
+def per_category_agreement(labels: np.ndarray, K: int) -> np.ndarray:
+    """(K,) mean-over-arm-pairs per-category consensus.
+
+    The diagonal of the normalized confusion matrix, averaged over all arm
+    pairs — the pruning criterion of the reference
+    (build/lib/mmidas/cpl_mixvae.py:355-391: ``c_agreement``).
+    ``labels``: (A, N) integer cluster assignments.
+    """
+    A = labels.shape[0]
+    diags = []
+    for a in range(A):
+        for b in range(a + 1, A):
+            cm = compute_confmat(labels[a], labels[b], K)
+            diags.append(np.diag(confmat_normalize(cm)))
+    if not diags:
+        return np.ones(K)
+    return np.mean(diags, axis=0)
+
+
 def reassign(x: np.ndarray) -> np.ndarray:
     """Permute columns by the Hungarian algorithm to maximize the diagonal."""
     _, col_inds = linear_sum_assignment(-x)

@@ -1,0 +1,376 @@
+"""CplMixVAE — the training orchestrator (L4).
+
+Equivalent capability to the reference ``cpl_mixVAE`` class
+(mmidas/cpl_mixvae.py:152-1650: epoch loop, augmentation call, metric
+logging, train/val consensus, checkpoint cadence, consensus early-stop,
+category-pruning loop, eval_model, save/load) — re-architected around the
+jitted multi-epoch runner (dvae_tpu/train/step.py):
+
+  * The python epoch loop advances ``epochs_per_jit`` epochs per host
+    iteration; everything inside is one compiled XLA program (the
+    reference pays per-batch python dispatch + GPU→CPU syncs,
+    cpl_mixvae.py:415-477).
+  * Consensus is computed on device each epoch; the host only sees (E,)
+    metric vectors at chunk boundaries.
+  * Pruning is a (C,) multiplicative mask in the state (train/step.py
+    ``_mask_params``), updated on host between chunks from per-category
+    agreement — functionally identical to the reference's
+    ``torch.nn.utils.prune.custom_from_mask`` masks (cpl_mixvae.py:1124-1161)
+    with static shapes (no gather/scatter of surviving categories).
+
+Method-name parity: ``init_model``, ``load_model``, ``train``,
+``eval_model``, ``save_file``, ``load_file``
+(reference build/lib/mmidas/cpl_mixvae.py:17-804).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.config import MeshConfig, ShardingStrategy, TrainConfig, VAEConfig
+from dvae_tpu.eval.metrics import (consensus_from_labels,
+                                   per_category_agreement)
+from dvae_tpu.models import mixvae
+from dvae_tpu.models.losses import mixvae_loss
+from dvae_tpu.parallel.sharding import (make_mesh, replicated,
+                                        strategy_shardings)
+from dvae_tpu.train.step import (TrainState, init_train_state,
+                                 make_epoch_runner, make_eval_step,
+                                 make_optimizer)
+from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                       save_checkpoint)
+from dvae_tpu.utils.logging import MetricLogger, device_memory_mb, mprint
+
+
+class CplMixVAE:
+    """Coupled mixture-VAE trainer."""
+
+    def __init__(self, saving_folder: str = "", aug_file: Optional[str] = None,
+                 device: Optional[str] = None, seed: int = 546,
+                 use_wandb: bool = False):
+        self.folder = saving_folder
+        if saving_folder:
+            os.makedirs(saving_folder, exist_ok=True)
+        self.seed = seed
+        self.use_wandb = use_wandb
+        self.aug_apply = None          # (key, x, n_arm) -> (A,B,D)
+        self.aug_file = aug_file
+        if aug_file:
+            self._load_augmenter(aug_file)
+        self.cfg: Optional[VAEConfig] = None
+        self.tcfg: Optional[TrainConfig] = None
+        self.state: Optional[TrainState] = None
+        self.mesh = None
+        self.tx = None
+        del device  # device placement is owned by the mesh/shardings
+
+    # -- model lifecycle ----------------------------------------------------
+
+    def _load_augmenter(self, aug_file: str) -> None:
+        """Load a frozen pre-trained augmenter (reference ``mk_augmenter``,
+        cpl_mixvae.py:128-149)."""
+        from dvae_tpu.augment.augmenter import load_augmenter_apply
+        self.aug_apply = load_augmenter_apply(aug_file)
+
+    def init_model(self, n_categories: int = 92, state_dim: int = 2,
+                   input_dim: int = 5032, fc_dim: int = 100,
+                   lowD_dim: int = 10, x_drop: float = 0.5,
+                   s_drop: float = 0.2, lr: float = 1e-3, lam: float = 1.0,
+                   lam_pc: float = 1.0, n_arm: int = 2, temp: float = 1.0,
+                   tau: float = 0.005, beta: float = 1.0, hard: bool = False,
+                   variational: bool = True, ref_prior: bool = False,
+                   trained_model: Optional[str] = None, n_pr: int = 0,
+                   mode: str = "MSE", optimizer: str = "adam",
+                   batch_size: int = 5000, epochs_per_jit: int = 10,
+                   sharding: str | ShardingStrategy = "no",
+                   mesh: Optional[MeshConfig] = None, bf16: bool = False,
+                   **extra) -> None:
+        """Build config + mesh + optimizer + initial state
+        (reference ``init_model``, cpl_mixvae.py:193-286)."""
+        self.cfg = VAEConfig(
+            n_categories=n_categories, state_dim=state_dim,
+            input_dim=input_dim, fc_dim=fc_dim, lowD_dim=lowD_dim,
+            x_drop=x_drop, s_drop=s_drop, lr=lr, lam=lam, lam_pc=lam_pc,
+            n_arm=n_arm, temp=temp, tau=tau, beta=beta, hard=hard,
+            variational=variational, ref_prior=ref_prior,
+            trained_model=trained_model, n_pr=n_pr, mode=mode, **extra)
+        self.tcfg = TrainConfig(
+            batch_size=batch_size, epochs_per_jit=epochs_per_jit,
+            optimizer=optimizer,
+            sharding=ShardingStrategy(sharding),
+            mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed)
+        self.temp = temp
+
+        self.mesh = make_mesh(self.tcfg.mesh) \
+            if self.tcfg.mesh.n_devices > 1 else None
+        self.tx = make_optimizer(self.cfg, optimizer)
+        self.state = init_train_state(
+            jax.random.key(self.seed), self.cfg, self.tx)
+        if n_pr > 0:
+            # start with the n_pr lowest categories pruned (reference n_pr)
+            mask = np.ones(n_categories, np.float32)
+            mask[-n_pr:] = 0.0
+            self.state = self.state._replace(mask=jnp.asarray(mask))
+        if self.mesh is not None:
+            shs = strategy_shardings(self.tcfg.sharding, self.mesh,
+                                     self.state.params, self.state.bn,
+                                     self.state.opt_state)
+            self.state = self.state._replace(
+                params=jax.device_put(self.state.params, shs[0]),
+                bn=jax.device_put(self.state.bn, shs[1]),
+                opt_state=jax.device_put(self.state.opt_state, shs[2]))
+        if trained_model:
+            self.load_model(trained_model)
+
+    def load_model(self, filename: str) -> int:
+        """Restore model+optimizer state (reference ``load_model``,
+        cpl_mixvae.py:317; ``init_model(trained_model=…)`` :276-283).
+        Returns the stored epoch (or -1)."""
+        tree, meta = load_checkpoint(filename)
+        restored = jax.tree_util.tree_map(jnp.asarray, tree)
+        self.state = TrainState(
+            params=restored["params"], bn=restored["bn"],
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.state.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"])),
+            mask=restored["mask"], key=self.state.key,
+            epoch=jnp.asarray(meta.get("epoch", 0), jnp.int32))
+        return int(meta.get("epoch", -1))
+
+    def save_checkpoint(self, tag: str) -> str:
+        path = os.path.join(self.folder or ".",
+                            f"cpl_mixVAE_model_{tag}.ckpt")
+        ckpt = {"params": self.state.params, "bn": self.state.bn,
+                "opt_state": self.state.opt_state, "mask": self.state.mask}
+        return save_checkpoint(path, ckpt,
+                               {"epoch": int(self.state.epoch),
+                                "cfg": self.cfg.__dict__ if self.cfg else {}})
+
+    # -- training -----------------------------------------------------------
+
+    def _augment_fn(self):
+        if self.aug_apply is None:
+            return None
+        noise = self.tcfg.aug_noise if self.tcfg else 0.1
+        aug = self.aug_apply
+
+        def fn(key, x, n_arm):
+            return aug(key, x, n_arm, noise)
+        return fn
+
+    def train(self, x_train: np.ndarray, x_val: Optional[np.ndarray] = None,
+              n_epoch: int = 100, n_epoch_p: int = 0,
+              c_p: Optional[np.ndarray] = None,
+              train_idx: Optional[np.ndarray] = None,
+              min_con: float = 0.99, max_prun_it: int = 0,
+              temp: Optional[float] = None,
+              early_stop_consensus: Optional[float] = None,
+              run_name: Optional[str] = None) -> str:
+        """Main + pruning training phases (reference ``train``,
+        cpl_mixvae.py:323-1448).  Returns the final checkpoint path.
+
+        ``x_train``: (N, D) float32. ``c_p``: (N_total, C) ref-prior table
+        gathered by ``train_idx`` when cfg.ref_prior (reference
+        cpl_mixvae.py:427-432).
+        """
+        assert self.state is not None, "call init_model first"
+        cfg, tcfg = self.cfg, self.tcfg
+        temp = self.temp if temp is None else temp
+        stop_con = (tcfg.good_enuf_consensus if early_stop_consensus is None
+                    else early_stop_consensus)
+        logger = MetricLogger(
+            use_wandb=self.use_wandb, run_name=run_name,
+            config={**cfg.__dict__, "n_epoch": n_epoch},
+            jsonl_path=os.path.join(self.folder, "metrics.jsonl")
+            if self.folder else None)
+
+        n_train = x_train.shape[0]
+        sharding = replicated(self.mesh) if self.mesh is not None else None
+        x_all = jax.device_put(jnp.asarray(x_train, jnp.float32), sharding)
+        prior_all = None
+        if cfg.ref_prior and c_p is not None:
+            idx = (np.arange(n_train) if train_idx is None else train_idx)
+            prior_all = jax.device_put(
+                jnp.asarray(c_p[idx], jnp.float32), sharding)
+
+        runner = jax.jit(make_epoch_runner(
+            cfg, tcfg, self.tx, n_train, augment=self._augment_fn()))
+        self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn())
+
+        self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
+                        stop_con, logger, phase="train")
+
+        # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
+        #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
+        if n_epoch_p > 0 and max_prun_it > 0:
+            pr_it = 0
+            while pr_it < max_prun_it:
+                labels = self._predict_labels(x_all, temp)
+                agreement = per_category_agreement(labels, cfg.n_categories)
+                mask = np.array(self.state.mask)  # writable copy
+                active = np.where(mask > 0)[0]
+                agree_active = agreement[active]
+                if float(np.min(agree_active)) > min_con:
+                    mprint("No more pruning!")
+                    break
+                kill = active[int(np.argmin(agree_active))]
+                mask[kill] = 0.0
+                mprint(f"pruning iteration {pr_it}: pruned category {kill} "
+                       f"(agreement {agreement[kill]:.3f}); "
+                       f"{int(mask.sum())}/{cfg.n_categories} remain")
+                self.state = self.state._replace(mask=jnp.asarray(mask))
+                self.save_checkpoint(f"before_pruning_{pr_it}_A{cfg.n_arm}")
+                self._run_phase(runner, x_all, prior_all, x_val, n_epoch_p,
+                                temp, stop_con, logger,
+                                phase=f"prune{pr_it}")
+                pr_it += 1
+
+        path = self.save_checkpoint(f"epoch_{int(self.state.epoch)}")
+        logger.finish()
+        return path
+
+    def _run_phase(self, runner, x_all, prior_all, x_val, n_epoch, temp,
+                   stop_con, logger, phase: str) -> None:
+        cfg, tcfg = self.cfg, self.tcfg
+        E = tcfg.epochs_per_jit
+        done = 0
+        while done < n_epoch:
+            t0 = time.perf_counter()
+            self.state, ems = runner(self.state, x_all, prior_all, temp)
+            total = np.asarray(ems.total)       # forces completion
+            dt = time.perf_counter() - t0
+            cons = np.asarray(ems.consensus)
+            rec = np.asarray(ems.loss_rec)
+            base = int(self.state.epoch) - E
+            for e in range(E):
+                row = {
+                    f"{phase}/loss": float(total[e]),
+                    f"{phase}/loss_joint": float(np.asarray(ems.loss_joint)[e]),
+                    f"{phase}/neg_joint_entropy":
+                        float(np.asarray(ems.neg_entropy)[e]),
+                    f"{phase}/simplex_distance":
+                        float(np.asarray(ems.c_dist)[e]),
+                    f"{phase}/l2_distance":
+                        float(np.asarray(ems.c_l2_dist)[e]),
+                    f"{phase}/consensus": float(cons[e]),
+                    f"{phase}/epoch_time_s": dt / E,
+                    f"{phase}/device_mb": device_memory_mb(),
+                    **{f"{phase}/rec_loss_arm{a}": float(rec[e, a])
+                       for a in range(cfg.n_arm)},
+                }
+                logger.log(row, step=base + e)
+            done += E
+            epoch = int(self.state.epoch)
+            mprint(f"[{phase}] epoch {epoch}: loss={total[-1]:.3f} "
+                   f"consensus={cons[-1]:.3f} ({dt / E:.3f}s/epoch)")
+
+            if x_val is not None and done % max(tcfg.eval_every, E) == 0:
+                val = self.validate(x_val, temp)
+                logger.log({f"val/{k}": v for k, v in val.items()},
+                           step=epoch)
+                mprint(f"[val] loss={val['loss']:.3f} "
+                       f"consensus={val['consensus']:.3f}")
+
+            if done % max(tcfg.ckpt_every, E) == 0:
+                self.save_checkpoint(f"epoch_{epoch}")
+
+            # consensus early-stop (reference cpl_mixvae.py:851-927)
+            if stop_con and float(cons[-1]) >= stop_con:
+                mprint(f"early stop: consensus {cons[-1]:.3f} >= {stop_con}")
+                self.save_checkpoint(f"epoch_{epoch}")
+                break
+
+    # -- evaluation ---------------------------------------------------------
+
+    def _predict_labels(self, x_all, temp, batch_size: int = 5000):
+        """Eval-mode argmax labels over a dataset → (A, N) numpy."""
+        n = x_all.shape[0]
+        outs = []
+        for i in range(0, n, batch_size):
+            xb = x_all[i: i + batch_size]
+            _, labels, _ = self._eval_step(self.state, xb, None, temp)
+            outs.append(np.asarray(labels))
+        return np.concatenate(outs, axis=1)
+
+    def validate(self, x_val: np.ndarray, temp: float = 1.0,
+                 batch_size: int = 5000) -> dict:
+        """Validation losses + consensus (reference val loop,
+        cpl_mixvae.py:563-761)."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.cfg, self.tcfg,
+                                             augment=self._augment_fn())
+        x = jnp.asarray(x_val, jnp.float32)
+        n = x.shape[0]
+        tot, recs, labels = [], [], []
+        for i in range(0, n, batch_size):
+            aux, lab, _ = self._eval_step(self.state, x[i: i + batch_size],
+                                          None, temp)
+            tot.append(float(aux.total))
+            recs.append(np.asarray(aux.loss_rec))
+            labels.append(np.asarray(lab))
+        labels = np.concatenate(labels, axis=1)
+        cons = consensus_from_labels(labels, self.cfg.n_categories)
+        rec = np.mean(recs, axis=0)
+        return {"loss": float(np.mean(tot)), "consensus": cons,
+                **{f"rec_loss_arm{a}": float(rec[a])
+                   for a in range(self.cfg.n_arm)}}
+
+    def eval_model(self, x: np.ndarray, temp: float = 1.0,
+                   batch_size: int = 5000) -> dict:
+        """Batched no-grad inference over a dataset (reference
+        ``eval_model``, cpl_mixvae.py:1450-1619).
+
+        Returns the reference summary dict fields: per-arm categorical
+        probabilities ``c_prob`` (A,N,C), samples ``state_mu``/``state_var``
+        (A,N,S), argmax labels ``pred_label`` (A,N), reconstruction losses,
+        total loss, and the train consensus matrix inputs.
+        """
+        if not hasattr(self, "_eval_step") or self._eval_step is None:
+            self._eval_step = make_eval_step(self.cfg, self.tcfg,
+                                             augment=self._augment_fn())
+        xj = jnp.asarray(x, jnp.float32)
+        n = xj.shape[0]
+        c_probs, mus, logvars, labels, recs, lows, totals = \
+            [], [], [], [], [], [], []
+        for i in range(0, n, batch_size):
+            aux, lab, outs = self._eval_step(self.state, xj[i: i + batch_size],
+                                             None, temp)
+            c_probs.append(np.asarray(outs.c))
+            mus.append(np.asarray(outs.s_mean))
+            logvars.append(np.asarray(outs.s_logvar))
+            lows.append(np.asarray(outs.x_low))
+            labels.append(np.asarray(lab))
+            recs.append(np.asarray(aux.loss_rec))
+            totals.append(float(aux.total))
+        labels = np.concatenate(labels, axis=1)
+        return {
+            "c_prob": np.concatenate(c_probs, axis=1),
+            "state_mu": np.concatenate(mus, axis=1),
+            "state_logvar": np.concatenate(logvars, axis=1),
+            "x_low": np.concatenate(lows, axis=1),
+            "pred_label": labels,
+            "total_loss": float(np.mean(totals)),
+            "total_loss_rec": np.mean(recs, axis=0),
+            "consensus": consensus_from_labels(labels, self.cfg.n_categories),
+            "mask": np.asarray(self.state.mask),
+        }
+
+    # -- misc parity helpers --------------------------------------------------
+
+    def save_file(self, fname: str, **kwargs) -> None:
+        """Pickle named arrays (reference ``save_file``,
+        cpl_mixvae.py:1621-1639)."""
+        with open(fname, "wb") as f:
+            pickle.dump(kwargs, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_file(self, fname: str) -> dict:
+        """Unpickle (reference ``load_file``, cpl_mixvae.py:1641-1650)."""
+        with open(fname, "rb") as f:
+            return pickle.load(f)

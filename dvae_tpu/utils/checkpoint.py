@@ -1,0 +1,91 @@
+"""Checkpoint save/load for training-state pytrees.
+
+Equivalent capability to the reference's ``torch.save({'model_state_dict',
+'optimizer_state_dict'}, path)`` checkpoints (mmidas/cpl_mixvae.py:782-788)
+with the same cadence/naming semantics, TPU-native:
+
+  * primary format is **orbax** (async-capable, sharding-aware — restores
+    distributed arrays directly to their device placements);
+  * a dependency-light **pickle-of-numpy** fallback keeps checkpoints
+    readable anywhere (orbax requires a directory per step; pickle writes
+    one file, mirroring the reference's single ``.pth``).
+
+File naming matches the reference (``cpl_mixVAE_model_epoch_{e}``,
+cpl_mixvae.py:778-780) so checkpoint-discovery-by-glob + max-epoch-parse
+(mmidas/model.py:211-229) carries over.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None,
+                    use_orbax: bool = False) -> str:
+    """Save a pytree (+ small metadata dict). Returns the written path."""
+    if use_orbax:
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, {"tree": _to_numpy(tree),
+                          "metadata": metadata or {}}, force=True)
+        return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"tree": _to_numpy(tree), "metadata": metadata or {}}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    return path
+
+
+def load_checkpoint(path: str, use_orbax: Optional[bool] = None):
+    """Load (tree, metadata). Auto-detects format."""
+    if use_orbax is None:
+        use_orbax = os.path.isdir(path)
+    if use_orbax:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        out = ckptr.restore(os.path.abspath(path))
+        return out["tree"], out.get("metadata", {})
+    with open(path, "rb") as f:
+        out = pickle.load(f)
+    return out["tree"], out.get("metadata", {})
+
+
+_EPOCH_RE = re.compile(r"_epoch_(\d+)")
+
+
+def parse_epoch(filename: str) -> int:
+    """Epoch number from a checkpoint filename; -1 if absent
+    (reference mmidas/_utils.py:289-293)."""
+    m = _EPOCH_RE.search(os.path.basename(filename))
+    return int(m.group(1)) if m else -1
+
+
+def latest_checkpoint(folder: str, pattern: str = "*_epoch_*") -> Optional[str]:
+    """Checkpoint discovery: glob + max epoch (reference
+    mmidas/model.py:211-229)."""
+    files = glob.glob(os.path.join(folder, pattern))
+    files = [f for f in files if parse_epoch(f) >= 0]
+    return max(files, key=parse_epoch) if files else None
+
+
+def make_run_dir(base: str, prefix: str = "") -> str:
+    """Auto-incrementing ``{base}{prefix}_RUN{n}`` run folders
+    (reference train.py:39-46)."""
+    n = 0
+    while os.path.exists(f"{base}{prefix}_RUN{n}"):
+        n += 1
+    path = f"{base}{prefix}_RUN{n}"
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -1,0 +1,85 @@
+"""Observability: wandb-optional metric logging + host-aware printing.
+
+Equivalent capability to the reference's logging surface — per-epoch wandb
+dicts (mmidas/cpl_mixvae.py:541-560,768-775), run init/grouping
+(train.py:135-137, dist/train_smartseq.py:292-370), master-only prints
+(cpl_mixvae.py:50-51), rank-prefixed print (mmidas/_dist_utils.py:54-55) —
+with zero hard dependencies: wandb is used when importable AND enabled,
+otherwise metrics go to an in-memory history + optional JSONL file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+
+
+def is_master() -> bool:
+    """True on process 0 (the reference's rank-0 check, cpl_mixvae.py:50)."""
+    return jax.process_index() == 0
+
+
+def mprint(*args, **kwargs) -> None:
+    """Master-only print."""
+    if is_master():
+        print(*args, **kwargs)
+
+
+def rprint(*args, **kwargs) -> None:
+    """Process-prefixed print (reference ``set_print``,
+    mmidas/_dist_utils.py:54-55)."""
+    print(f"[proc {jax.process_index()}]", *args, **kwargs)
+
+
+class MetricLogger:
+    """wandb when available/enabled; always keeps an in-memory history and
+    optionally appends JSONL (the artifact the reference's log parsers in
+    dist/plot.py consume — ours is structured instead of regex-scraped)."""
+
+    def __init__(self, use_wandb: bool = False, project: str = "dvae-tpu",
+                 run_name: Optional[str] = None, group: Optional[str] = None,
+                 config: Optional[dict] = None, jsonl_path: Optional[str] = None):
+        self.history: list[dict] = []
+        self.jsonl_path = jsonl_path
+        self._wandb = None
+        if use_wandb and is_master():
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=project, name=run_name, group=group,
+                           config=config or {})
+            except Exception as e:  # pragma: no cover
+                print(f"wandb unavailable ({e}); falling back to local logging")
+                self._wandb = None
+
+    def log(self, metrics: dict, step: Optional[int] = None) -> None:
+        if not is_master():
+            return
+        rec = dict(metrics)
+        if step is not None:
+            rec["step"] = step
+        rec["_time"] = time.time()
+        self.history.append(rec)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(rec, default=float) + "\n")
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def device_memory_mb() -> float:
+    """Allocated device memory in MB (reference logs
+    ``torch.cuda.memory_allocated()`` per batch, cpl_mixvae.py:461)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return (stats or {}).get("bytes_in_use", 0) / 2**20
+    except Exception:  # pragma: no cover
+        return 0.0
