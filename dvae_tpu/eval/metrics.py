@@ -98,6 +98,11 @@ def consensus_from_labels(labels: np.ndarray, K: int) -> float:
     Reference pattern: mmidas/cpl_mixvae.py:512-525.
     """
     A = labels.shape[0]
+    if A < 2:
+        return 1.0
+    if _host_ops is not None and _host_ops.available():
+        mean, _ = _host_ops.pairwise_consensus(labels, K)
+        return mean
     scores = []
     for a in range(A):
         for b in range(a + 1, A):
@@ -115,13 +120,15 @@ def per_category_agreement(labels: np.ndarray, K: int) -> np.ndarray:
     ``labels``: (A, N) integer cluster assignments.
     """
     A = labels.shape[0]
+    if A < 2:
+        return np.ones(K)
+    if _host_ops is not None and _host_ops.available():
+        return _host_ops.per_category_agreement(labels, K)
     diags = []
     for a in range(A):
         for b in range(a + 1, A):
             cm = compute_confmat(labels[a], labels[b], K)
             diags.append(np.diag(confmat_normalize(cm)))
-    if not diags:
-        return np.ones(K)
     return np.mean(diags, axis=0)
 
 

@@ -1,0 +1,126 @@
+"""Typed functional inference API — the reference's next-generation surface.
+
+Equivalent capability to ``mmidas/model.py`` (the author's WIP typed
+refactor): ``generate`` :77-149 (batched inference dict), ``load_vae``
+:176-181, ``mk_run``/``mk_config``/``get_weights``/``load_weights``
+:199-239 (checkpoint discovery by glob + max epoch), ``VAE`` :242-294
+(clean single-arm reference implementation).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.config import TrainConfig, VAEConfig
+from dvae_tpu.models import mixvae
+from dvae_tpu.models.losses import mixvae_loss
+from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                       parse_epoch)
+
+
+def mk_config(**kw) -> VAEConfig:
+    """Config constructor (reference mk_config, model.py:199-210)."""
+    return VAEConfig(**kw)
+
+
+def mk_run(folder: str) -> dict:
+    """Discover a run directory's latest checkpoint + metadata
+    (reference mk_run/get_weights, model.py:211-229)."""
+    ckpt = latest_checkpoint(folder)
+    return {"folder": folder, "checkpoint": ckpt,
+            "epoch": parse_epoch(ckpt) if ckpt else -1}
+
+
+def get_weights(folder: str):
+    """Latest checkpoint's parameter pytree (reference get_weights)."""
+    ckpt = latest_checkpoint(folder)
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint under {folder}")
+    return load_weights(ckpt)
+
+
+def load_weights(path: str):
+    """(params, bn, mask, metadata) from a checkpoint file."""
+    tree, meta = load_checkpoint(path)
+    as_jnp = jax.tree_util.tree_map(jnp.asarray, tree)
+    return as_jnp["params"], as_jnp["bn"], as_jnp.get("mask"), meta
+
+
+def load_vae(path: str, cfg: Optional[VAEConfig] = None):
+    """Rehydrate (cfg, params, bn, mask) from a checkpoint
+    (reference load_vae, model.py:176-181)."""
+    params, bn, mask, meta = load_weights(path)
+    if cfg is None:
+        cfg_dict = dict(meta.get("cfg", {}))
+        if not cfg_dict:
+            raise ValueError(f"{path} stores no config; pass cfg=")
+        cfg_dict.pop("reparam_noise", None)
+        known = {f.name for f in
+                 __import__("dataclasses").fields(VAEConfig)}
+        cfg = VAEConfig(**{k: v for k, v in cfg_dict.items() if k in known})
+    if mask is None:
+        mask = jnp.ones((cfg.n_categories,), jnp.float32)
+    return cfg, params, bn, mask
+
+
+def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
+             mask: Optional[jax.Array] = None,
+             key: Optional[jax.Array] = None,
+             temp: float = 1.0, batch_size: int = 5000) -> dict:
+    """Batched inference dict (reference ``generate``, model.py:77-149).
+
+    Returns numpy arrays keyed like the reference: 'recon' (A,N,D),
+    'c_prob' (A,N,C), 'c_smp', 'state' (A,N,S), 'state_mu', 'state_logvar',
+    'x_low', 'pred_label' (A,N), 'loss_rec' (A,).
+    """
+    key = jax.random.key(0) if key is None else key
+    if mask is None:
+        mask = jnp.ones((cfg.n_categories,), jnp.float32)
+
+    @jax.jit
+    def fwd(params, bn, xs, key):
+        outs, _ = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
+                               train=False, mask=mask)
+        aux = mixvae_loss(cfg, outs, xs)
+        return outs, aux
+
+    xj = jnp.asarray(x, jnp.float32)
+    n = xj.shape[0]
+    acc = {k: [] for k in ("recon", "c_prob", "c_smp", "state", "state_mu",
+                           "state_logvar", "x_low", "pred_label")}
+    recs = []
+    for i in range(0, n, batch_size):
+        key, k = jax.random.split(key)
+        xb = xj[i: i + batch_size]
+        xs = jnp.broadcast_to(xb, (cfg.n_arm,) + xb.shape)
+        outs, aux = fwd(params, bn, xs, k)
+        acc["recon"].append(np.asarray(outs.x_rec))
+        acc["c_prob"].append(np.asarray(outs.c))
+        acc["c_smp"].append(np.asarray(outs.c_smp))
+        acc["state"].append(np.asarray(outs.s_smp))
+        acc["state_mu"].append(np.asarray(outs.s_mean))
+        acc["state_logvar"].append(np.asarray(outs.s_logvar))
+        acc["x_low"].append(np.asarray(outs.x_low))
+        acc["pred_label"].append(np.asarray(jnp.argmax(outs.c, -1)))
+        recs.append(np.asarray(aux.loss_rec))
+    out = {k: np.concatenate(v, axis=1) for k, v in acc.items()}
+    out["loss_rec"] = np.mean(recs, axis=0)
+    return out
+
+
+def single_vae_apply(cfg: VAEConfig, params_one_arm, bn_one_arm, x,
+                     key, train: bool = False):
+    """Clean single-arm VAE forward (reference ``VAE``, model.py:242-294):
+    index one arm out of the stacked pytree and run it alone."""
+    params = jax.tree_util.tree_map(lambda p: p[None], params_one_arm)
+    bn = jax.tree_util.tree_map(lambda s: s[None], bn_one_arm)
+    cfg1 = cfg.replace(n_arm=1)
+    xs = x[None]
+    outs, new_bn = mixvae.apply(params, bn, cfg1, xs, key, train=train)
+    squeeze = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+    return mixvae.MixVAEOutputs(*[o[0] for o in outs]), squeeze(new_bn)

@@ -46,11 +46,26 @@ def binarize(x: jax.Array, thr: float) -> jax.Array:
     return jnp.where(x > thr, 1.0, 0.0).astype(x.dtype)
 
 
+_P_TINY = 1e-37  # smallest guard that stays a NORMAL f32 (subnormal guards
+                 # flush to zero and re-create the inf-gradient at p=0)
+
+
+def _safe_log(p: jax.Array) -> jax.Array:
+    """log(p) clamped to -100 (torch BCE semantics) with finite gradients.
+
+    ``clip(log(p), -100)`` has a 0·inf = nan gradient at p=0; this form
+    routes p < 1e-37 through a constant branch (gradient 0 there, matching
+    torch's clamped backward).  Matters for the ref-prior coupling term,
+    where p is a hard one-hot.
+    """
+    return jnp.where(p >= _P_TINY,
+                     jnp.maximum(jnp.log(jnp.maximum(p, _P_TINY)), _LOG_CLAMP),
+                     _LOG_CLAMP)
+
+
 def bce(p: jax.Array, t: jax.Array) -> jax.Array:
     """Elementwise-mean binary cross entropy with torch's -100 log clamp."""
-    logp = jnp.clip(jnp.log(p), _LOG_CLAMP)
-    log1p_ = jnp.clip(jnp.log(1.0 - p), _LOG_CLAMP)
-    return -jnp.mean(t * logp + (1.0 - t) * log1p_)
+    return -jnp.mean(t * _safe_log(p) + (1.0 - t) * _safe_log(1.0 - p))
 
 
 def kl_gaussian(mean: jax.Array, logvar: jax.Array) -> jax.Array:
@@ -211,7 +226,11 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
 
     n_pairs = A * (A - 1) // 2
     if n_pairs > 0:
-        sum_c_dists = coupling_distance(c, eps)
+        if cfg.use_pallas:
+            from dvae_tpu.ops.coupling_pallas import coupling_distance_pallas
+            sum_c_dists = coupling_distance_pallas(c, eps)
+        else:
+            sum_c_dists = coupling_distance(c, eps)
         sum_c_l2 = _pair_sums_from_gram(outs.c_smp)
         # each arm participates in (A-1) pairs (reference :565)
         sum_c_ents = (A - 1) * jnp.sum(negent)

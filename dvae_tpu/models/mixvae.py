@@ -217,26 +217,9 @@ def _decode_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
     return x_rec, p_x, r_x
 
 
-def _forward_arm(p, bn, x, keys, cfg: VAEConfig, temp, train: bool,
-                 mask: Optional[jax.Array], prior_c: Optional[jax.Array]):
-    """One arm's full forward.  `keys`: dict of per-arm RNG keys."""
-    x_low, c_prob, new_bn = _encoder_arm(p, bn, x, keys["drop_x"], cfg, train)
-
-    # tau-sharpened categorical posterior (reference mmidas/nn_model.py:332-337).
-    # A pruning mask restricts the softmax to surviving categories — identical
-    # to the reference's gather/scatter form (:333-335) but with static shapes.
-    logits_tau = c_prob / cfg.tau
-    if mask is not None:
-        logits_tau = jnp.where(mask > 0, logits_tau, -jnp.inf)
-    c = jax.nn.softmax(logits_tau, axis=-1)
-
-    if train:
-        c_smp = gumbel_softmax(keys["gumbel"], c, temp, cfg.eps, hard=cfg.hard)
-    else:
-        # eval path: deterministic hard one-hot (mmidas/nn_model.py:341-343)
-        c_smp = gumbel_softmax(keys["gumbel"], c, temp, cfg.eps,
-                               hard=True, gumbel_noise=False)
-
+def _state_decode_arm(p, x_low, c_smp, keys, cfg: VAEConfig, train: bool,
+                      prior_c: Optional[jax.Array]):
+    """State head + decoder for one arm (post-sampling half of the forward)."""
     y_cat = prior_c if (cfg.ref_prior and prior_c is not None) else c_smp
     y = jnp.concatenate([x_low, y_cat], axis=-1)
 
@@ -252,8 +235,21 @@ def _forward_arm(p, bn, x, keys, cfg: VAEConfig, temp, train: bool,
         s_smp = s_mean
 
     x_rec, p_x, r_x = _decode_arm(p, c_smp, s_smp, keys["drop_s"], cfg, train)
-    return MixVAEOutputs(x_rec, p_x, r_x, x_low, c, s_smp, c_smp,
-                         s_mean, s_logvar, c_prob), new_bn
+    return x_rec, p_x, r_x, s_smp, s_mean, s_logvar
+
+
+def _sample_categorical(key, c, cfg: VAEConfig, temp, train: bool):
+    """Gumbel sample on the stacked (A, B, C) posterior — outside the
+    per-arm vmap so the fused Pallas kernel sees the whole tensor."""
+    if train and cfg.use_pallas:
+        from dvae_tpu.ops.gumbel_pallas import gumbel_softmax_pallas
+        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+        return gumbel_softmax_pallas(seed, c, None, temp, cfg.eps, cfg.hard)
+    if train:
+        return gumbel_softmax(key, c, temp, cfg.eps, hard=cfg.hard)
+    # eval path: deterministic hard one-hot (mmidas/nn_model.py:341-343)
+    return gumbel_softmax(key, c, temp, cfg.eps, hard=True,
+                          gumbel_noise=False)
 
 
 # ---------------------------------------------------------------------------
@@ -282,14 +278,35 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     A = cfg.n_arm
     assert xs.shape[0] == A, f"expected leading arm axis {A}, got {xs.shape}"
 
-    arm_keys = jax.random.split(key, A * 4).reshape(A, 4)
+    k_gumbel, k_rest = jax.random.split(key)
+    arm_keys = jax.random.split(k_rest, A * 3).reshape(A, 3)
 
-    def one_arm(p, bn, x, ak):
-        keys = {"drop_x": ak[0], "gumbel": ak[1],
-                "reparam": ak[2], "drop_s": ak[3]}
-        return _forward_arm(p, bn, x, keys, cfg, temp, train, mask, prior_c)
+    # --- stage 1: per-arm encoder (vmapped) ---
+    def enc_arm(p, bn, x, ak):
+        return _encoder_arm(p, bn, x, ak[0], cfg, train)
 
-    outs, new_bn = jax.vmap(one_arm)(params, bn_state, xs, arm_keys)
+    x_low, c_prob, new_bn = jax.vmap(enc_arm)(params, bn_state, xs, arm_keys)
+
+    # --- tau-sharpened categorical posterior + categorical sample on the
+    # stacked (A, B, C) tensor (reference mmidas/nn_model.py:332-345).
+    # A pruning mask restricts the softmax to surviving categories —
+    # identical to the reference's gather/scatter form (:333-335) but with
+    # static shapes.
+    logits_tau = c_prob / cfg.tau
+    if mask is not None:
+        logits_tau = jnp.where(mask > 0, logits_tau, -jnp.inf)
+    c = jax.nn.softmax(logits_tau, axis=-1)
+    c_smp = _sample_categorical(k_gumbel, c, cfg, temp, train)
+
+    # --- stage 2: per-arm state head + decoder (vmapped) ---
+    def dec_arm(p, xl, cs, ak):
+        keys = {"reparam": ak[1], "drop_s": ak[2]}
+        return _state_decode_arm(p, xl, cs, keys, cfg, train, prior_c)
+
+    x_rec, p_x, r_x, s_smp, s_mean, s_logvar = jax.vmap(dec_arm)(
+        params, x_low, c_smp, arm_keys)
+    outs = MixVAEOutputs(x_rec, p_x, r_x, x_low, c, s_smp, c_smp,
+                         s_mean, s_logvar, c_prob)
     return outs, new_bn
 
 

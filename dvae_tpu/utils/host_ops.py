@@ -1,0 +1,94 @@
+"""ctypes bindings for the native host-metric kernels (native/host_ops.cpp).
+
+Loads ``native/libhost_ops.so``, building it with ``make`` on first use if
+the toolchain is available.  Everything degrades gracefully: callers check
+``available()`` and fall back to the numpy implementations in
+dvae_tpu/eval/metrics.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libhost_ops.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.confmat.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64, f64p]
+    lib.confmat.restype = None
+    lib.confmat_normalize_inplace.argtypes = [f64p, ctypes.c_int64]
+    lib.confmat_normalize_inplace.restype = None
+    lib.pairwise_consensus.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, f64p]
+    lib.pairwise_consensus.restype = ctypes.c_double
+    lib.per_category_agreement.argtypes = [i64p, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           f64p]
+    lib.per_category_agreement.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def confmat(l1: np.ndarray, l2: np.ndarray, K: int) -> np.ndarray:
+    lib = _load()
+    l1 = np.ascontiguousarray(l1, np.int64)
+    l2 = np.ascontiguousarray(l2, np.int64)
+    out = np.zeros((K, K), np.float64)
+    lib.confmat(l1, l2, len(l1), K, out)
+    return out
+
+
+def confmat_normalize(cm: np.ndarray) -> np.ndarray:
+    lib = _load()
+    out = np.ascontiguousarray(cm, np.float64).copy()
+    lib.confmat_normalize_inplace(out, out.shape[0])
+    return out
+
+
+def pairwise_consensus(labels: np.ndarray, K: int):
+    """(mean_consensus, (A, A) score matrix) for (A, N) integer labels."""
+    lib = _load()
+    labels = np.ascontiguousarray(labels, np.int64)
+    A, N = labels.shape
+    scores = np.zeros((A, A), np.float64)
+    mean = lib.pairwise_consensus(labels, A, N, K, scores)
+    return float(mean), scores
+
+
+def per_category_agreement(labels: np.ndarray, K: int) -> np.ndarray:
+    lib = _load()
+    labels = np.ascontiguousarray(labels, np.int64)
+    A, N = labels.shape
+    out = np.zeros(K, np.float64)
+    lib.per_category_agreement(labels, A, N, K, out)
+    return out

@@ -1,0 +1,92 @@
+"""Profiling / tracing / memory observability.
+
+Equivalent capability to the reference's profiling kit:
+  * ``profile_run`` context manager — dist/fsdp.py:72-80 (torch.profiler →
+    chrome trace) becomes ``jax.profiler.trace`` → Perfetto/XProf trace dir.
+  * CUDA memory-history snapshots — dist/fsdp.py:44-51
+    (``_start_record_memory_history``/``_dump_snapshot``) become device
+    ``memory_stats()`` snapshots (JSON).
+  * CUDA-event wall timing — fsdp_mnist.py:401-452 becomes a sync-aware
+    step timer (device→host transfer forces completion; on the tunneled
+    axon platform ``block_until_ready`` alone does not block).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def profile_run(trace_dir: str = "profiles/",
+                create_perfetto_link: bool = False):
+    """Trace everything inside the block; view in Perfetto/XProf
+    (the torch.profiler+chrome-trace analogue, dist/fsdp.py:72-80)."""
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir,
+                            create_perfetto_link=create_perfetto_link):
+        yield trace_dir
+
+
+def memory_snapshot(path: Optional[str] = None) -> dict:
+    """Per-device memory stats; dumped to JSON when ``path`` given
+    (the CUDA memory-history analogue, dist/fsdp.py:44-51)."""
+    snap = {}
+    for d in jax.local_devices():
+        try:
+            snap[str(d)] = dict(d.memory_stats() or {})
+        except Exception:
+            snap[str(d)] = {}
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(snap, f, indent=2, default=int)
+    return snap
+
+
+class StepTimer:
+    """Wall-clock step timing with forced device sync.
+
+    Replaces the reference's paired CUDA events (fsdp_mnist.py:401-402,
+    :432, :452): ``sync`` pulls one scalar to host, which waits for all
+    prior work on the device stream.
+    """
+
+    def __init__(self):
+        self.times: list[float] = []
+        self._t0: Optional[float] = None
+
+    @staticmethod
+    def sync(x) -> None:
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves:
+            np.asarray(jax.tree_util.tree_map(
+                lambda a: a if not hasattr(a, "addressable_data") else a,
+                leaves[0]))
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self, sync_on=None) -> float:
+        if sync_on is not None:
+            self.sync(sync_on)
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return float(np.mean(self.times)) if self.times else 0.0
+
+    def summary(self) -> dict:
+        t = np.asarray(self.times)
+        if len(t) == 0:
+            return {}
+        return {"mean_s": float(t.mean()), "p50_s": float(np.median(t)),
+                "p95_s": float(np.percentile(t, 95)), "n": len(t)}

@@ -1,0 +1,183 @@
+"""Eval-stack tests: summaries, cross-run metrics, AMI, cluster analysis,
+count distributions (scipy oracles)."""
+
+import numpy as np
+import pytest
+
+from dvae_tpu.eval.cluster_analysis import (K_selection, get_SilhScore,
+                                            kfold_classifier)
+from dvae_tpu.eval.evaluate import (avg_consensus, avg_max,
+                                    compute_consensus_statistics, evals2,
+                                    mutinfo)
+
+rng = np.random.default_rng(21)
+
+
+class TestConsensusMetrics:
+    def test_avg_consensus_perfect(self):
+        labels = np.tile(rng.integers(0, 5, 50), (3, 1))
+        out = avg_consensus(labels)
+        assert out == {"all": 1.0, "pairwise": 1.0}
+
+    def test_avg_consensus_partial(self):
+        labels = np.zeros((2, 10), dtype=int)
+        labels[1, :5] = 1  # arms agree on half the samples
+        out = avg_consensus(labels)
+        assert out["pairwise"] == pytest.approx(0.5)
+        assert out["all"] == pytest.approx(0.5)
+
+    def test_evals2_matrices(self):
+        la = rng.integers(0, 6, (3, 200))
+        lb = np.concatenate([la[:2], rng.integers(0, 6, (1, 200))])
+        out = evals2(la, lb, K=6)
+        assert out["within_a"].shape == (3, 3)
+        assert out["between"].shape == (3, 3)
+        # identical arms across runs → perfect between-consensus diag block
+        assert out["between"][0, 0] == pytest.approx(1.0)
+        assert out["between"][1, 1] == pytest.approx(1.0)
+
+    def test_consensus_statistics(self):
+        runs = [rng.integers(0, 4, (2, 100)) for _ in range(3)]
+        stats = compute_consensus_statistics(runs, K=4)
+        assert stats["within_run"].shape == (3,)
+        assert stats["between_run"].shape == (3, 3)
+        assert 0 <= stats["mean_between"] <= 1
+
+
+class TestMutinfo:
+    def test_perfect_correspondence(self):
+        n, k = 300, 4
+        t = rng.integers(0, k, n)
+        targets = np.eye(k, dtype=int)[t]
+        probs = np.eye(k)[t] * 0.9 + 0.025  # argmax == t
+        mi = mutinfo(probs, targets)
+        assert mi.shape == (k, k)
+        # every discovered cluster perfectly matches one reference type
+        assert avg_max(mi) > 0.9
+
+    def test_random_labels_low_mi(self):
+        n, k = 300, 4
+        targets = np.eye(k, dtype=int)[rng.integers(0, k, n)]
+        probs = rng.random((n, k))
+        assert avg_max(mutinfo(probs, targets)) < 0.2
+
+
+class TestClusterAnalysis:
+    def _blobs(self):
+        centers = rng.normal(0, 5, (3, 8))
+        y = rng.integers(0, 3, 150)
+        x = centers[y] + rng.normal(0, 0.5, (150, 8))
+        return x, y
+
+    def test_kfold_classifiers(self):
+        x, y = self._blobs()
+        for kind in ("rf", "lda", "qda"):
+            acc, ref, pred = kfold_classifier(x, {"true": y}, kfold=3,
+                                              seed=0, kind=kind)
+            assert np.mean(acc["true"]) > 0.9, kind
+
+    def test_silhouette(self):
+        x, y = self._blobs()
+        per_cluster, overall = get_SilhScore(x, y)
+        assert len(per_cluster) == 3
+        assert overall > 0.5
+
+    def test_k_selection_picks_consensus_jump(self):
+        num_pruned = [10, 8, 6, 4]
+        recon = [[5.0, 4.0, 3.0, 2.0]] * 2
+        con = np.array([[0.5, 0.8, 0.97, 0.99]])
+        _, _, ordered_cons, K = K_selection(num_pruned, recon, con, thr=0.9)
+        assert K in (6, 8)  # within the >thr region at the max jump
+        # threshold unreachable → declines
+        *_, K_none = K_selection(num_pruned, recon, con, thr=0.999)
+        assert K_none is None
+
+
+class TestDistributions:
+    def test_nb_logprob_matches_scipy(self):
+        from scipy import stats
+
+        from dvae_tpu.models.distributions import NegativeBinomial
+        import jax.numpy as jnp
+
+        mu, theta = 4.0, 2.5
+        k = np.arange(0, 20, dtype=np.float32)
+        d = NegativeBinomial(jnp.asarray(mu), jnp.asarray(theta))
+        ours = np.asarray(d.log_prob(jnp.asarray(k)))
+        ref = stats.nbinom(n=theta, p=theta / (theta + mu)).logpmf(k)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+    def test_zinb_logprob_zero_inflation(self):
+        from dvae_tpu.models.distributions import (
+            NegativeBinomial, ZeroInflatedNegativeBinomial)
+        import jax.numpy as jnp
+
+        mu, theta = 4.0, 2.5
+        pi_logit = 0.7
+        zinb = ZeroInflatedNegativeBinomial(jnp.asarray(mu),
+                                            jnp.asarray(theta),
+                                            jnp.asarray(pi_logit))
+        nb = NegativeBinomial(jnp.asarray(mu), jnp.asarray(theta))
+        p = 1 / (1 + np.exp(-pi_logit))
+        # P_zinb(0) = p + (1-p)·P_nb(0)
+        expected0 = np.log(p + (1 - p) * np.exp(float(nb.log_prob(0.0))))
+        assert float(zinb.log_prob(jnp.asarray(0.0))) == pytest.approx(
+            expected0, rel=1e-5)
+        # P_zinb(k>0) = (1-p)·P_nb(k)
+        expected3 = np.log(1 - p) + float(nb.log_prob(3.0))
+        assert float(zinb.log_prob(jnp.asarray(3.0))) == pytest.approx(
+            expected3, rel=1e-5)
+
+    def test_nb_sampling_moments(self):
+        import jax
+        from dvae_tpu.models.distributions import NegativeBinomial
+        import jax.numpy as jnp
+
+        d = NegativeBinomial(jnp.asarray(5.0), jnp.asarray(3.0))
+        s = np.asarray(d.sample(jax.random.key(0), (20000,)))
+        assert s.mean() == pytest.approx(5.0, rel=0.05)
+        assert s.var() == pytest.approx(float(d.variance), rel=0.1)
+
+    def test_mixture_nb(self):
+        from dvae_tpu.models.distributions import NegativeBinomialMixture
+        import jax.numpy as jnp
+
+        d = NegativeBinomialMixture(jnp.asarray(2.0), jnp.asarray(10.0),
+                                    jnp.asarray(3.0),
+                                    jnp.asarray(0.0))  # 50/50 mixture
+        lp = float(d.log_prob(jnp.asarray(5.0)))
+        assert np.isfinite(lp)
+        assert float(d.mean) == pytest.approx(6.0)
+
+
+class TestTools:
+    def test_logcpm_rows_normalized(self):
+        from dvae_tpu.utils.tools import logcpm, normalize_cellxgene
+
+        x = rng.gamma(2, 2, (10, 30))
+        n = normalize_cellxgene(x)
+        np.testing.assert_allclose(n.sum(1), 1.0, rtol=1e-9)
+        lc = logcpm(x)
+        np.testing.assert_allclose(lc, np.log1p(n * 1e6))
+
+    def test_reorder_genes_puts_variable_first(self):
+        x = np.zeros((100, 5))
+        x[:, 1] = rng.random(100) > 0.5   # high binarized std
+        x[:, 3] = rng.random(100) > 0.9   # lower
+        order = __import__("dvae_tpu.utils.tools",
+                           fromlist=["reorder_genes"]).reorder_genes(x)
+        assert order[0] == 1
+        assert 0 not in order  # constant gene dropped
+
+    def test_get_paths_toml(self, tmp_path, monkeypatch):
+        from dvae_tpu.utils.tools import get_paths
+
+        (tmp_path / "cfg.toml").write_text(
+            '[paths]\nmain_dir="."\n[ds]\nanndata_file="x.h5ad"\n'
+            'data_path="data/"\n')
+        (tmp_path / "data").mkdir()
+        monkeypatch.chdir(tmp_path)
+        get_paths.cache_clear()
+        cfg = get_paths("cfg.toml", "ds")
+        assert cfg["ds"]["anndata_file"] == "x.h5ad"
+        assert str(cfg["ds"]["data_path"]) == "data"  # existing → Path

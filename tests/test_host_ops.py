@@ -1,0 +1,83 @@
+"""Native host-ops vs numpy oracle tests (+ a timing sanity check)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from dvae_tpu.eval import metrics
+from dvae_tpu.utils import host_ops
+
+pytestmark = pytest.mark.skipif(not host_ops.available(),
+                                reason="native toolchain unavailable")
+
+rng = np.random.default_rng(9)
+
+
+def test_confmat_matches_numpy():
+    for n, k in [(1000, 7), (5000, 92)]:
+        l1 = rng.integers(0, k, n)
+        l2 = rng.integers(0, k, n)
+        native = host_ops.confmat(l1, l2, k)
+        ref = metrics.compute_confmat_naive(l1, l2, k)
+        np.testing.assert_allclose(native, ref)
+
+
+def test_normalize_matches_numpy():
+    cm = rng.random((30, 30)) * 10
+    np.testing.assert_allclose(host_ops.confmat_normalize(cm),
+                               metrics.confmat_normalize(cm))
+
+
+def test_pairwise_consensus_matches_python_loop():
+    labels = rng.integers(0, 12, (4, 3000))
+    mean, scores = host_ops.pairwise_consensus(labels, 12)
+    # python-loop oracle
+    vals = []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            cm = metrics.compute_confmat_naive(labels[a], labels[b], 12)
+            vals.append(metrics.confmat_mean(metrics.confmat_normalize(cm)))
+    assert mean == pytest.approx(np.mean(vals))
+    assert scores[0, 1] == pytest.approx(vals[0])
+    np.testing.assert_allclose(scores, scores.T)
+
+
+def test_per_category_agreement_matches_numpy():
+    labels = rng.integers(0, 9, (3, 2000))
+    native = host_ops.per_category_agreement(labels, 9)
+    diags = []
+    for a in range(3):
+        for b in range(a + 1, 3):
+            cm = metrics.compute_confmat_naive(labels[a], labels[b], 9)
+            diags.append(np.diag(metrics.confmat_normalize(cm)))
+    np.testing.assert_allclose(native, np.mean(diags, axis=0))
+
+
+def test_metrics_dispatch_uses_native():
+    """The public metric functions agree with their own numpy fallback."""
+    labels = rng.integers(0, 10, (3, 5000))
+    fast = metrics.consensus_from_labels(labels, 10)
+    # force the numpy path
+    saved = metrics._host_ops
+    metrics._host_ops = None
+    try:
+        slow = metrics.consensus_from_labels(labels, 10)
+    finally:
+        metrics._host_ops = saved
+    assert fast == pytest.approx(slow)
+
+
+def test_native_is_not_slower():
+    labels = rng.integers(0, 92, (5, 20000))
+    t0 = time.perf_counter()
+    host_ops.pairwise_consensus(labels, 92)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for a in range(5):
+        for b in range(a + 1, 5):
+            metrics.confmat_mean(metrics.confmat_normalize(
+                metrics.compute_confmat(labels[a], labels[b], 92)))
+    t_numpy = time.perf_counter() - t0
+    print(f"native {t_native*1e3:.2f} ms vs numpy {t_numpy*1e3:.2f} ms")
+    assert t_native < t_numpy * 3  # sanity; typically ~2-10x faster

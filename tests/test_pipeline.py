@@ -1,0 +1,82 @@
+"""Data-layer tests: splits, iterators, per-process sharding, synthetic data."""
+
+import numpy as np
+import pytest
+
+from dvae_tpu.data.anndata_io import synthetic_dataset, _encode_labels
+from dvae_tpu.data.pipeline import (BatchIterator, get_loaders,
+                                    shard_for_process,
+                                    stratified_split_indices,
+                                    train_test_split_indices)
+
+
+def test_synthetic_dataset_contract():
+    ds = synthetic_dataset(n_cells=100, n_genes=30, n_types=5, seed=0)
+    assert ds.log1p.shape == (100, 30)
+    assert ds.log1p.min() >= 0
+    assert ds.c_onehot.shape == (100, 5)
+    np.testing.assert_allclose(ds.c_onehot.sum(1), 1)
+    np.testing.assert_allclose(ds.c_p.sum(1), 1, rtol=1e-6)
+    assert ds.n_type == 5
+    # cluster_id is 1-based dense (reference dataloader.py:53-56)
+    assert ds.cluster_id.min() == 1
+
+
+def test_encode_labels_softened_prior():
+    labels = np.array(["b", "a", "b"])
+    cid, onehot, c_p, K = _encode_labels(labels, eps=1e-1, tau=1.0)
+    assert K == 2
+    np.testing.assert_array_equal(onehot.argmax(1), [1, 0, 1])
+    # softmax((onehot+eps)/tau): max prob on the true class
+    assert (c_p.argmax(1) == onehot.argmax(1)).all()
+
+
+def test_stratified_split_preserves_label_ratio():
+    labels = np.repeat(np.arange(4), [40, 30, 20, 10])
+    tr, te = stratified_split_indices(labels, 0.9, seed=0)
+    assert len(tr) + len(te) == 100
+    assert len(set(tr) & set(te)) == 0
+    for ll, n in zip(range(4), [40, 30, 20, 10]):
+        assert np.sum(labels[tr] == ll) == int(0.9 * n)
+
+
+def test_split_disjoint_and_seeded():
+    tr1, te1 = train_test_split_indices(50, 0.8, seed=1)
+    tr2, _ = train_test_split_indices(50, 0.8, seed=1)
+    np.testing.assert_array_equal(tr1, tr2)
+    assert len(set(tr1) & set(te1)) == 0
+
+
+def test_batch_iterator_drop_last_and_shuffle():
+    x = np.arange(25, dtype=np.float32).reshape(25, 1)
+    it = BatchIterator(x, np.arange(25), batch_size=10, shuffle=True,
+                       drop_last=True, seed=0)
+    batches = list(it)
+    assert len(batches) == 2 == len(it)
+    b2 = list(it)
+    # epoch advances → different shuffle
+    assert not np.array_equal(batches[0][1], b2[0][1])
+    # index rides along with the row (reference TensorDataset(x, index))
+    for xb, ib in batches:
+        np.testing.assert_allclose(xb[:, 0], ib)
+
+
+def test_shard_for_process_even_padding():
+    idx = np.arange(10)
+    shards = [shard_for_process(idx, r, 4) for r in range(4)]
+    lens = {len(s) for s in shards}
+    assert lens == {3}  # ceil(10/4), DistributedSampler-style wrap padding
+    seen = np.concatenate(shards)
+    assert set(seen) == set(range(10))
+
+
+def test_get_loaders_reference_contract():
+    ds = synthetic_dataset(n_cells=120, n_genes=20, n_types=4, seed=0)
+    tr, te, al = get_loaders(ds.log1p, ds.cluster_label, seed=0,
+                             batch_size=16, train_size=0.9)
+    xb, ib = next(iter(tr))
+    assert xb.shape == (16, 20)
+    # test loader: B=1, sequential, no drop (reference dataloader.py:143-152)
+    xt, it_ = next(iter(te))
+    assert xt.shape == (1, 20)
+    assert len(al) == -(-120 // 16)

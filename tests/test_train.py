@@ -1,0 +1,128 @@
+"""Trainer tests: step semantics, epoch runner, pruning masks, checkpoints.
+
+The reference ships no trainer unit tests at all (its tests/test_train.py is
+a stub — SURVEY.md §4); these cover the jitted step + CplMixVAE surface.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvae_tpu.config import TrainConfig, VAEConfig
+from dvae_tpu.data.anndata_io import synthetic_dataset
+from dvae_tpu.data.pipeline import stratified_split_indices
+from dvae_tpu.train.step import (TrainState, init_train_state,
+                                 make_epoch_runner, make_eval_step,
+                                 make_optimizer, make_train_step,
+                                 _mask_params)
+
+CFG = VAEConfig(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+                state_dim=2, n_arm=2, tau=0.1)
+TCFG = TrainConfig(batch_size=32, epochs_per_jit=3)
+
+rng = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module")
+def data():
+    ds = synthetic_dataset(n_cells=200, n_genes=48, n_types=8, seed=0)
+    return jnp.asarray(ds.log1p)
+
+
+@pytest.fixture(scope="module")
+def tx():
+    return make_optimizer(CFG)
+
+
+def test_train_step_reduces_loss(data, tx):
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    step = jax.jit(lambda s, x: make_train_step(CFG, TCFG, tx)(s, x, None, 1.0))
+    x = data[:32]
+    losses = []
+    for _ in range(20):
+        state, m, labels = step(state, x)
+        losses.append(float(m.total))
+    assert losses[-1] < losses[0]
+    assert labels.shape == (2, 32)
+
+
+def test_epoch_runner_epoch_counter_and_metric_shapes(data, tx):
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    run = jax.jit(make_epoch_runner(CFG, TCFG, tx, n_train=data.shape[0]))
+    state2, ems = run(state, data, None, 1.0)
+    E = TCFG.epochs_per_jit
+    assert int(state2.epoch) == E
+    assert ems.total.shape == (E,)
+    assert ems.loss_rec.shape == (E, CFG.n_arm)
+    assert np.isfinite(np.asarray(ems.total)).all()
+    c = np.asarray(ems.consensus)
+    assert ((0 <= c) & (c <= 1)).all()
+
+
+def test_mask_params_zeroes_category_units(tx):
+    state = init_train_state(jax.random.key(1), CFG, tx)
+    mask = jnp.ones(CFG.n_categories).at[3].set(0.0)
+    p = _mask_params(state.params, mask, CFG)
+    assert np.all(np.asarray(p["fcc"]["w"])[:, :, 3] == 0)
+    assert np.all(np.asarray(p["fcc"]["b"])[:, 3] == 0)
+    assert np.all(np.asarray(p["fc_mu"]["w"])[:, CFG.lowD_dim + 3, :] == 0)
+    assert np.all(np.asarray(p["fc6"]["w"])[:, 3, :] == 0)
+    # unmasked categories untouched
+    assert np.allclose(np.asarray(p["fcc"]["w"])[:, :, 2],
+                       np.asarray(state.params["fcc"]["w"])[:, :, 2])
+
+
+def test_masked_category_never_predicted(data, tx):
+    """With category k masked, the tau-softmax renormalizes over survivors
+    and k can never be argmax (reference gather/scatter mask semantics,
+    mmidas/nn_model.py:333-335)."""
+    state = init_train_state(jax.random.key(2), CFG, tx)
+    mask = jnp.ones(CFG.n_categories).at[5].set(0.0)
+    state = state._replace(mask=mask,
+                           params=_mask_params(state.params, mask, CFG))
+    ev = make_eval_step(CFG, TCFG)
+    _, labels, outs = ev(state, data[:64], None, 1.0)
+    assert not np.any(np.asarray(labels) == 5)
+    assert np.all(np.asarray(outs.c)[..., 5] == 0)
+
+
+def test_cpl_mixvae_train_prune_checkpoint_roundtrip(tmp_path):
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    tr, te = stratified_split_indices(ds.cluster_label, 0.9, 546)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    cpl.init_model(**kw)
+    path = cpl.train(ds.log1p[tr], n_epoch=4, n_epoch_p=2,
+                     min_con=0.99, max_prun_it=1)
+    assert os.path.exists(path)
+    res = cpl.eval_model(ds.log1p[te])
+    assert res["pred_label"].shape[0] == 2
+    assert 0 <= res["consensus"] <= 1
+    # one category pruned
+    assert int(np.sum(res["mask"])) == 7
+
+    cpl2 = CplMixVAE(saving_folder=str(tmp_path))
+    cpl2.init_model(**kw)
+    epoch = cpl2.load_model(path)
+    assert epoch == 6  # 4 main + 2 pruning epochs
+    res2 = cpl2.eval_model(ds.log1p[te])
+    np.testing.assert_allclose(res2["mask"], res["mask"])
+    np.testing.assert_allclose(res2["c_prob"], res["c_prob"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ref_prior_path(data, tx):
+    cfg = CFG.replace(ref_prior=True)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    prior = jax.nn.softmax(
+        jnp.asarray(rng.random((data.shape[0], cfg.n_categories)),
+                    jnp.float32), axis=-1)
+    run = jax.jit(make_epoch_runner(cfg, TCFG, tx, n_train=data.shape[0]))
+    state2, ems = run(state, data, prior, 1.0)
+    assert np.isfinite(np.asarray(ems.total)).all()
