@@ -171,8 +171,7 @@ def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
 
     h = bnr("bn6", _lin(params["fc6"], s))
     h = bnr("bn7", _lin(params["fc7"], h))
-    if cfg.variant == "smartseq":
-        h = bnr("bn8", _lin(params["fc8"], h))
+    h = bnr("bn8", _lin(params["fc8"], h))
     h = bnr("bn9", _lin(params["fc9"], h))
     h = bnr("bn10", _lin(params["fc10"], h))
     x_mu = jax.nn.relu(_lin(params["fc11"], h))
@@ -201,6 +200,25 @@ def augment_arms(params, bn, cfg: AugmenterConfig, key: jax.Array,
         mask = (xs > 0).astype(out.dtype)
         return x_mu * mask
     return out
+
+
+def kl_dist(mu1, var1, mu2, var2, eps: float = 1e-6):
+    """KL divergence between two diagonal Gaussians, summed over dims and
+    averaged over the batch (reference ``KL_dist``,
+    mmidas/augmentation/aug_utils.py:20-27)."""
+    logli = (jnp.log((var2 + eps) / (var1 + eps))
+             + (var1 + (mu1 - mu2) ** 2) / (2.0 * var2 + eps) - 0.5)
+    return jnp.mean(jnp.sum(logli, axis=1))
+
+
+def generator_config(latent_dim: int, input_dim: int, n_dim: int = 100,
+                     n_zim: int = 1, p_drop: float = 0.1) -> AugmenterConfig:
+    """The reference's ``Generator`` (udagan.py:148-214) is the Augmenter
+    family without a noise path — expressed here as an AugmenterConfig used
+    with ``noise=False`` at apply time (the fc5_plain branch)."""
+    return AugmenterConfig(noise_dim=1, latent_dim=latent_dim,
+                           input_dim=input_dim, n_dim=n_dim, n_zim=n_zim,
+                           p_drop=p_drop, variant="generic")
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,31 @@ class MetricLogger:
             self._wandb.finish()
 
 
+_ANSI = {"red": "\033[91m", "green": "\033[92m", "yellow": "\033[93m",
+         "blue": "\033[94m", "magenta": "\033[95m", "cyan": "\033[96m",
+         "end": "\033[0m"}
+
+
+def dprint(*args, color: str = "cyan", **kwargs) -> None:
+    """Debug print, colored and ``__debug__``-gated (the reference's ANSI
+    ``dprint``, dist/my_utils.py:87-119); disabled under ``python -O``."""
+    if __debug__:
+        print(_ANSI.get(color, ""), end="")
+        print(*args, **kwargs)
+        print(_ANSI["end"], end="", flush=True)
+
+
+def bytes_to_mb(n_bytes: float) -> float:
+    """B → MB (reference ``convert``, dist/my_utils.py:125)."""
+    return n_bytes / 2**20
+
+
+def avg(xs) -> float:
+    """Arithmetic mean of an iterable (reference dist/my_utils.py:73)."""
+    xs = list(xs)
+    return sum(xs) / len(xs) if xs else 0.0
+
+
 def device_memory_mb() -> float:
     """Allocated device memory in MB (reference logs
     ``torch.cuda.memory_allocated()`` per batch, cpl_mixvae.py:461)."""
