@@ -172,7 +172,8 @@ class CplMixVAE:
               min_con: float = 0.99, max_prun_it: int = 0,
               temp: Optional[float] = None,
               early_stop_consensus: Optional[float] = None,
-              run_name: Optional[str] = None) -> str:
+              run_name: Optional[str] = None,
+              save_plots: bool = True) -> str:
         """Main + pruning training phases (reference ``train``,
         cpl_mixvae.py:323-1448).  Returns the final checkpoint path.
 
@@ -233,6 +234,11 @@ class CplMixVAE:
                 pr_it += 1
 
         path = self.save_checkpoint(f"epoch_{int(self.state.epoch)}")
+        if self.folder and save_plots:
+            from dvae_tpu.utils.plots import save_training_artifacts
+            labels = self._predict_labels(x_all, temp)
+            save_training_artifacts(self.folder, logger.history,
+                                    labels=labels, K=cfg.n_categories)
         logger.finish()
         return path
 

@@ -206,7 +206,8 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
                       tx: optax.GradientTransformation,
                       n_train: int,
                       augment: Optional[AugmentFn] = None,
-                      epochs_per_chunk: Optional[int] = None):
+                      epochs_per_chunk: Optional[int] = None,
+                      consensus_every_epoch: bool = True):
     """Build run_epochs(state, x_all, idx_all, prior_all, temp) jit-able fn.
 
     Runs ``epochs_per_chunk`` epochs fully on device: per epoch an on-device
@@ -222,7 +223,7 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
     step_fn = make_train_step(cfg, tcfg, tx, augment)
     n_used = steps * B
 
-    def one_epoch(state: TrainState, x_all, prior_all, temp):
+    def one_epoch(state: TrainState, x_all, prior_all, temp, i_local):
         key, k_perm = jax.random.split(state.key)
         state = state._replace(key=key)
         perm = jax.random.permutation(k_perm, n_train)[: n_used]
@@ -238,7 +239,19 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
         state, (ms, labels) = jax.lax.scan(body, state, plan)
         # labels: (steps, A, B) → (A, steps*B)
         flat = jnp.moveaxis(labels, 1, 0).reshape(cfg.n_arm, n_used)
-        cons = consensus_device(flat, cfg.n_categories)
+        if consensus_every_epoch:
+            cons = consensus_device(flat, cfg.n_categories)
+        else:
+            # the all-pairs consensus einsum costs ~2·A²·K·N FLOPs — of the
+            # same order as a training step at the production shape — so
+            # the throughput path computes it only on the chunk's last
+            # epoch (the host reads it at chunk boundaries anyway)
+            E_local = epochs_per_chunk or tcfg.epochs_per_jit
+            cons = jax.lax.cond(
+                i_local == E_local - 1,
+                lambda f: consensus_device(f, cfg.n_categories),
+                lambda f: jnp.asarray(-1.0),
+                flat)
         em = EpochMetrics(
             total=jnp.mean(ms.total),
             loss_rec=jnp.mean(ms.loss_rec, axis=0),
@@ -253,11 +266,11 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
         return state, em
 
     def run_epochs(state: TrainState, x_all, prior_all, temp):
-        def body(st, _):
-            st, em = one_epoch(st, x_all, prior_all, temp)
+        def body(st, i_local):
+            st, em = one_epoch(st, x_all, prior_all, temp, i_local)
             return st, em
 
-        state, ems = jax.lax.scan(body, state, None, length=E)
+        state, ems = jax.lax.scan(body, state, jnp.arange(E))
         return state, ems
 
     return run_epochs

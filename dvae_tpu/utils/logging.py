@@ -42,7 +42,8 @@ class MetricLogger:
 
     def __init__(self, use_wandb: bool = False, project: str = "dvae-tpu",
                  run_name: Optional[str] = None, group: Optional[str] = None,
-                 config: Optional[dict] = None, jsonl_path: Optional[str] = None):
+                 config: Optional[dict] = None, jsonl_path: Optional[str] = None,
+                 auto_group_prefix: Optional[str] = None):
         self.history: list[dict] = []
         self.jsonl_path = jsonl_path
         self._wandb = None
@@ -50,11 +51,27 @@ class MetricLogger:
             try:
                 import wandb
                 self._wandb = wandb
+                if group is None and auto_group_prefix:
+                    group = self._next_group(wandb, project,
+                                             auto_group_prefix)
                 wandb.init(project=project, name=run_name, group=group,
                            config=config or {})
             except Exception as e:  # pragma: no cover
                 print(f"wandb unavailable ({e}); falling back to local logging")
                 self._wandb = None
+
+    @staticmethod
+    def _next_group(wandb, project: str, prefix: str) -> str:
+        """Auto-incremented run-group names discovered via the wandb API
+        (reference dist/train_smartseq.py:292-370)."""
+        try:
+            api = wandb.Api()
+            runs = api.runs(project)
+            existing = {r.group for r in runs if r.group
+                        and r.group.startswith(prefix)}
+            return f"{prefix}-{len(existing)}"
+        except Exception:
+            return f"{prefix}-0"
 
     def log(self, metrics: dict, step: Optional[int] = None) -> None:
         if not is_master():

@@ -47,7 +47,8 @@ def test_param_sharding_big_layers_sharded(mesh):
     state = init_train_state(jax.random.key(0), CFG, tx)
     shs = param_shardings(state.params, mesh, ShardingStrategy.FULL_SHARD)
     # fc1 (A, D=64, F=16): arm axis + fsdp on D (largest divisible dim)
-    assert shs["fc1"]["w"].spec == jax.sharding.PartitionSpec("arm", "fsdp")
+    assert shs["fc1"]["w"].spec == jax.sharding.PartitionSpec(
+        "arm", "fsdp", None)
     # replicated strategies: no fsdp anywhere
     shs_ddp = param_shardings(state.params, mesh, ShardingStrategy.DDP)
     for leaf in jax.tree_util.tree_leaves(
