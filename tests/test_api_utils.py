@@ -1,0 +1,124 @@
+"""Typed-API, checkpoint-util, profiling, and plot-artifact tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvae_tpu.config import VAEConfig
+from dvae_tpu.models import api, mixvae
+from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                       make_run_dir, parse_epoch,
+                                       save_checkpoint)
+
+CFG = VAEConfig(n_categories=6, input_dim=40, fc_dim=16, lowD_dim=8,
+                state_dim=2, n_arm=2, tau=0.1)
+rng = np.random.default_rng(17)
+
+
+class TestCheckpointUtils:
+    def test_roundtrip_pickle(self, tmp_path):
+        tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+        p = save_checkpoint(str(tmp_path / "x.ckpt"), tree, {"epoch": 7})
+        tree2, meta = load_checkpoint(p)
+        assert meta["epoch"] == 7
+        np.testing.assert_allclose(tree2["b"]["c"], np.ones((2, 3)))
+
+    def test_parse_epoch_and_latest(self, tmp_path):
+        for e in (10, 200, 30):
+            (tmp_path / f"cpl_mixVAE_model_epoch_{e}.ckpt").write_bytes(b"x")
+        (tmp_path / "other.txt").write_bytes(b"x")
+        assert parse_epoch("cpl_mixVAE_model_epoch_200.ckpt") == 200
+        assert parse_epoch("nomatch.ckpt") == -1
+        best = latest_checkpoint(str(tmp_path))
+        assert best.endswith("epoch_200.ckpt")
+
+    def test_make_run_dir_increments(self, tmp_path):
+        a = make_run_dir(str(tmp_path) + "/", "K92")
+        b = make_run_dir(str(tmp_path) + "/", "K92")
+        assert a.endswith("_RUN0") and b.endswith("_RUN1")
+
+
+class TestTypedAPI:
+    def _train_state(self, tmp_path):
+        from dvae_tpu.train.step import init_train_state, make_optimizer
+        tx = make_optimizer(CFG)
+        st = init_train_state(jax.random.key(0), CFG, tx)
+        path = save_checkpoint(
+            str(tmp_path / "cpl_mixVAE_model_epoch_5.ckpt"),
+            {"params": st.params, "bn": st.bn, "opt_state": st.opt_state,
+             "mask": st.mask},
+            {"epoch": 5, "cfg": CFG.__dict__})
+        return st, path
+
+    def test_load_vae_and_generate(self, tmp_path):
+        st, path = self._train_state(tmp_path)
+        cfg, params, bn, mask = api.load_vae(path)
+        assert cfg.n_categories == 6 and cfg.n_arm == 2
+        x = rng.random((30, CFG.input_dim)).astype(np.float32)
+        out = api.generate(cfg, params, bn, x, mask=mask, batch_size=16)
+        assert out["recon"].shape == (2, 30, CFG.input_dim)
+        assert out["pred_label"].shape == (2, 30)
+        assert out["c_prob"].shape == (2, 30, 6)
+        assert np.isfinite(out["loss_rec"]).all()
+
+    def test_mk_run_discovery(self, tmp_path):
+        _, path = self._train_state(tmp_path)
+        run = api.mk_run(str(tmp_path))
+        assert run["epoch"] == 5
+        assert run["checkpoint"] == path
+
+    def test_single_vae_apply(self):
+        params = mixvae.init_params(jax.random.key(0), CFG)
+        bn = mixvae.init_bn_state(CFG)
+        p0 = jax.tree_util.tree_map(lambda l: l[0], params)
+        b0 = jax.tree_util.tree_map(lambda l: l[0], bn)
+        x = jnp.asarray(rng.random((12, CFG.input_dim)).astype(np.float32))
+        outs, _ = api.single_vae_apply(CFG, p0, b0, x, jax.random.key(1))
+        assert outs.x_rec.shape == (12, CFG.input_dim)
+
+
+class TestStateChanges:
+    def test_traversal_shapes_and_sorted(self):
+        params = mixvae.init_params(jax.random.key(0), CFG)
+        bn = mixvae.init_bn_state(CFG)
+        x = jnp.asarray(rng.random((10, CFG.input_dim)).astype(np.float32))
+        recon, s_vals = mixvae.state_changes(params, bn, CFG, x, d_s=0,
+                                             key=jax.random.key(2), n_samp=5)
+        assert recon.shape == (2, 5, 10, CFG.input_dim)
+        assert s_vals.shape == (2, 5, 10)
+        d = np.diff(np.asarray(s_vals), axis=1)
+        assert (d >= 0).all()  # sorted along the sample axis
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from dvae_tpu.utils.profiling import StepTimer
+        t = StepTimer()
+        x = jnp.ones((64, 64))
+        t.start()
+        y = x @ x
+        dt = t.stop(sync_on=y)
+        assert dt > 0
+        assert t.summary()["n"] == 1
+
+    def test_memory_snapshot(self, tmp_path):
+        from dvae_tpu.utils.profiling import memory_snapshot
+        p = str(tmp_path / "mem.json")
+        snap = memory_snapshot(p)
+        assert os.path.exists(p)
+        assert len(snap) >= 1
+
+
+class TestPlots:
+    def test_artifacts_written(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from dvae_tpu.utils.plots import save_training_artifacts
+        hist = [{"train/loss": 10.0 - i, "step": i} for i in range(5)]
+        labels = rng.integers(0, 4, (2, 100))
+        files = save_training_artifacts(str(tmp_path), hist, labels, K=4)
+        assert len(files) == 2
+        for f in files:
+            assert os.path.getsize(f) > 0
