@@ -110,12 +110,18 @@ def param_shardings(params, mesh: Mesh, strategy: ShardingStrategy):
 
 
 def opt_state_shardings(opt_state, params, mesh: Mesh,
-                        strategy: ShardingStrategy):
+                        strategy: ShardingStrategy,
+                        offload_host: bool = False):
     """NamedSharding pytree for the optax state.
 
     ZeRO-2 strategies (grad-op, hybrid-zero2) shard the optimizer moments
     even when params are replicated (reference fsdp_mnist.py:219-220); ZeRO-3
     states follow the param shardings; DDP/no replicate everything.
+
+    ``offload_host=True`` places the state in host memory
+    (``memory_kind='pinned_host'``) — the TPU analogue of the reference's
+    FSDP CPUOffload (dist/fsdp.py:276-286).  XLA streams it in/out around
+    the update; use only when HBM-bound.
     """
     shard_opt = strategy in (
         ShardingStrategy.FULL_SHARD, ShardingStrategy.HYBRID_SHARD,
@@ -124,15 +130,20 @@ def opt_state_shardings(opt_state, params, mesh: Mesh,
     param_leaves = {id(l) for l in jax.tree_util.tree_leaves(params)}
     replicated = NamedSharding(mesh, P())
 
+    def _mem(s: NamedSharding) -> NamedSharding:
+        if not offload_host:
+            return s
+        return NamedSharding(mesh, s.spec, memory_kind="pinned_host")
+
     def rule(leaf):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
-            return replicated
+            return _mem(replicated)
         if not shard_opt:
-            return replicated
+            return _mem(replicated)
         # moment tensors mirror param shapes; shard them with the param rule
-        return NamedSharding(
+        return _mem(NamedSharding(
             mesh, _leaf_pspec(leaf.shape, mesh, shard_fsdp=True,
-                              shard_arm=True))
+                              shard_arm=True)))
 
     del param_leaves
     return jax.tree_util.tree_map(rule, opt_state)

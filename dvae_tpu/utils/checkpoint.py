@@ -80,6 +80,30 @@ def latest_checkpoint(folder: str, pattern: str = "*_epoch_*") -> Optional[str]:
     return max(files, key=parse_epoch) if files else None
 
 
+def compare_pytrees(a, b, rtol: float = 0.0, atol: float = 0.0) -> dict:
+    """Structural + numerical comparison of two pytrees.
+
+    The reference's ``compare_state_dicts`` (mmidas/_utils.py:296-310)
+    reports key and value mismatches between torch state dicts; this is the
+    pytree analogue.  Returns {'match': bool, 'structure_equal': bool,
+    'mismatched_paths': [...]}.
+    """
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        return {"match": False, "structure_equal": False,
+                "mismatched_paths": ["<tree structure differs>"]}
+    bad = []
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves(b)
+    for (path, x), y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.shape != y.shape or not np.allclose(x, y, rtol=rtol, atol=atol):
+            bad.append(jax.tree_util.keystr(path))
+    return {"match": not bad, "structure_equal": True,
+            "mismatched_paths": bad}
+
+
 def make_run_dir(base: str, prefix: str = "") -> str:
     """Auto-incrementing ``{base}{prefix}_RUN{n}`` run folders
     (reference train.py:39-46)."""

@@ -122,3 +122,15 @@ class TestPlots:
         assert len(files) == 2
         for f in files:
             assert os.path.getsize(f) > 0
+
+
+class TestComparePytrees:
+    def test_match_and_mismatch(self):
+        from dvae_tpu.utils.checkpoint import compare_pytrees
+        a = {"x": jnp.ones(3), "y": {"z": jnp.zeros((2, 2))}}
+        assert compare_pytrees(a, a)["match"]
+        b = {"x": jnp.ones(3), "y": {"z": jnp.ones((2, 2))}}
+        r = compare_pytrees(a, b)
+        assert not r["match"] and r["mismatched_paths"] == ["['y']['z']"]
+        r2 = compare_pytrees(a, {"x": jnp.ones(3)})
+        assert not r2["structure_equal"]

@@ -126,3 +126,47 @@ def test_ref_prior_path(data, tx):
     run = jax.jit(make_epoch_runner(cfg, TCFG, tx, n_train=data.shape[0]))
     state2, ems = run(state, data, prior, 1.0)
     assert np.isfinite(np.asarray(ems.total)).all()
+
+
+def test_consensus_per_chunk_mode(data, tx):
+    run = jax.jit(make_epoch_runner(CFG, TCFG, tx, n_train=data.shape[0],
+                                    consensus_every_epoch=False))
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    _, ems = run(state, data, None, 1.0)
+    c = np.asarray(ems.consensus)
+    assert (c[:-1] == -1.0).all()        # skipped epochs are sentinels
+    assert 0.0 <= c[-1] <= 1.0           # chunk-final epoch is real
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Train → checkpoint → fresh trainer resumes at the stored epoch with
+    identical predictions (reference init_model(trained_model=...),
+    cpl_mixvae.py:276-283)."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=120, n_genes=48, n_types=8, seed=2)
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    c1 = CplMixVAE(saving_folder=str(tmp_path))
+    c1.init_model(**kw)
+    path = c1.train(ds.log1p, n_epoch=2, save_plots=False)
+    r1 = c1.eval_model(ds.log1p)
+
+    c2 = CplMixVAE(saving_folder=str(tmp_path))
+    c2.init_model(**kw, trained_model=path)
+    assert int(c2.state.epoch) == 2
+    r2 = c2.eval_model(ds.log1p)
+    np.testing.assert_allclose(r2["c_prob"], r1["c_prob"], rtol=1e-5)
+
+
+def test_opt_state_host_offload_placement(data, tx):
+    from dvae_tpu.config import MeshConfig, ShardingStrategy
+    from dvae_tpu.parallel.sharding import make_mesh, opt_state_shardings
+
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+    sh = opt_state_shardings(state.opt_state, state.params, mesh,
+                             ShardingStrategy.FULL_SHARD, offload_host=True)
+    placed = jax.device_put(state.opt_state, sh)
+    leaf = jax.tree_util.tree_leaves(placed)[1]
+    assert leaf.sharding.memory_kind == "pinned_host"
