@@ -136,6 +136,9 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     bf16: bool = False              # bfloat16 activations/params compute
     aug_noise: float = 0.1          # augmenter noise scale (reference cpl_mixvae.py:423)
+    rng_impl: str = "threefry2x32"  # "rbg" uses the TPU hardware RNG for all
+                                    # dropout/gumbel/reparam draws (faster,
+                                    # different bitstream, same distributions)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -170,14 +170,20 @@ def train_mnist_fsdp(model: str = "shallow",
     shard_opt = strategy in (
         ShardingStrategy.FULL_SHARD, ShardingStrategy.HYBRID_SHARD,
         ShardingStrategy.SHARD_GRAD_OP, ShardingStrategy.HYBRID_SHARD_ZERO2)
-    o_sh = jax.tree_util.tree_map(
-        lambda s: s if shard_opt else NamedSharding(mesh, P()),
-        jax.tree_util.tree_map(
-            lambda p: mlp_shardings([{"w": p, "b": p}], mesh,
-                                    ShardingStrategy.FULL_SHARD)[0]["w"]
-            if hasattr(p, "ndim") and p.ndim == 2
-            else NamedSharding(mesh, P()),
-            opt_state))
+    n = mesh.devices.size
+    replicated = NamedSharding(mesh, P())
+
+    def opt_rule(leaf):
+        """Shard optimizer moments like ZeRO-2/3; replicate otherwise."""
+        if not (shard_opt and hasattr(leaf, "ndim") and leaf.ndim == 2):
+            return replicated
+        if leaf.shape[1] % n == 0:
+            return NamedSharding(mesh, P(None, "dp"))
+        if leaf.shape[0] % n == 0:
+            return NamedSharding(mesh, P("dp", None))
+        return replicated
+
+    o_sh = jax.tree_util.tree_map(opt_rule, opt_state)
     params = jax.device_put(params, p_sh)
     opt_state = jax.device_put(opt_state, o_sh)
     batch_sh = NamedSharding(mesh, P("dp"))

@@ -91,7 +91,7 @@ class CplMixVAE:
                    batch_size: int = 5000, epochs_per_jit: int = 10,
                    sharding: str | ShardingStrategy = "no",
                    mesh: Optional[MeshConfig] = None, bf16: bool = False,
-                   **extra) -> None:
+                   rng_impl: str = "threefry2x32", **extra) -> None:
         """Build config + mesh + optimizer + initial state
         (reference ``init_model``, cpl_mixvae.py:193-286)."""
         self.cfg = VAEConfig(
@@ -105,14 +105,16 @@ class CplMixVAE:
             batch_size=batch_size, epochs_per_jit=epochs_per_jit,
             optimizer=optimizer,
             sharding=ShardingStrategy(sharding),
-            mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed)
+            mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed,
+            rng_impl=rng_impl)
         self.temp = temp
 
         self.mesh = make_mesh(self.tcfg.mesh) \
             if self.tcfg.mesh.n_devices > 1 else None
         self.tx = make_optimizer(self.cfg, optimizer)
         self.state = init_train_state(
-            jax.random.key(self.seed), self.cfg, self.tx)
+            jax.random.key(self.seed), self.cfg, self.tx,
+            rng_impl=self.tcfg.rng_impl)
         if n_pr > 0:
             # start with the n_pr lowest categories pruned (reference n_pr)
             mask = np.ones(n_categories, np.float32)
@@ -194,7 +196,10 @@ class CplMixVAE:
 
         n_train = x_train.shape[0]
         sharding = replicated(self.mesh) if self.mesh is not None else None
-        x_all = jax.device_put(jnp.asarray(x_train, jnp.float32), sharding)
+        # bf16 mode also stores the dataset in bf16: halves the HBM
+        # footprint AND the per-step gather traffic
+        store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
+        x_all = jax.device_put(jnp.asarray(x_train, store_dtype), sharding)
         prior_all = None
         if cfg.ref_prior and c_p is not None:
             idx = (np.arange(n_train) if train_idx is None else train_idx)

@@ -71,10 +71,19 @@ def make_optimizer(cfg: VAEConfig, name: str = "adam") -> optax.GradientTransfor
     raise ValueError(f"unknown optimizer {name!r}")
 
 
-def init_train_state(key: jax.Array, cfg: VAEConfig,
+def init_train_state(key: jax.Array | int, cfg: VAEConfig,
                      tx: optax.GradientTransformation,
-                     dtype=jnp.float32) -> TrainState:
+                     dtype=jnp.float32,
+                     rng_impl: Optional[str] = None) -> TrainState:
+    """``key`` may be a PRNG key or an int seed; with ``rng_impl='rbg'`` the
+    run key (and every key split from it in the hot loop) uses the TPU
+    hardware RNG — faster mask/noise generation, identical distributions."""
+    if isinstance(key, int):
+        key = jax.random.key(key)
     k_init, k_run = jax.random.split(key)
+    if rng_impl and rng_impl != "threefry2x32":
+        seed = jax.random.randint(k_run, (), 0, 2**31 - 1)
+        k_run = jax.random.key(seed, impl=rng_impl)
     params = mixvae.init_params(k_init, cfg, dtype)
     bn = mixvae.init_bn_state(cfg, dtype)
     opt_state = tx.init(params)
