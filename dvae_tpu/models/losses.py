@@ -178,6 +178,38 @@ def l2_pair_sum_naive(v: jax.Array) -> jax.Array:
     return total
 
 
+def mixvae_loss_naive(cfg: VAEConfig, outs, xs: jax.Array) -> jax.Array:
+    """Full-total-loss oracle with explicit python pair loops — the direct
+    transcription of the reference accumulation (mmidas/nn_model.py:539-587):
+    per-arm (A−1)·(rec+β·KL), per-pair λ·d_simplex − H_a − H_b, plus the
+    additive constants.  Tested equal to ``mixvae_loss(...).total``."""
+    A, C = cfg.n_arm, cfg.n_categories
+    eps = cfg.eps
+    total = 0.0
+    for a in range(A):
+        if cfg.mode == "ZINB":
+            rec = zinb_loss(outs.x_rec[a], outs.p_x[a], outs.r_x[a], xs[a])
+        else:
+            rec = recon_loss_mse(outs.x_rec[a], xs[a])
+        kl_a = kl_gaussian(outs.s_mean[a], outs.s_logvar[a]) \
+            if cfg.variational else 0.0
+        total = total + max(A - 1, 1) * (rec + cfg.beta * kl_a)
+    for a in range(A):
+        ca = outs.c[a]
+        pa = jnp.log(ca + eps) * inv_sd(ca, eps)
+        ha = neg_entropy(ca, jnp.log(ca + eps))
+        for b in range(a + 1, A):
+            cb = outs.c[b]
+            pb = jnp.log(cb + eps) * inv_sd(cb, eps)
+            hb = neg_entropy(cb, jnp.log(cb + eps))
+            d = jnp.mean(jnp.sum((pa - pb) ** 2, axis=-1))
+            total = total + cfg.lam * d + ha + hb
+    n_pairs = max(A * (A - 1) // 2, 1)
+    total = total + n_pairs * ((C / 2) * math.log(2 * math.pi)
+                               - 0.5 * math.log(2 * cfg.lam))
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Full loss
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""CLI tests: in-process invocation of every subcommand on synthetic data."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dvae_tpu.cli import main
+
+_TINY = ["--synthetic", "--syn_cells", "200", "--syn_genes", "40",
+         "--syn_types", "6", "--n_categories", "6", "--fc_dim", "12",
+         "--latent_dim", "6", "--n_arm", "2", "--tau", "0.1"]
+
+
+def test_train_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["train", *_TINY, "--n_epoch", "2", "--epochs_per_jit", "2",
+               "--batch_size", "40", "--saving_folder", str(tmp_path) + "/"])
+    assert rc == 0
+    ckpts = glob.glob(str(tmp_path) + "/*RUN0/*.ckpt")
+    assert ckpts, "no checkpoint written"
+    assert glob.glob(str(tmp_path) + "/*RUN0/metrics.jsonl")
+
+
+def test_evaluate_cli(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["train", *_TINY, "--n_epoch", "2", "--epochs_per_jit", "2",
+               "--batch_size", "40", "--saving_folder", str(tmp_path) + "/"])
+    assert rc == 0
+    run_dir = glob.glob(str(tmp_path) + "/*RUN0")[0]
+    rc = main(["evaluate", *_TINY, "--batch_size", "40",
+               "--saving_folder", run_dir])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert set(res) >= {"pairwise", "all", "mi", "avg_mi", "arms"}
+    assert os.path.exists("evaluation/A2-RUN0-E0.npy")
+
+
+def test_train_augmenter_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["train-augmenter", *_TINY[:7], "--n_epoch", "2",
+               "--batch_size", "40", "--noise_dim", "8", "--z_dim", "4",
+               "--n_dim", "16", "--out", str(tmp_path / "aug.ckpt")])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "aug.ckpt")
+
+
+def test_missing_checkpoint_errors(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["evaluate", *_TINY, "--saving_folder", str(tmp_path)])
+    assert rc == 1

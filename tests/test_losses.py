@@ -202,3 +202,20 @@ def test_loss_metrics_denominators():
     # c_dist is the per-pair mean
     assert float(lo.c_dist) == pytest.approx(
         float(coupling_distance(outs.c, cfg.eps)) / 3, rel=1e-5)
+
+
+def test_full_loss_matches_naive_oracle():
+    """Vectorized mixvae_loss.total == the python pair-loop transcription of
+    the reference accumulation (the loss_naive/loss_vectorize idiom,
+    mmidas/nn_model.py:600-628)."""
+    from dvae_tpu.models.losses import mixvae_loss_naive
+
+    cfg = VAEConfig(n_categories=7, input_dim=30, fc_dim=12, lowD_dim=6,
+                    state_dim=2, n_arm=4, tau=0.1, lam=2.5, beta=1.3)
+    params = init_params(jax.random.key(0), cfg)
+    bn = init_bn_state(cfg)
+    xs = jnp.asarray(rng.random((4, 20, 30)).astype(np.float32))
+    outs, _ = apply(params, bn, cfg, xs, jax.random.key(1), train=True)
+    fast = float(mixvae_loss(cfg, outs, xs).total)
+    slow = float(mixvae_loss_naive(cfg, outs, xs))
+    assert fast == pytest.approx(slow, rel=1e-5)
