@@ -80,3 +80,17 @@ def test_get_loaders_reference_contract():
     xt, it_ = next(iter(te))
     assert xt.shape == (1, 20)
     assert len(al) == -(-120 // 16)
+
+
+def test_prepare_dataset_roundtrip(tmp_path):
+    """Full data-prep → h5ad → load_data roundtrip (gated on anndata)."""
+    pytest.importorskip("anndata")
+    from dvae_tpu.data.anndata_io import load_data
+    from dvae_tpu.data.prep import synthetic_h5ad
+
+    p = str(tmp_path / "syn.h5ad")
+    synthetic_h5ad(p, n_cells=100, n_genes=30, n_types=4, seed=0)
+    ds = load_data(p, verbose=False)
+    assert ds.n_cells == 100 and ds.n_genes == 30
+    assert ds.n_type == 4
+    assert ds.c_onehot.shape == (100, 4)
