@@ -97,3 +97,30 @@ def summarize(results: list[dict]) -> dict:
             "n_devices": int(r["n_devices"]),
         }
     return table
+
+
+def main(argv=None) -> int:
+    """CLI: ``python -m dvae_tpu.bench.sweep --models shallow --precisions
+    fp32 bf16`` — run the grid and print the summary table."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="sharding x precision sweep")
+    ap.add_argument("--models", nargs="+", default=["shallow"],
+                    choices=list(MODELS))
+    ap.add_argument("--strategies", nargs="+", default=list(STRATEGIES))
+    ap.add_argument("--precisions", nargs="+", default=["fp32"],
+                    choices=list(PRECISIONS))
+    ap.add_argument("--n_epochs", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=512)
+    ap.add_argument("--out", type=str, default="sweep_results.jsonl")
+    args = ap.parse_args(argv)
+    cfgs = gen_configs(args.models, args.strategies, args.precisions,
+                       n_epochs=args.n_epochs, batch_size=args.batch_size)
+    results = run_sweep(cfgs, out_path=args.out)
+    for key, row in summarize(results).items():
+        print(key, row)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

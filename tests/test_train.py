@@ -170,3 +170,17 @@ def test_opt_state_host_offload_placement(data, tx):
     placed = jax.device_put(state.opt_state, sh)
     leaf = jax.tree_util.tree_leaves(placed)[1]
     assert leaf.sharding.memory_kind == "pinned_host"
+
+
+def test_zinb_mode_through_trainer(tmp_path):
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=100, n_genes=40, n_types=6, seed=4)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=6, input_dim=40, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2,
+                   mode="ZINB")
+    path = cpl.train(ds.log1p, n_epoch=2, save_plots=False)
+    res = cpl.eval_model(ds.log1p)
+    assert np.isfinite(res["total_loss"])
+    assert os.path.exists(path)
