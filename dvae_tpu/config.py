@@ -79,6 +79,10 @@ class VAEConfig:
     reparam_noise: ReparamNoise = ReparamNoise.GAUSSIAN
     dtype: str = "float32"          # compute dtype for activations
     use_pallas: bool = False        # use fused Pallas kernels for hot ops
+    recon_bce_metric: bool = True   # include the zero-gradient binarized-BCE
+                                    # term in the recon loss VALUE (reference
+                                    # nn_model.py:544-545); costs ~14% step
+                                    # time at production shape when on
 
     def replace(self, **kw) -> "VAEConfig":
         return dataclasses.replace(self, **kw)

@@ -238,8 +238,14 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     if cfg.mode == "ZINB":
         loss_rec = jax.vmap(lambda r, p, z, x: zinb_loss(r, p, z, x))(
             outs.x_rec, outs.p_x, outs.r_x, xs)
-    else:
+    elif cfg.recon_bce_metric:
         loss_rec = jax.vmap(recon_loss_mse)(outs.x_rec, xs)
+    else:
+        # gradient-identical fast path: drop the value-only binarized-BCE
+        # term (see VAEConfig.recon_bce_metric)
+        loss_rec = jax.vmap(
+            lambda r, x: 0.5 * jnp.sum((r - x) ** 2) / x.shape[0])(
+            outs.x_rec, xs)
 
     if cfg.variational:
         kl = jax.vmap(kl_gaussian)(outs.s_mean, outs.s_logvar)

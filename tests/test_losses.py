@@ -219,3 +219,27 @@ def test_full_loss_matches_naive_oracle():
     fast = float(mixvae_loss(cfg, outs, xs).total)
     slow = float(mixvae_loss_naive(cfg, outs, xs))
     assert fast == pytest.approx(slow, rel=1e-5)
+
+
+def test_recon_bce_metric_flag_gradient_identical():
+    """recon_bce_metric=False changes the loss VALUE but not gradients
+    (the BCE term is zero-gradient in the reference too)."""
+    cfg_on = VAEConfig(n_categories=6, input_dim=24, fc_dim=12, lowD_dim=6,
+                       n_arm=2, tau=0.1)
+    cfg_off = cfg_on.replace(recon_bce_metric=False)
+    params = init_params(jax.random.key(0), cfg_on)
+    bn = init_bn_state(cfg_on)
+    xs = jnp.asarray(rng.random((2, 16, 24)).astype(np.float32))
+
+    def total(p, cfg):
+        outs, _ = apply(p, bn, cfg, xs, jax.random.key(1), train=True)
+        return mixvae_loss(cfg, outs, xs).total
+
+    g_on = jax.grad(total)(params, cfg_on)
+    g_off = jax.grad(total)(params, cfg_off)
+    for (ka, a), b in zip(sorted(g_on.items()), 
+                          [v for _, v in sorted(g_off.items())]):
+        np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                   rtol=1e-6, err_msg=ka)
+    # values differ (the BCE term is positive)
+    assert float(total(params, cfg_on)) > float(total(params, cfg_off))
