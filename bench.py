@@ -13,6 +13,15 @@ at B=5000, fp32 + python per-arm loop + per-batch host syncs on A100 ≈
 200 ms/step → 25k cells/s.  Driver target (BASELINE.json): ≥5× per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Roofline status (v5e, measured 2026-08): XLA cost analysis reports
+5.73 GB HBM traffic and 145 GFLOP per step → 7.0 ms bandwidth roofline at
+819 GB/s vs 0.8 ms compute roofline; the measured 6.5 ms/step means the
+step runs AT the bandwidth roofline.  Further gains require traffic cuts:
+``VAEConfig(recon_bce_metric=False)`` drops the value-only binarized-BCE
+term (−0.9 ms, gradient-identical); beyond that, fusing the recon loss
+into the decoder output matmul (avoids materializing the (A, B, D)
+reconstruction) is the next lever.
 """
 
 from __future__ import annotations

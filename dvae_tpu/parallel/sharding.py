@@ -127,7 +127,6 @@ def opt_state_shardings(opt_state, params, mesh: Mesh,
         ShardingStrategy.FULL_SHARD, ShardingStrategy.HYBRID_SHARD,
         ShardingStrategy.SHARD_GRAD_OP, ShardingStrategy.HYBRID_SHARD_ZERO2)
 
-    param_leaves = {id(l) for l in jax.tree_util.tree_leaves(params)}
     replicated = NamedSharding(mesh, P())
 
     def _mem(s: NamedSharding) -> NamedSharding:
@@ -145,7 +144,6 @@ def opt_state_shardings(opt_state, params, mesh: Mesh,
             mesh, _leaf_pspec(leaf.shape, mesh, shard_fsdp=True,
                               shard_arm=True)))
 
-    del param_leaves
     return jax.tree_util.tree_map(rule, opt_state)
 
 

@@ -25,7 +25,6 @@ all_reduce + consensus), re-designed TPU-first:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -156,10 +155,6 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
         return new_state, metrics, labels
 
     return step
-
-
-def _category_mask_cols(tree_update):
-    return tree_update
 
 
 def _mask_params(params, mask, cfg: VAEConfig):

@@ -134,3 +134,16 @@ class TestComparePytrees:
         assert not r["match"] and r["mismatched_paths"] == ["['y']['z']"]
         r2 = compare_pytrees(a, {"x": jnp.ones(3)})
         assert not r2["structure_equal"]
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip_orbax(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from dvae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+        tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+        p = save_checkpoint(str(tmp_path / "ck_orbax"), tree, {"epoch": 3},
+                            use_orbax=True)
+        assert os.path.isdir(p)  # orbax writes a directory per checkpoint
+        tree2, meta = load_checkpoint(p)  # format auto-detected
+        assert meta["epoch"] == 3
+        np.testing.assert_allclose(tree2["b"]["c"], np.ones((2, 3)))
