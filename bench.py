@@ -14,14 +14,15 @@ at B=5000, fp32 + python per-arm loop + per-batch host syncs on A100 ≈
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Roofline status (v5e, measured 2026-08): XLA cost analysis reports
-5.73 GB HBM traffic and 145 GFLOP per step → 7.0 ms bandwidth roofline at
-819 GB/s vs 0.8 ms compute roofline; the measured 6.5 ms/step means the
-step runs AT the bandwidth roofline.  Further gains require traffic cuts:
-``VAEConfig(recon_bce_metric=False)`` drops the value-only binarized-BCE
-term (−0.9 ms, gradient-identical); beyond that, fusing the recon loss
-into the decoder output matmul (avoids materializing the (A, B, D)
-reconstruction) is the next lever.
+Roofline status (v5e, measured 2026-08): the unfused step moves 5.73 GB
+of HBM traffic (XLA cost analysis) → 7.0 ms bandwidth roofline at
+819 GB/s; measured 6.5 ms/step (770k cells/s/chip) — AT the roofline.
+The fused recon-loss kernel (ops/recon_pallas.py) removes the (A, B, D)
+reconstruction and its cotangent from HBM entirely (~1.4 GB/step) and
+makes the binarized-BCE metric term free: measured 4.7 ms/step
+(1.06M cells/s/chip).  Next lever: fusing the input dropout into the
+fc1 matmul (the dropped (A, B, D) input views are now the largest
+remaining HBM tensor).
 """
 
 from __future__ import annotations
@@ -41,7 +42,10 @@ def main() -> None:
     from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
                                      make_optimizer)
 
-    cfg = VAEConfig(n_arm=5)  # production defaults: C=92, D=5032, F=100
+    # production defaults (C=92, D=5032, F=100) + the fused recon-loss
+    # kernel (ops/recon_pallas.py): the (A, B, D) reconstruction and its
+    # cotangent never touch HBM, and the binarized-BCE metric term is free
+    cfg = VAEConfig(n_arm=5, fused_recon=True)
     tcfg = TrainConfig(batch_size=5000, epochs_per_jit=5, bf16=True,
                        rng_impl="rbg")
     N = 20_000

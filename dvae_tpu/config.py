@@ -83,6 +83,12 @@ class VAEConfig:
                                     # term in the recon loss VALUE (reference
                                     # nn_model.py:544-545); costs ~14% step
                                     # time at production shape when on
+    fused_recon: bool = False       # MSE mode only: fuse decoder output layer
+                                    # + ReLU + recon loss (and its backward)
+                                    # into one Pallas kernel — the (A, B, D)
+                                    # reconstruction never touches HBM (see
+                                    # ops/recon_pallas.py); the binarized-BCE
+                                    # metric term becomes free when on
 
     def replace(self, **kw) -> "VAEConfig":
         return dataclasses.replace(self, **kw)

@@ -215,7 +215,8 @@ def mixvae_loss_naive(cfg: VAEConfig, outs, xs: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
-                prior_c: Optional[jax.Array] = None) -> LossOutputs:
+                prior_c: Optional[jax.Array] = None,
+                fused_recon_args: Optional[tuple] = None) -> LossOutputs:
     """Total cpl-mixVAE loss (reference mmidas/nn_model.py:495-598).
 
       total = max(A−1, 1)·Σ_a (rec_a + β·KL_a)
@@ -229,13 +230,30 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     (extra entropy / L2 / λ_pc·BCE terms, reference :571-576 — note the
     reference's current-generation loss asserts this path off at :578; the
     working semantics are preserved from the pre-refactor generation).
+
+    ``fused_recon_args = (w11, b11, x_target)`` switches the reconstruction
+    terms to the fused Pallas kernel (cfg.fused_recon path): ``outs.x_rec``
+    then holds the decoder pre-output hidden (A, B, F) and ``x_target`` is
+    (B, D) or (A, B, D) — the reconstruction never touches HBM.
     """
     A, C = cfg.n_arm, cfg.n_categories
     B = xs.shape[1]
     eps = cfg.eps
+    D = xs.shape[-1]
 
     # --- per-arm reconstruction + KL (vmapped) ---
-    if cfg.mode == "ZINB":
+    if fused_recon_args is not None:
+        from dvae_tpu.ops.recon_pallas import fused_recon_mse
+        w11, b11, x_target = fused_recon_args
+        sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target)
+        loss_rec = 0.5 * sumsq / B
+        if cfg.recon_bce_metric:
+            # BCE on hard-binarized inputs ≡ 100 · mismatch fraction
+            # (torch's −100 log clamp; see ops/recon_pallas.py)
+            loss_rec = loss_rec + jax.lax.stop_gradient(
+                50.0 * mism / (B * D))
+        ll_sumsq = sumsq
+    elif cfg.mode == "ZINB":
         loss_rec = jax.vmap(lambda r, p, z, x: zinb_loss(r, p, z, x))(
             outs.x_rec, outs.p_x, outs.r_x, xs)
     elif cfg.recon_bce_metric:
@@ -252,8 +270,11 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     else:
         kl = jnp.zeros((A,), xs.dtype)
 
-    ll = jax.vmap(lambda r, x: jnp.mean((r - x) ** 2))(outs.x_rec, xs) \
-        + B * math.log(2 * math.pi)
+    if fused_recon_args is not None:
+        ll = ll_sumsq / (B * D) + B * math.log(2 * math.pi)
+    else:
+        ll = jax.vmap(lambda r, x: jnp.mean((r - x) ** 2))(outs.x_rec, xs) \
+            + B * math.log(2 * math.pi)
 
     loss_ind_sum = jnp.sum(loss_rec + cfg.beta * kl)
 

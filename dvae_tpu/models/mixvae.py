@@ -198,15 +198,20 @@ def _encoder_arm(p, bn, x, key, cfg: VAEConfig, train: bool):
     return x_low, c_prob, new_bn
 
 
-def _decode_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
-    """Reference mmidas/nn_model.py:277-295 (`_decode`/`decoder`/`decoder_zinb`)."""
+def _decode_hidden_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
+    """Decoder trunk up to (not including) the output layer fc11."""
     s = _dropout(key, s, cfg.s_drop, train)
     z = jnp.concatenate([c_smp, s], axis=-1)
     h = jax.nn.relu(_linear(p["fc6"], z))
     h = jax.nn.relu(_linear(p["fc7"], h))
     h = jax.nn.relu(_linear(p["fc8"], h))
     h = jax.nn.relu(_linear(p["fc9"], h))
-    h = jax.nn.relu(_linear(p["fc10"], h))
+    return jax.nn.relu(_linear(p["fc10"], h))
+
+
+def _decode_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
+    """Reference mmidas/nn_model.py:277-295 (`_decode`/`decoder`/`decoder_zinb`)."""
+    h = _decode_hidden_arm(p, c_smp, s, key, cfg, train)
     x_rec = jax.nn.relu(_linear(p["fc11"], h))
     if cfg.mode == "ZINB":
         p_x = jax.nn.sigmoid(_linear(p["fc11_p"], h))
@@ -218,8 +223,13 @@ def _decode_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
 
 
 def _state_decode_arm(p, x_low, c_smp, keys, cfg: VAEConfig, train: bool,
-                      prior_c: Optional[jax.Array]):
-    """State head + decoder for one arm (post-sampling half of the forward)."""
+                      prior_c: Optional[jax.Array], skip_recon: bool = False):
+    """State head + decoder for one arm (post-sampling half of the forward).
+
+    With ``skip_recon`` the decoder stops before fc11 and the *pre-output
+    hidden* (B, F) rides in the x_rec slot — the fused recon-loss kernel
+    (ops/recon_pallas.fused_recon_mse) consumes it together with the fc11
+    weights, so the (B, D) reconstruction never materializes."""
     y_cat = prior_c if (cfg.ref_prior and prior_c is not None) else c_smp
     y = jnp.concatenate([x_low, y_cat], axis=-1)
 
@@ -234,6 +244,10 @@ def _state_decode_arm(p, x_low, c_smp, keys, cfg: VAEConfig, train: bool,
         s_logvar = jnp.zeros_like(s_mean)
         s_smp = s_mean
 
+    if skip_recon:
+        h_dec = _decode_hidden_arm(p, c_smp, s_smp, keys["drop_s"], cfg, train)
+        small = jnp.zeros(h_dec.shape[:-1] + (1,), h_dec.dtype)
+        return h_dec, small, small, s_smp, s_mean, s_logvar
     x_rec, p_x, r_x = _decode_arm(p, c_smp, s_smp, keys["drop_s"], cfg, train)
     return x_rec, p_x, r_x, s_smp, s_mean, s_logvar
 
@@ -259,7 +273,8 @@ def _sample_categorical(key, c, cfg: VAEConfig, temp, train: bool):
 def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
           temp: float | jax.Array = 1.0, train: bool = True,
           mask: Optional[jax.Array] = None,
-          prior_c: Optional[jax.Array] = None):
+          prior_c: Optional[jax.Array] = None,
+          skip_recon: bool = False):
     """Forward pass of all A arms at once (vmapped over the leading axis).
 
     Args:
@@ -301,7 +316,8 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     # --- stage 2: per-arm state head + decoder (vmapped) ---
     def dec_arm(p, xl, cs, ak):
         keys = {"reparam": ak[1], "drop_s": ak[2]}
-        return _state_decode_arm(p, xl, cs, keys, cfg, train, prior_c)
+        return _state_decode_arm(p, xl, cs, keys, cfg, train, prior_c,
+                                 skip_recon)
 
     x_rec, p_x, r_x, s_smp, s_mean, s_logvar = jax.vmap(dec_arm)(
         params, x_low, c_smp, arm_keys)

@@ -107,15 +107,28 @@ def expand_arms(key: jax.Array, x: jax.Array, n_arm: int) -> jax.Array:
 
 
 def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
-            compute_dtype=None):
-    """Differentiable loss; returns (total, (aux, new_bn, labels))."""
+            compute_dtype=None, x_shared=None):
+    """Differentiable loss; returns (total, (aux, new_bn, labels)).
+
+    ``x_shared``: the un-expanded (B, D) batch when every arm sees the same
+    view (no augmentation) — lets the fused recon kernel read the target
+    once instead of A times.
+    """
     if compute_dtype is not None and compute_dtype != jnp.float32:
         params = jax.tree_util.tree_map(
             lambda p: p.astype(compute_dtype), params)
         xs = xs.astype(compute_dtype)
+        if x_shared is not None:
+            x_shared = x_shared.astype(compute_dtype)
+    fused = cfg.fused_recon and cfg.mode != "ZINB"
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
-                                train=True, mask=mask, prior_c=prior_c)
-    aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c)
+                                train=True, mask=mask, prior_c=prior_c,
+                                skip_recon=fused)
+    fused_args = ((params["fc11"]["w"], params["fc11"]["b"],
+                   xs if x_shared is None else x_shared)
+                  if fused else None)
+    aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c,
+                                   fused_recon_args=fused_args)
     labels = jnp.argmax(outs.c, axis=-1)  # (A, B) int — for consensus
     return aux.total.astype(jnp.float32), (aux, new_bn, labels)
 
@@ -136,10 +149,11 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
              prior_c: Optional[jax.Array], temp) -> tuple:
         key, k_aug, k_fwd = jax.random.split(state.key, 3)
         xs = aug(k_aug, x, cfg.n_arm)
+        x_shared = x if augment is None else None
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (aux, new_bn, labels)), grads = grad_fn(
             state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
-            prior_c, compute_dtype)
+            prior_c, compute_dtype, x_shared)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(p.dtype), grads, state.params)
         # pruning: zero grads of masked-out category units

@@ -120,3 +120,103 @@ class TestGumbelPallas:
         f1 = pallas_loss(phi + eps_fd * d)
         fd = (f1 - f0) / (2 * eps_fd)
         assert float(g_pallas[0, 7, 3]) == pytest.approx(float(fd), rel=5e-2)
+
+
+class TestFusedRecon:
+    """ops/recon_pallas.fused_recon_mse vs the materializing XLA oracle,
+    and the fused train-loss path vs the unfused one (same idiom as the
+    reference's loss_naive/loss_vectorize pair, mmidas/nn_model.py:600-628)."""
+
+    def _data(self, A=3, B=70, F=16, D=40):
+        r = np.random.default_rng(3)
+        h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
+        w = jnp.asarray(0.1 * r.normal(size=(A, F, D)).astype(np.float32))
+        b = jnp.asarray(0.1 * r.normal(size=(A, D)).astype(np.float32))
+        x = jnp.asarray(
+            np.maximum(r.normal(0.5, 1, (B, D)), 0).astype(np.float32))
+        return h, w, b, x
+
+    def test_values_match_oracle(self):
+        from dvae_tpu.ops.recon_pallas import (fused_recon_mse,
+                                               recon_mse_reference)
+        h, w, b, x = self._data()
+        A = h.shape[0]
+        xa = jnp.broadcast_to(x, (A,) + x.shape)
+        for xt in (x, xa):  # shared and per-arm targets
+            s, m = fused_recon_mse(h, w, b, xt)
+            s0, m0 = recon_mse_reference(h, w, b, xa)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(m0))
+
+    def test_gradients_match_oracle(self):
+        from dvae_tpu.ops.recon_pallas import (fused_recon_mse,
+                                               recon_mse_reference)
+        h, w, b, x = self._data()
+        A = h.shape[0]
+        xa = jnp.broadcast_to(x, (A,) + x.shape)
+        wgt = jnp.arange(1, A + 1, dtype=jnp.float32)
+
+        def f(h, w, b):
+            return jnp.sum(fused_recon_mse(h, w, b, x)[0] * wgt)
+
+        def f0(h, w, b):
+            return jnp.sum(recon_mse_reference(h, w, b, xa)[0] * wgt)
+
+        g = jax.grad(f, (0, 1, 2))(h, w, b)
+        g0 = jax.grad(f0, (0, 1, 2))(h, w, b)
+        for a, e in zip(g, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=2e-4, atol=1e-4)
+
+    def test_bce_metric_identity(self):
+        """100·mismatch-fraction ≡ the clamped-log BCE on binarized inputs
+        (reference mmidas/nn_model.py:39-40,:544-545)."""
+        from dvae_tpu.models.losses import bce, binarize
+        from dvae_tpu.ops.recon_pallas import recon_mse_reference
+        h, w, b, x = self._data(A=2)
+        xa = jnp.broadcast_to(x, (2,) + x.shape)
+        r = jax.nn.relu(jnp.einsum("abf,afd->abd", h, w) + b[:, None, :])
+        _, mism = recon_mse_reference(h, w, b, xa)
+        B, D = x.shape
+        for a in range(2):
+            ref = float(bce(binarize(r[a], 0.1), binarize(x, 0.1)))
+            ours = 100.0 * float(mism[a]) / (B * D)
+            assert ours == pytest.approx(ref, rel=1e-6)
+
+    def test_fused_train_loss_equals_unfused(self):
+        """Full loss_fn value, metrics and parameter gradients agree
+        between cfg.fused_recon True/False (both x_shared modes)."""
+        from dvae_tpu.config import VAEConfig
+        from dvae_tpu.models import mixvae
+        from dvae_tpu.train.step import loss_fn
+
+        cfg0 = VAEConfig(n_arm=3, input_dim=120, n_categories=10, fc_dim=24,
+                         lowD_dim=6)
+        cfg1 = cfg0.replace(fused_recon=True)
+        params = mixvae.init_params(jax.random.key(0), cfg0)
+        bn = mixvae.init_bn_state(cfg0)
+        B = 70
+        x = jnp.asarray(np.maximum(
+            np.random.default_rng(1).normal(0.5, 1, (B, cfg0.input_dim)),
+            0).astype(np.float32))
+        xs = jnp.broadcast_to(x, (cfg0.n_arm, B, cfg0.input_dim))
+        mask = jnp.ones((cfg0.n_categories,))
+        kf = jax.random.key(7)
+
+        for x_shared in (None, x):
+            (t0, (aux0, _, _)), g0 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, cfg0, xs, kf, 1.0, mask,
+                                       None, None, x_shared)
+            (t1, (aux1, _, _)), g1 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, cfg1, xs, kf, 1.0, mask,
+                                       None, None, x_shared)
+            np.testing.assert_allclose(float(t0), float(t1), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(aux0.loss_rec),
+                                       np.asarray(aux1.loss_rec), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(aux0.ll),
+                                       np.asarray(aux1.ll), rtol=1e-5)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+                g0, g1)
