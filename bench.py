@@ -18,11 +18,15 @@ Roofline status (v5e, measured 2026-08): the unfused step moves 5.73 GB
 of HBM traffic (XLA cost analysis) → 7.0 ms bandwidth roofline at
 819 GB/s; measured 6.5 ms/step (770k cells/s/chip) — AT the roofline.
 The fused recon-loss kernel (ops/recon_pallas.py) removes the (A, B, D)
-reconstruction and its cotangent from HBM entirely (~1.4 GB/step) and
-makes the binarized-BCE metric term free: measured 4.7 ms/step
-(1.06M cells/s/chip).  Next lever: fusing the input dropout into the
-fc1 matmul (the dropped (A, B, D) input views are now the largest
-remaining HBM tensor).
+reconstruction and its cotangent from HBM (~1.4 GB/step) and makes the
+binarized-BCE metric term free; the fused dropout+fc1 kernel
+(ops/encoder_pallas.py) removes the dropped (A, B, D) input views
+(~750 MB/step, mask regenerated on-chip in the backward).  With
+edge-tile-specialized epilogues (the VPU, not the MXU, bounds these
+kernels) the step runs at 3.3 ms (1.50M cells/s/chip, 60x the
+reference estimate).  Remaining levers (xprof): the 50 MB random-row
+batch gather (~0.3 ms at gather speed) and the f32 adam update of the
+fc1/fc11 weights (~0.15 ms).
 """
 
 from __future__ import annotations
@@ -42,10 +46,11 @@ def main() -> None:
     from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
                                      make_optimizer)
 
-    # production defaults (C=92, D=5032, F=100) + the fused recon-loss
-    # kernel (ops/recon_pallas.py): the (A, B, D) reconstruction and its
-    # cotangent never touch HBM, and the binarized-BCE metric term is free
-    cfg = VAEConfig(n_arm=5, fused_recon=True)
+    # production defaults (C=92, D=5032, F=100) + the fused recon-loss and
+    # dropout+fc1 kernels (ops/recon_pallas.py, ops/encoder_pallas.py): no
+    # (A, B, D) tensor — reconstruction, its cotangent, or dropped input
+    # views — ever touches HBM, and the binarized-BCE metric term is free
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
     tcfg = TrainConfig(batch_size=5000, epochs_per_jit=5, bf16=True,
                        rng_impl="rbg")
     N = 20_000

@@ -89,6 +89,11 @@ class VAEConfig:
                                     # reconstruction never touches HBM (see
                                     # ops/recon_pallas.py); the binarized-BCE
                                     # metric term becomes free when on
+    fused_encoder: bool = False     # fuse input dropout + fc1 into one Pallas
+                                    # kernel with on-chip PRNG — the dropped
+                                    # (A, B, D) input views never touch HBM
+                                    # (ops/encoder_pallas.py); different
+                                    # dropout bitstream, same distribution
 
     def replace(self, **kw) -> "VAEConfig":
         return dataclasses.replace(self, **kw)

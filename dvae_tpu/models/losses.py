@@ -245,7 +245,8 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     if fused_recon_args is not None:
         from dvae_tpu.ops.recon_pallas import fused_recon_mse
         w11, b11, x_target = fused_recon_args
-        sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target)
+        sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target,
+                                      0.1, cfg.recon_bce_metric)
         loss_rec = 0.5 * sumsq / B
         if cfg.recon_bce_metric:
             # BCE on hard-binarized inputs ≡ 100 · mismatch fraction

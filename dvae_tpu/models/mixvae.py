@@ -180,11 +180,11 @@ def _dropout(key, x, rate: float, train: bool):
 # Single-arm forward (vmapped over the A axis by `apply`)
 # ---------------------------------------------------------------------------
 
-def _encoder_arm(p, bn, x, key, cfg: VAEConfig, train: bool):
-    """Returns (x_low, c_prob, new_bn).  Reference mmidas/nn_model.py:263-269."""
-    h = _dropout(key, x, cfg.x_drop, train)
+def _encoder_rest_arm(p, bn, y1, cfg: VAEConfig, train: bool):
+    """Encoder from the fc1 *pre-activation* onward (shared by the plain
+    and fused-fc1 paths)."""
     new_bn = {}
-    h, new_bn["bn1"] = _batch_norm(jax.nn.relu(_linear(p["fc1"], h)), bn["bn1"],
+    h, new_bn["bn1"] = _batch_norm(jax.nn.relu(y1), bn["bn1"],
                                    train, cfg.momentum, cfg.eps)
     h, new_bn["bn2"] = _batch_norm(jax.nn.relu(_linear(p["fc2"], h)), bn["bn2"],
                                    train, cfg.momentum, cfg.eps)
@@ -196,6 +196,12 @@ def _encoder_arm(p, bn, x, key, cfg: VAEConfig, train: bool):
                                        train, cfg.momentum, cfg.eps)
     c_prob = jax.nn.softmax(_linear(p["fcc"], x_low), axis=-1)
     return x_low, c_prob, new_bn
+
+
+def _encoder_arm(p, bn, x, key, cfg: VAEConfig, train: bool):
+    """Returns (x_low, c_prob, new_bn).  Reference mmidas/nn_model.py:263-269."""
+    h = _dropout(key, x, cfg.x_drop, train)
+    return _encoder_rest_arm(p, bn, _linear(p["fc1"], h), cfg, train)
 
 
 def _decode_hidden_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
@@ -274,7 +280,8 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
           temp: float | jax.Array = 1.0, train: bool = True,
           mask: Optional[jax.Array] = None,
           prior_c: Optional[jax.Array] = None,
-          skip_recon: bool = False):
+          skip_recon: bool = False,
+          x_shared: Optional[jax.Array] = None):
     """Forward pass of all A arms at once (vmapped over the leading axis).
 
     Args:
@@ -297,10 +304,27 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     arm_keys = jax.random.split(k_rest, A * 3).reshape(A, 3)
 
     # --- stage 1: per-arm encoder (vmapped) ---
-    def enc_arm(p, bn, x, ak):
-        return _encoder_arm(p, bn, x, ak[0], cfg, train)
+    if cfg.fused_encoder and train:
+        from dvae_tpu.ops.encoder_pallas import (dropout_mask_host,
+                                                 fused_dropout_fc1)
+        seed = jax.random.bits(jax.random.fold_in(k_gumbel, 1),
+                               dtype=jnp.uint32).astype(jnp.int32)
+        x_in = xs if x_shared is None else x_shared
+        drop_mask = None
+        if jax.default_backend() != "tpu":  # interpret mode: host-side mask
+            drop_mask = dropout_mask_host(seed, (A,) + xs.shape[1:],
+                                          cfg.x_drop)
+        y1 = fused_dropout_fc1(seed, x_in, params["fc1"]["w"],
+                               params["fc1"]["b"], cfg.x_drop, drop_mask)
+        x_low, c_prob, new_bn = jax.vmap(
+            lambda p, bn, y: _encoder_rest_arm(p, bn, y, cfg, train))(
+            params, bn_state, y1)
+    else:
+        def enc_arm(p, bn, x, ak):
+            return _encoder_arm(p, bn, x, ak[0], cfg, train)
 
-    x_low, c_prob, new_bn = jax.vmap(enc_arm)(params, bn_state, xs, arm_keys)
+        x_low, c_prob, new_bn = jax.vmap(enc_arm)(params, bn_state, xs,
+                                                  arm_keys)
 
     # --- tau-sharpened categorical posterior + categorical sample on the
     # stacked (A, B, C) tensor (reference mmidas/nn_model.py:332-345).

@@ -81,25 +81,41 @@ def _tile_recon_f32(h_ref, w_ref, b_ref):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(h_ref, w_ref, b_ref, x_ref, out_ref, *, tile_b, n_rows, thr,
-                shared_x):
+                shared_x, with_mism):
     i_b = pl.program_id(0)
     a = pl.program_id(1)
+    nb = pl.num_programs(0)
     r = _tile_recon_f32(h_ref, w_ref, b_ref)
     x = (x_ref[:] if shared_x else x_ref[0]).astype(jnp.float32)
-    valid = _row_valid(i_b, r.shape, tile_b, n_rows)
-    e = jnp.where(valid, r - x, 0.0)
-    mism = jnp.logical_and(valid, (r > thr) != (x > thr))
+    has_edge = (n_rows % tile_b) != 0  # static
 
     @pl.when(i_b == 0)
     def _():
         out_ref[a, 0] = 0.0
         out_ref[a, 1] = 0.0
 
-    out_ref[a, 0] += jnp.sum(e * e)
-    out_ref[a, 1] += jnp.sum(mism.astype(jnp.float32))
+    def accumulate(e, mism):
+        out_ref[a, 0] += jnp.sum(e * e)
+        if with_mism:
+            out_ref[a, 1] += jnp.sum(mism.astype(jnp.float32))
+
+    # interior tiles skip the row-validity mask entirely (VPU epilogue is
+    # the kernel's bottleneck, not the matmul)
+    @pl.when(jnp.logical_or(i_b < nb - 1, not has_edge))
+    def _():
+        accumulate(r - x, ((r > thr) != (x > thr)) if with_mism else None)
+
+    if has_edge:
+        @pl.when(i_b == nb - 1)
+        def _():
+            valid = _row_valid(i_b, r.shape, tile_b, n_rows)
+            e = jnp.where(valid, r - x, 0.0)
+            mism = (jnp.logical_and(valid, (r > thr) != (x > thr))
+                    if with_mism else None)
+            accumulate(e, mism)
 
 
-def _fwd(h, w, b, x, thr):
+def _fwd(h, w, b, x, thr, with_mism=True):
     A, B, F = h.shape
     D = w.shape[-1]
     shared_x = x.ndim == 2
@@ -112,7 +128,7 @@ def _fwd(h, w, b, x, thr):
                            memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, tile_b=tb, n_rows=B, thr=thr,
-                          shared_x=shared_x),
+                          shared_x=shared_x, with_mism=with_mism),
         grid=(nb, A),
         in_specs=[
             pl.BlockSpec((1, tb, F), lambda i, a: (a, i, 0),
@@ -139,30 +155,47 @@ def _bwd_kernel(g_ref, h_ref, w_ref, b_ref, x_ref, dh_ref, dw_ref, db_ref, *,
                 tile_b, n_rows, shared_x):
     a = pl.program_id(0)
     i_b = pl.program_id(1)
+    nb = pl.num_programs(1)
     r = _tile_recon_f32(h_ref, w_ref, b_ref)
     x = (x_ref[:] if shared_x else x_ref[0]).astype(jnp.float32)
-    valid = _row_valid(i_b, r.shape, tile_b, n_rows)
-    # d sumsq/dy through the ReLU gate; g_a scales the per-arm cotangent
-    gm = jnp.where(jnp.logical_and(valid, r > 0.0),
-                   2.0 * g_ref[a] * (r - x), 0.0)
-    gm16 = gm.astype(h_ref.dtype)
-    dh_ref[0] = jax.lax.dot_general(
-        gm16, w_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),   # gm @ Wᵀ
-        preferred_element_type=jnp.float32,
-    )
+    has_edge = (n_rows % tile_b) != 0  # static
 
     @pl.when(i_b == 0)
     def _():
         dw_ref[0] = jnp.zeros_like(dw_ref[0])
         db_ref[0] = jnp.zeros_like(db_ref[0])
 
-    dw_ref[0] += jax.lax.dot_general(
-        h_ref[0], gm16,
-        dimension_numbers=(((0,), (0,)), ((), ())),   # hᵀ @ gm
-        preferred_element_type=jnp.float32,
-    )
-    db_ref[0] += jnp.sum(gm, axis=0)
+    def accumulate(gm, h):
+        # d sumsq/dy through the ReLU gate; g_a scales the per-arm cotangent
+        gm16 = gm.astype(h_ref.dtype)
+        dh_ref[0] = jax.lax.dot_general(
+            gm16, w_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),   # gm @ Wᵀ
+            preferred_element_type=jnp.float32,
+        )
+        dw_ref[0] += jax.lax.dot_general(
+            h, gm16,
+            dimension_numbers=(((0,), (0,)), ((), ())),   # hᵀ @ gm
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[0] += jnp.sum(gm, axis=0)
+
+    # interior tiles skip the row mask (the VPU epilogue dominates); the
+    # partial edge tile masks BOTH dot operands — its buffer rows beyond
+    # n_rows are garbage and could be NaN (NaN·0 = NaN)
+    @pl.when(jnp.logical_or(i_b < nb - 1, not has_edge))
+    def _():
+        accumulate(jnp.where(r > 0.0, 2.0 * g_ref[a] * (r - x), 0.0),
+                   h_ref[0])
+
+    if has_edge:
+        @pl.when(i_b == nb - 1)
+        def _():
+            valid = _row_valid(i_b, r.shape, tile_b, n_rows)
+            gate = jnp.logical_and(valid, r > 0.0)
+            gm = jnp.where(gate, 2.0 * g_ref[a] * (r - x), 0.0)
+            rows_h = _row_valid(i_b, h_ref[0].shape, tile_b, n_rows)
+            accumulate(gm, jnp.where(rows_h, h_ref[0], 0))
 
 
 def _bwd_call(g, h, w, b, x):
@@ -214,8 +247,8 @@ def _bwd_call(g, h, w, b, x):
 # Public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_recon_mse(h, w, b, x, thr: float = 0.1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_recon_mse(h, w, b, x, thr: float = 0.1, with_mism: bool = True):
     """Per-arm (sumsq, mismatch_count) of relu(h @ W + bias) against x.
 
     Args:
@@ -229,14 +262,14 @@ def fused_recon_mse(h, w, b, x, thr: float = 0.1):
       mism:  (A,) f32  #{binarize(rec) ≠ binarize(x)} — 100·mism/(B·D) is
              the reference's binarized-BCE metric term (zero-gradient).
     """
-    return _fwd(h, w, b, x, thr)
+    return _fwd(h, w, b, x, thr, with_mism)
 
 
-def _recon_fwd(h, w, b, x, thr):
-    return _fwd(h, w, b, x, thr), (h, w, b, x)
+def _recon_fwd(h, w, b, x, thr, with_mism):
+    return _fwd(h, w, b, x, thr, with_mism), (h, w, b, x)
 
 
-def _recon_bwd(thr, res, g):
+def _recon_bwd(thr, with_mism, res, g):
     h, w, b, x = res
     g_sumsq, _ = g  # the mismatch count is a stop-gradient metric
     dh, dw, db = _bwd_call(g_sumsq, h, w, b, x)

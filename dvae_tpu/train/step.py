@@ -123,7 +123,7 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
     fused = cfg.fused_recon and cfg.mode != "ZINB"
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
                                 train=True, mask=mask, prior_c=prior_c,
-                                skip_recon=fused)
+                                skip_recon=fused, x_shared=x_shared)
     fused_args = ((params["fc11"]["w"], params["fc11"]["b"],
                    xs if x_shared is None else x_shared)
                   if fused else None)

@@ -139,20 +139,26 @@ class TestFusedRecon:
     def test_values_match_oracle(self):
         from dvae_tpu.ops.recon_pallas import (fused_recon_mse,
                                                recon_mse_reference)
-        h, w, b, x = self._data()
-        A = h.shape[0]
-        xa = jnp.broadcast_to(x, (A,) + x.shape)
-        for xt in (x, xa):  # shared and per-arm targets
-            s, m = fused_recon_mse(h, w, b, xt)
-            s0, m0 = recon_mse_reference(h, w, b, xa)
-            np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
-                                       rtol=1e-5)
-            np.testing.assert_allclose(np.asarray(m), np.asarray(m0))
+        # B=600 exercises the partial edge tile (tile 512 + 88-row edge)
+        for B in (70, 600):
+            h, w, b, x = self._data(B=B)
+            A = h.shape[0]
+            xa = jnp.broadcast_to(x, (A,) + x.shape)
+            for xt in (x, xa):  # shared and per-arm targets
+                for with_mism in (True, False):
+                    s, m = fused_recon_mse(h, w, b, xt, 0.1, with_mism)
+                    s0, m0 = recon_mse_reference(h, w, b, xa)
+                    np.testing.assert_allclose(np.asarray(s),
+                                               np.asarray(s0), rtol=1e-5)
+                    if with_mism:
+                        np.testing.assert_allclose(np.asarray(m),
+                                                   np.asarray(m0))
 
-    def test_gradients_match_oracle(self):
+    @pytest.mark.parametrize("B", [70, 600])
+    def test_gradients_match_oracle(self, B):
         from dvae_tpu.ops.recon_pallas import (fused_recon_mse,
                                                recon_mse_reference)
-        h, w, b, x = self._data()
+        h, w, b, x = self._data(B=B)
         A = h.shape[0]
         xa = jnp.broadcast_to(x, (A,) + x.shape)
         wgt = jnp.arange(1, A + 1, dtype=jnp.float32)
@@ -220,3 +226,84 @@ class TestFusedRecon:
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
                 g0, g1)
+
+
+class TestFusedEncoder:
+    """ops/encoder_pallas.fused_dropout_fc1 vs the materializing oracle."""
+
+    def _data(self, A=3, B=600, D=48, F=16):
+        r = np.random.default_rng(9)
+        x = jnp.asarray(r.normal(size=(B, D)).astype(np.float32))
+        w = jnp.asarray(0.1 * r.normal(size=(A, D, F)).astype(np.float32))
+        b = jnp.asarray(0.1 * r.normal(size=(A, F)).astype(np.float32))
+        return x, w, b
+
+    @pytest.mark.parametrize("B", [70, 600])
+    def test_values_and_grads_match_oracle(self, B):
+        from dvae_tpu.ops.encoder_pallas import (dropout_fc1_reference,
+                                                 dropout_mask_host,
+                                                 fused_dropout_fc1)
+        x, w, b = self._data(B=B)
+        A, D, F = w.shape
+        mask = dropout_mask_host(3, (A, B, D), 0.5)
+        for xt in (x, jnp.broadcast_to(x, (A, B, D))):
+            y = fused_dropout_fc1(jnp.int32(3), xt, w, b, 0.5, mask)
+            y0 = dropout_fc1_reference(xt, w, b, 0.5, mask)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                       rtol=1e-5, atol=1e-5)
+
+            def f(w, b):
+                return jnp.sum(jnp.sin(
+                    fused_dropout_fc1(jnp.int32(3), xt, w, b, 0.5, mask)))
+
+            def f0(w, b):
+                return jnp.sum(jnp.sin(
+                    dropout_fc1_reference(xt, w, b, 0.5, mask)))
+
+            g = jax.grad(f, (0, 1))(w, b)
+            g0 = jax.grad(f0, (0, 1))(w, b)
+            for a, e in zip(g, g0):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                           rtol=2e-4, atol=1e-5)
+
+    def test_fused_encoder_train_loss_equals_plain_with_same_masks(self):
+        """With the host-mask hook returning the plain path's exact per-arm
+        bernoulli masks, the fully fused loss must equal the plain loss
+        bit-for-bit."""
+        from dvae_tpu.config import VAEConfig
+        from dvae_tpu.models import mixvae
+        from dvae_tpu.train.step import loss_fn
+        import dvae_tpu.ops.encoder_pallas as ep
+
+        base = VAEConfig(n_arm=3, input_dim=120, n_categories=10, fc_dim=24,
+                         lowD_dim=6, x_drop=0.5)
+        cfgf = base.replace(fused_recon=True, fused_encoder=True)
+        params = mixvae.init_params(jax.random.key(0), base)
+        bn = mixvae.init_bn_state(base)
+        B = 70
+        x = jnp.asarray(np.maximum(
+            np.random.default_rng(1).normal(0.5, 1, (B, base.input_dim)),
+            0).astype(np.float32))
+        xs = jnp.broadcast_to(x, (base.n_arm, B, base.input_dim))
+        mk = jnp.ones((base.n_categories,))
+        kf = jax.random.key(3)
+
+        # reconstruct the plain path's arm dropout masks (mixvae.apply's
+        # key-split structure)
+        _, k_rest = jax.random.split(kf)
+        arm_keys = jax.random.split(k_rest, base.n_arm * 3).reshape(
+            base.n_arm, 3)
+        masks = jnp.stack([
+            jax.random.bernoulli(arm_keys[a, 0], 0.5, (B, base.input_dim))
+            for a in range(base.n_arm)])
+
+        orig = ep.dropout_mask_host
+        ep.dropout_mask_host = lambda seed, shape, rate: masks
+        try:
+            t1 = float(loss_fn(params, bn, cfgf, xs, kf, 1.0, mk,
+                               None, None, x)[0])
+        finally:
+            ep.dropout_mask_host = orig
+        t0 = float(loss_fn(params, bn, base, xs, kf, 1.0, mk,
+                           None, None, x)[0])
+        np.testing.assert_allclose(t0, t1, rtol=1e-5)
