@@ -105,7 +105,9 @@ def cmd_train(args) -> int:
         ref_prior=args.ref_pc, trained_model=args.pretrained_model,
         n_pr=args.n_pr, mode=args.loss_mode, batch_size=args.batch_size,
         epochs_per_jit=args.epochs_per_jit, sharding=args.sharding,
-        mesh=mesh, bf16=args.bf16, optimizer=args.optimizer)
+        mesh=mesh, bf16=args.bf16, optimizer=args.optimizer,
+        fused={"auto": None, "on": True, "off": False}[args.fused],
+        shuffle_block=args.shuffle_block)
     path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
                      n_epoch=args.n_epoch, n_epoch_p=args.n_epoch_p,
                      c_p=ds.c_p, train_idx=tr, min_con=args.min_con,
@@ -190,6 +192,13 @@ def main(argv=None) -> int:
     pt.add_argument("--mesh_arm", type=int, default=1)
     pt.add_argument("--mesh_fsdp", type=int, default=1)
     pt.add_argument("--bf16", action="store_true")
+    pt.add_argument("--fused", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="fused Pallas hot-path kernels (auto: on for TPU "
+                         "backend in MSE mode)")
+    pt.add_argument("--shuffle_block", type=int, default=1,
+                    help="epoch-shuffle granularity in rows (1 = exact "
+                         "per-row reshuffle, reference semantics)")
     pt.add_argument("--wandb", action="store_true")
     pt.set_defaults(fn=cmd_train)
 

@@ -154,6 +154,13 @@ class TrainConfig:
     rng_impl: str = "threefry2x32"  # "rbg" uses the TPU hardware RNG for all
                                     # dropout/gumbel/reparam draws (faster,
                                     # different bitstream, same distributions)
+    shuffle_block: int = 1          # epoch-shuffle granularity in rows: 1 =
+                                    # exact per-row reshuffle every epoch
+                                    # (reference DataLoader semantics); >1
+                                    # permutes blocks of rows — the batch
+                                    # gather moves large contiguous slices
+                                    # at HBM bandwidth instead of single
+                                    # rows (rows within a block co-travel)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

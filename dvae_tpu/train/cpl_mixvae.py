@@ -91,9 +91,21 @@ class CplMixVAE:
                    batch_size: int = 5000, epochs_per_jit: int = 10,
                    sharding: str | ShardingStrategy = "no",
                    mesh: Optional[MeshConfig] = None, bf16: bool = False,
-                   rng_impl: str = "threefry2x32", **extra) -> None:
+                   rng_impl: str = "threefry2x32",
+                   fused: Optional[bool] = None,
+                   shuffle_block: int = 1, **extra) -> None:
         """Build config + mesh + optimizer + initial state
-        (reference ``init_model``, cpl_mixvae.py:193-286)."""
+        (reference ``init_model``, cpl_mixvae.py:193-286).
+
+        ``fused`` enables the fused Pallas hot-path kernels
+        (ops/recon_pallas.py, ops/encoder_pallas.py — no (A, B, D) tensor
+        touches HBM); default None auto-enables them on a TPU backend in
+        MSE mode.  ``shuffle_block`` — see TrainConfig.shuffle_block.
+        """
+        if fused is None:
+            fused = jax.default_backend() == "tpu" and mode == "MSE"
+        extra.setdefault("fused_recon", fused and mode != "ZINB")
+        extra.setdefault("fused_encoder", fused)
         self.cfg = VAEConfig(
             n_categories=n_categories, state_dim=state_dim,
             input_dim=input_dim, fc_dim=fc_dim, lowD_dim=lowD_dim,
@@ -106,7 +118,7 @@ class CplMixVAE:
             optimizer=optimizer,
             sharding=ShardingStrategy(sharding),
             mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed,
-            rng_impl=rng_impl)
+            rng_impl=rng_impl, shuffle_block=shuffle_block)
         self.temp = temp
 
         self.mesh = make_mesh(self.tcfg.mesh) \
