@@ -216,7 +216,8 @@ def mixvae_loss_naive(cfg: VAEConfig, outs, xs: jax.Array) -> jax.Array:
 
 def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
                 prior_c: Optional[jax.Array] = None,
-                fused_recon_args: Optional[tuple] = None) -> LossOutputs:
+                fused_recon_args: Optional[tuple] = None,
+                spmd_axes: Optional[tuple] = None) -> LossOutputs:
     """Total cpl-mixVAE loss (reference mmidas/nn_model.py:495-598).
 
       total = max(A−1, 1)·Σ_a (rec_a + β·KL_a)
@@ -243,10 +244,16 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
 
     # --- per-arm reconstruction + KL (vmapped) ---
     if fused_recon_args is not None:
-        from dvae_tpu.ops.recon_pallas import fused_recon_mse
         w11, b11, x_target = fused_recon_args
-        sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target,
-                                      0.1, cfg.recon_bce_metric)
+        if spmd_axes is not None:
+            from dvae_tpu.ops.partitioned import make_partitioned_recon
+            recon_op = make_partitioned_recon(spmd_axes[0], spmd_axes[1],
+                                              0.1, cfg.recon_bce_metric)
+            sumsq, mism = recon_op(outs.x_rec, w11, b11, x_target)
+        else:
+            from dvae_tpu.ops.recon_pallas import fused_recon_mse
+            sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target,
+                                          0.1, cfg.recon_bce_metric)
         loss_rec = 0.5 * sumsq / B
         if cfg.recon_bce_metric:
             # BCE on hard-binarized inputs ≡ 100 · mismatch fraction

@@ -281,7 +281,8 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
           mask: Optional[jax.Array] = None,
           prior_c: Optional[jax.Array] = None,
           skip_recon: bool = False,
-          x_shared: Optional[jax.Array] = None):
+          x_shared: Optional[jax.Array] = None,
+          spmd_axes: Optional[tuple] = None):
     """Forward pass of all A arms at once (vmapped over the leading axis).
 
     Args:
@@ -314,8 +315,15 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
         if jax.default_backend() != "tpu":  # interpret mode: host-side mask
             drop_mask = dropout_mask_host(seed, (A,) + xs.shape[1:],
                                           cfg.x_drop)
-        y1 = fused_dropout_fc1(seed, x_in, params["fc1"]["w"],
-                               params["fc1"]["b"], cfg.x_drop, drop_mask)
+        if spmd_axes is not None:
+            from dvae_tpu.ops.partitioned import make_partitioned_dropout_fc1
+            fc1_op = make_partitioned_dropout_fc1(spmd_axes[0], spmd_axes[1],
+                                                  cfg.x_drop)
+            y1 = fc1_op(seed, x_in, params["fc1"]["w"], params["fc1"]["b"],
+                        drop_mask)
+        else:
+            y1 = fused_dropout_fc1(seed, x_in, params["fc1"]["w"],
+                                   params["fc1"]["b"], cfg.x_drop, drop_mask)
         x_low, c_prob, new_bn = jax.vmap(
             lambda p, bn, y: _encoder_rest_arm(p, bn, y, cfg, train))(
             params, bn_state, y1)

@@ -1,0 +1,307 @@
+"""SPMD partitioning rules for the fused Pallas hot-path kernels.
+
+Pallas kernels lower to opaque ``tpu_custom_call``s, which the GSPMD/Shardy
+partitioner cannot split — under a multi-chip ``jit`` it would all-gather
+their operands and replicate the whole computation on every device,
+erasing the batch/arm scaling of exactly the ops that dominate step time.
+These wrappers attach ``jax.experimental.custom_partitioning`` rules so
+the kernels run on local shards with the minimal collectives:
+
+  * fused_recon_mse:   per-arm sums are partial over batch shards →
+                       one (A,)-sized ``psum`` over the batch axes; dW/db
+                       in the backward likewise.
+  * fused_dropout_fc1: embarrassingly parallel forward; dW/db ``psum``
+                       in the backward.
+
+The mesh axis names are **static arguments** (taken from MeshConfig), not
+inferred from proposed operand shardings: the dropout kernel derives its
+per-(arm, tile) PRNG seeds from a per-shard offset, and the offset formula
+must be byte-identical between the forward and the backward (which
+regenerates the mask) — inferring axes from shardings that the partitioner
+may legally change between the two calls would silently corrupt gradients.
+
+``custom_partitioning`` has no differentiation rule, so each wrapper is a
+fresh ``custom_vjp`` whose fwd/bwd are the partitioned primitives.
+
+Used by models/mixvae.apply + models/losses.mixvae_loss when the train
+step is built with a >1-device mesh (train/step.make_train_step passes
+``spmd_axes``); single-device paths call the raw kernels directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import (SdyShardingRule,
+                                                  custom_partitioning)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dvae_tpu.ops import encoder_pallas, recon_pallas
+
+_SEED_STRIDE = 0x9E3779B1 - (1 << 32)  # golden-ratio stride (as signed i32)
+                                       # decorrelates shard seeds
+
+
+def _axes(mesh_axes: Sequence[str] | str | None):
+    if mesh_axes is None:
+        return ()
+    if isinstance(mesh_axes, str):
+        return (mesh_axes,)
+    return tuple(mesh_axes)
+
+
+def _shard_offset(axes):
+    """Flattened linear index of this shard over ``axes`` (static names)."""
+    off = jnp.zeros((), jnp.int32)
+    for ax in axes:
+        off = off * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return off
+
+
+def _psum(x, axes):
+    return jax.lax.psum(x, axes) if axes else x
+
+
+# ---------------------------------------------------------------------------
+# fused_recon_mse, partitioned
+# ---------------------------------------------------------------------------
+
+def make_partitioned_recon(arm_axes, batch_axes, thr: float = 0.1,
+                           with_mism: bool = True):
+    """Build an SPMD-partitioned fused_recon_mse(h, w, b, x) → (sumsq, mism).
+
+    ``arm_axes``/``batch_axes``: mesh axis names the A and B dimensions are
+    sharded over (must divide them).  Semantics identical to
+    recon_pallas.fused_recon_mse.
+    """
+    arm_axes, batch_axes = _axes(arm_axes), _axes(batch_axes)
+    a_s = arm_axes or None
+    b_s = batch_axes or None
+
+    def _specs(shared_x):
+        x_spec = P(b_s, None) if shared_x else P(a_s, b_s, None)
+        return (P(a_s, b_s, None), P(a_s, None, None), P(a_s, None), x_spec)
+
+    def _rule(shared_x):
+        x_map = ("b", "d") if shared_x else ("a", "b", "d")
+        return (("a", "b", "f"), ("a", "f", "d"), ("a", "d"), x_map)
+
+    # --- forward primitive ---
+    def fwd_infer(mesh, arg_infos, result_infos):
+        sh = NamedSharding(mesh, P(a_s))
+        return (sh, sh)
+
+    def fwd_partition(mesh, arg_infos, result_infos):
+        shared_x = len(arg_infos[3].shape) == 2
+        arg_sh = tuple(NamedSharding(mesh, s) for s in _specs(shared_x))
+        out_sh = (NamedSharding(mesh, P(a_s)), NamedSharding(mesh, P(a_s)))
+
+        def impl(h, w, b, x):
+            s, m = recon_pallas._fwd(h, w, b, x, thr, with_mism)
+            return _psum(s, batch_axes), _psum(m, batch_axes)
+
+        return mesh, impl, out_sh, arg_sh
+
+    def _fwd_rule_for(shared_x):
+        return SdyShardingRule(operand_mappings=_rule(shared_x),
+                               result_mappings=(("a",), ("a",)))
+
+    # --- backward primitive ---
+    def bwd_infer(mesh, arg_infos, result_infos):
+        return (NamedSharding(mesh, P(a_s, b_s, None)),
+                NamedSharding(mesh, P(a_s, None, None)),
+                NamedSharding(mesh, P(a_s, None)))
+
+    def bwd_partition(mesh, arg_infos, result_infos):
+        shared_x = len(arg_infos[4].shape) == 2
+        arg_sh = (NamedSharding(mesh, P(a_s)),) + tuple(
+            NamedSharding(mesh, s) for s in _specs(shared_x))
+        out_sh = (NamedSharding(mesh, P(a_s, b_s, None)),
+                  NamedSharding(mesh, P(a_s, None, None)),
+                  NamedSharding(mesh, P(a_s, None)))
+
+        def impl(g, h, w, b, x):
+            dh, dw, db = recon_pallas._bwd_call(g, h, w, b, x)
+            return dh, _psum(dw, batch_axes), _psum(db, batch_axes)
+
+        return mesh, impl, out_sh, arg_sh
+
+    def _bwd_rule_for(shared_x):
+        return SdyShardingRule(
+            operand_mappings=(("a",),) + _rule(shared_x),
+            result_mappings=(("a", "b", "f"), ("a", "f", "d"), ("a", "d")))
+
+    # shardy rules depend on x's rank; def_partition once per call via a
+    # tiny cache keyed on shared_x
+    _defined = {}
+
+    def _ensure(shared_x):
+        if shared_x in _defined:
+            return _defined[shared_x]
+        f_cp = custom_partitioning(
+            lambda h, w, b, x: recon_pallas._fwd(h, w, b, x, thr, with_mism))
+        f_cp.def_partition(infer_sharding_from_operands=fwd_infer,
+                           partition=fwd_partition,
+                           sharding_rule=_fwd_rule_for(shared_x))
+        b_cp = custom_partitioning(
+            lambda g, h, w, b, x: recon_pallas._bwd_call(g, h, w, b, x))
+        b_cp.def_partition(infer_sharding_from_operands=bwd_infer,
+                           partition=bwd_partition,
+                           sharding_rule=_bwd_rule_for(shared_x))
+        _defined[shared_x] = (f_cp, b_cp)
+        return _defined[shared_x]
+
+    @jax.custom_vjp
+    def op(h, w, b, x):
+        f_cp, _ = _ensure(x.ndim == 2)
+        return f_cp(h, w, b, x)
+
+    def op_fwd(h, w, b, x):
+        f_cp, _ = _ensure(x.ndim == 2)
+        return f_cp(h, w, b, x), (h, w, b, x)
+
+    def op_bwd(res, g):
+        h, w, b, x = res
+        _, b_cp = _ensure(x.ndim == 2)
+        g_sumsq, _ = g
+        dh, dw, db = b_cp(g_sumsq, h, w, b, x)
+        return (dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype),
+                jnp.zeros_like(x))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# fused_dropout_fc1, partitioned
+# ---------------------------------------------------------------------------
+
+def make_partitioned_dropout_fc1(arm_axes, batch_axes, rate: float):
+    """Build an SPMD-partitioned fused_dropout_fc1(seed, x, w, b[, mask]).
+
+    Each shard offsets the PRNG seed by its flattened (arm, batch) shard
+    index — the same static formula in forward and backward, so the
+    regenerated backward mask is bitwise identical to the forward's.
+    """
+    arm_axes, batch_axes = _axes(arm_axes), _axes(batch_axes)
+    a_s = arm_axes or None
+    b_s = batch_axes or None
+    keep = 1.0 - rate
+
+    def _in_specs(shared_x, with_mask):
+        x_spec = P(b_s, None) if shared_x else P(a_s, b_s, None)
+        specs = (P(), x_spec, P(a_s, None, None), P(a_s, None))
+        if with_mask:
+            specs = specs + (P(a_s, b_s, None),)
+        return specs
+
+    def _local_seed(seed):
+        off = _shard_offset(arm_axes + batch_axes)
+        return seed + off * jnp.int32(_SEED_STRIDE)
+
+    _defined = {}
+
+    def _ensure(shared_x, with_mask):
+        key = (shared_x, with_mask)
+        if key in _defined:
+            return _defined[key]
+
+        x_map = ("b", "d") if shared_x else ("a", "b", "d")
+        ins = ((), x_map, ("a", "d", "f"), ("a", "f"))
+        if with_mask:
+            ins = ins + (("a", "b", "d"),)
+
+        def f_raw(seed, x, w, b, *mask):
+            m = mask[0] if mask else None
+            return encoder_pallas._fwd(seed, x, w, b, keep, m)
+
+        f_cp = custom_partitioning(f_raw)
+
+        def f_infer(mesh, arg_infos, result_infos):
+            return NamedSharding(mesh, P(a_s, b_s, None))
+
+        def f_partition(mesh, arg_infos, result_infos):
+            arg_sh = tuple(NamedSharding(mesh, s)
+                           for s in _in_specs(shared_x, with_mask))
+            out_sh = NamedSharding(mesh, P(a_s, b_s, None))
+
+            def impl(seed, x, w, b, *mask):
+                m = mask[0] if mask else None
+                return encoder_pallas._fwd(_local_seed(seed), x, w, b,
+                                           keep, m)
+
+            return mesh, impl, out_sh, arg_sh
+
+        f_cp.def_partition(
+            infer_sharding_from_operands=f_infer,
+            partition=f_partition,
+            sharding_rule=SdyShardingRule(operand_mappings=ins,
+                                          result_mappings=(("a", "b", "f"),)))
+
+        def b_raw(seed, x, g, *mask):
+            m = mask[0] if mask else None
+            return encoder_pallas._bwd_call(seed, x, g, keep, m,
+                                            x.shape[-1], g.shape[-1])
+
+        b_cp = custom_partitioning(b_raw)
+
+        def b_infer(mesh, arg_infos, result_infos):
+            return (NamedSharding(mesh, P(a_s, None, None)),
+                    NamedSharding(mesh, P(a_s, None)))
+
+        def b_partition(mesh, arg_infos, result_infos):
+            x_spec = P(b_s, None) if shared_x else P(a_s, b_s, None)
+            arg_sh = (NamedSharding(mesh, P()),
+                      NamedSharding(mesh, x_spec),
+                      NamedSharding(mesh, P(a_s, b_s, None)))
+            if with_mask:
+                arg_sh = arg_sh + (NamedSharding(mesh, P(a_s, b_s, None)),)
+            out_sh = (NamedSharding(mesh, P(a_s, None, None)),
+                      NamedSharding(mesh, P(a_s, None)))
+
+            def impl(seed, x, g, *mask):
+                m = mask[0] if mask else None
+                dw, db = encoder_pallas._bwd_call(
+                    _local_seed(seed), x, g, keep, m,
+                    x.shape[-1], g.shape[-1])
+                return _psum(dw, batch_axes), _psum(db, batch_axes)
+
+            return mesh, impl, out_sh, arg_sh
+
+        ins_b = ((), x_map, ("a", "b", "f"))
+        if with_mask:
+            ins_b = ins_b + (("a", "b", "d"),)
+        b_cp.def_partition(
+            infer_sharding_from_operands=b_infer,
+            partition=b_partition,
+            sharding_rule=SdyShardingRule(
+                operand_mappings=ins_b,
+                result_mappings=(("a", "d", "f"), ("a", "f"))))
+
+        _defined[key] = (f_cp, b_cp)
+        return _defined[key]
+
+    @jax.custom_vjp
+    def op(seed, x, w, b, mask=None):
+        f_cp, _ = _ensure(x.ndim == 2, mask is not None)
+        args = (seed, x, w, b) + ((mask,) if mask is not None else ())
+        return f_cp(*args)
+
+    def op_fwd(seed, x, w, b, mask=None):
+        f_cp, _ = _ensure(x.ndim == 2, mask is not None)
+        args = (seed, x, w, b) + ((mask,) if mask is not None else ())
+        return f_cp(*args), (seed, x, mask)
+
+    def op_bwd(res, g):
+        seed, x, mask = res
+        _, b_cp = _ensure(x.ndim == 2, mask is not None)
+        args = (seed, x, g) + ((mask,) if mask is not None else ())
+        dw, db = b_cp(*args)
+        dmask = None if mask is None else jnp.zeros_like(mask)
+        return (None, jnp.zeros_like(x), dw, db, dmask)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op

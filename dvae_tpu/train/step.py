@@ -107,12 +107,16 @@ def expand_arms(key: jax.Array, x: jax.Array, n_arm: int) -> jax.Array:
 
 
 def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
-            compute_dtype=None, x_shared=None):
+            compute_dtype=None, x_shared=None, spmd_axes=None):
     """Differentiable loss; returns (total, (aux, new_bn, labels)).
 
     ``x_shared``: the un-expanded (B, D) batch when every arm sees the same
     view (no augmentation) — lets the fused recon kernel read the target
     once instead of A times.
+    ``spmd_axes``: static ``(arm_axes, batch_axes)`` mesh axis names under a
+    >1-device mesh — routes the fused kernels through their SPMD
+    partitioning rules (ops/partitioned.py) so they compute on local
+    shards instead of being replicated by the partitioner.
     """
     if compute_dtype is not None and compute_dtype != jnp.float32:
         params = jax.tree_util.tree_map(
@@ -123,14 +127,34 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
     fused = cfg.fused_recon and cfg.mode != "ZINB"
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
                                 train=True, mask=mask, prior_c=prior_c,
-                                skip_recon=fused, x_shared=x_shared)
+                                skip_recon=fused, x_shared=x_shared,
+                                spmd_axes=spmd_axes)
     fused_args = ((params["fc11"]["w"], params["fc11"]["b"],
                    xs if x_shared is None else x_shared)
                   if fused else None)
     aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c,
-                                   fused_recon_args=fused_args)
+                                   fused_recon_args=fused_args,
+                                   spmd_axes=spmd_axes)
     labels = jnp.argmax(outs.c, axis=-1)  # (A, B) int — for consensus
     return aux.total.astype(jnp.float32), (aux, new_bn, labels)
+
+
+def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig):
+    """Static (arm_axes, batch_axes) for the fused kernels' partitioning
+    rules under a >1-device mesh (parallel/sharding.batch_sharding lays the
+    batch over ('data', 'fsdp') and arms over 'arm').  None on one device
+    or when the fused kernels are off; axes that do not divide their
+    dimension are dropped (the partitioner then replicates that dim —
+    correct, just less parallel)."""
+    m = tcfg.mesh
+    if m.n_devices <= 1 or not (cfg.fused_recon or cfg.fused_encoder):
+        return None
+    arm_axes = ("arm",) if (m.arm > 1 and cfg.n_arm % m.arm == 0) else ()
+    n_batch = m.data * m.fsdp
+    batch_axes = tuple(
+        ax for ax, sz in (("data", m.data), ("fsdp", m.fsdp)) if sz > 1
+    ) if tcfg.batch_size % max(n_batch, 1) == 0 else ()
+    return (arm_axes, batch_axes)
 
 
 def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
@@ -144,6 +168,7 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
     """
     compute_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
     aug = augment or expand_arms
+    spmd_axes = _fused_spmd_axes(cfg, tcfg)
 
     def step(state: TrainState, x: jax.Array,
              prior_c: Optional[jax.Array], temp) -> tuple:
@@ -153,7 +178,7 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (aux, new_bn, labels)), grads = grad_fn(
             state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
-            prior_c, compute_dtype, x_shared)
+            prior_c, compute_dtype, x_shared, spmd_axes)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(p.dtype), grads, state.params)
         # pruning: zero grads of masked-out category units

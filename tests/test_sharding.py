@@ -79,3 +79,121 @@ def test_all_strategies_identical_loss(mesh, data):
 def test_batch_sharding_spec(mesh):
     sh = batch_sharding(mesh)
     assert sh.spec == jax.sharding.PartitionSpec("arm", ("data", "fsdp"), None)
+
+
+class TestPartitionedFusedOps:
+    """ops/partitioned.py: the fused Pallas kernels' custom_partitioning
+    rules must reproduce the unsharded oracles under real (arm, data, fsdp)
+    shardings — on TPU the partitioner would otherwise replicate the
+    opaque custom calls."""
+
+    def _mesh(self):
+        return make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+
+    def test_partitioned_recon_matches_oracle(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dvae_tpu.ops.partitioned import make_partitioned_recon
+        from dvae_tpu.ops.recon_pallas import recon_mse_reference
+
+        mesh = self._mesh()
+        r = np.random.default_rng(0)
+        A, B, F, D = 4, 64, 16, 40
+        h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
+        w = jnp.asarray(0.1 * r.normal(size=(A, F, D)).astype(np.float32))
+        b = jnp.asarray(0.1 * r.normal(size=(A, D)).astype(np.float32))
+        x = jnp.asarray(np.maximum(r.normal(0.5, 1, (B, D)), 0)
+                        .astype(np.float32))
+        xa = jnp.broadcast_to(x, (A, B, D))
+        op = make_partitioned_recon(("arm",), ("data", "fsdp"))
+        hs = jax.device_put(h, NamedSharding(
+            mesh, P("arm", ("data", "fsdp"), None)))
+        ws = jax.device_put(w, NamedSharding(mesh, P("arm", None, None)))
+        bs = jax.device_put(b, NamedSharding(mesh, P("arm", None)))
+        for xt, spec in ((x, P(("data", "fsdp"), None)),
+                         (xa, P("arm", ("data", "fsdp"), None))):
+            xts = jax.device_put(xt, NamedSharding(mesh, spec))
+            s, m = jax.jit(op)(hs, ws, bs, xts)
+            s0, m0 = recon_mse_reference(h, w, b, xa)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(m0))
+            wgt = jnp.arange(1, A + 1, dtype=jnp.float32)
+            g = jax.jit(jax.grad(
+                lambda h, w, b: jnp.sum(op(h, w, b, xts)[0] * wgt),
+                (0, 1, 2)))(hs, ws, bs)
+            g0 = jax.grad(
+                lambda h, w, b: jnp.sum(
+                    recon_mse_reference(h, w, b, xa)[0] * wgt),
+                (0, 1, 2))(h, w, b)
+            for a, e in zip(g, g0):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                           rtol=2e-4, atol=1e-4)
+
+    def test_partitioned_encoder_matches_oracle(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dvae_tpu.ops.encoder_pallas import (dropout_fc1_reference,
+                                                 dropout_mask_host)
+        from dvae_tpu.ops.partitioned import make_partitioned_dropout_fc1
+
+        mesh = self._mesh()
+        r = np.random.default_rng(1)
+        A, B, D, F = 4, 64, 40, 16
+        x = jnp.asarray(np.maximum(r.normal(0.5, 1, (B, D)), 0)
+                        .astype(np.float32))
+        w = jnp.asarray(0.1 * r.normal(size=(A, D, F)).astype(np.float32))
+        b = jnp.asarray(0.1 * r.normal(size=(A, F)).astype(np.float32))
+        mask = dropout_mask_host(3, (A, B, D), 0.5)
+        op = make_partitioned_dropout_fc1(("arm",), ("data", "fsdp"), 0.5)
+        ws = jax.device_put(w, NamedSharding(mesh, P("arm", None, None)))
+        bs = jax.device_put(b, NamedSharding(mesh, P("arm", None)))
+        ms = jax.device_put(mask, NamedSharding(
+            mesh, P("arm", ("data", "fsdp"), None)))
+        xts = jax.device_put(x, NamedSharding(mesh, P(("data", "fsdp"),
+                                                      None)))
+        y = jax.jit(lambda w, b: op(jnp.int32(3), xts, w, b, ms))(ws, bs)
+        y0 = dropout_fc1_reference(x, w, b, 0.5, mask)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-5)
+        g = jax.jit(jax.grad(
+            lambda w, b: jnp.sum(jnp.sin(op(jnp.int32(3), xts, w, b, ms))),
+            (0, 1)))(ws, bs)
+        g0 = jax.grad(
+            lambda w, b: jnp.sum(jnp.sin(
+                dropout_fc1_reference(x, w, b, 0.5, mask))), (0, 1))(w, b)
+        for a, e in zip(g, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=2e-4, atol=1e-5)
+
+    def test_fused_multi_device_epoch_matches_single(self):
+        """Full fused epoch runner: the partitioned multi-device path must
+        match the single-device path (x_drop=0 removes mask-stream
+        differences; rtol covers psum reduction-order)."""
+        from dvae_tpu.data.anndata_io import synthetic_dataset
+        from dvae_tpu.parallel.sharding import replicated, strategy_shardings
+        from dvae_tpu.train.step import (init_train_state,
+                                         make_epoch_runner, make_optimizer)
+
+        cfg = CFG.replace(fused_recon=True, fused_encoder=True, x_drop=0.0)
+        mesh = self._mesh()
+        ds = synthetic_dataset(n_cells=160, n_genes=64, n_types=8, seed=0)
+        x_all = jnp.asarray(ds.log1p)
+        outs = {}
+        for name in ("multi", "single"):
+            tc = (TCFG.replace(mesh=MeshConfig(data=2, arm=2, fsdp=2))
+                  if name == "multi" else TCFG)
+            tx = make_optimizer(cfg)
+            state = init_train_state(jax.random.key(0), cfg, tx)
+            x = x_all
+            if name == "multi":
+                shs = strategy_shardings(ShardingStrategy.FULL_SHARD, mesh,
+                                         state.params, state.bn,
+                                         state.opt_state)
+                state = state._replace(
+                    params=jax.device_put(state.params, shs[0]),
+                    bn=jax.device_put(state.bn, shs[1]),
+                    opt_state=jax.device_put(state.opt_state, shs[2]))
+                x = jax.device_put(x_all, replicated(mesh))
+            run = jax.jit(make_epoch_runner(cfg, tc, tx, n_train=160))
+            _, ems = run(state, x, None, 1.0)
+            outs[name] = np.asarray(ems.total)
+        np.testing.assert_allclose(outs["multi"], outs["single"], rtol=5e-4)
