@@ -72,7 +72,8 @@ def main() -> None:
     tx = make_optimizer(cfg)
     state = init_train_state(jax.random.key(0), cfg, tx, rng_impl="rbg")
     run = jax.jit(make_epoch_runner(cfg, tcfg, tx, n_train=N,
-                                    consensus_every_epoch=False))
+                                    consensus_every_epoch=False),
+                  donate_argnums=(0,))
 
     # compile + warmup (np.asarray forces a device→host transfer: on the
     # tunneled axon platform block_until_ready alone does not block)

@@ -218,8 +218,11 @@ class CplMixVAE:
             prior_all = jax.device_put(
                 jnp.asarray(c_p[idx], jnp.float32), sharding)
 
+        # donating the carried state lets XLA update params/opt buffers
+        # in place across chunk boundaries (no 2x state copy per chunk)
         runner = jax.jit(make_epoch_runner(
-            cfg, tcfg, self.tx, n_train, augment=self._augment_fn()))
+            cfg, tcfg, self.tx, n_train, augment=self._augment_fn()),
+            donate_argnums=(0,))
         self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn())
 
         self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
