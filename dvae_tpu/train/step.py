@@ -266,9 +266,14 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
     step_fn = make_train_step(cfg, tcfg, tx, augment)
     n_used = steps * B
     sb = tcfg.shuffle_block
-    if sb > 1 and (B % sb or n_train % sb):
-        raise ValueError(f"shuffle_block {sb} must divide batch_size {B} "
-                         f"and dataset size {n_train}")
+    if sb > 1 and B % sb:
+        raise ValueError(f"shuffle_block {sb} must divide batch_size {B}")
+    n_blocks = n_train // sb  # a <sb-row tail is dropped from the shuffle
+    # (strictly milder than the reference's drop_last, which drops up to
+    # B-1 rows per epoch, dataloader.py:123-132)
+    if n_used // sb > n_blocks:
+        raise ValueError(f"shuffle_block {sb} leaves too few blocks "
+                         f"({n_blocks}) for {n_used} used rows")
 
     def one_epoch(state: TrainState, x_all, prior_all, temp, i_local):
         key, k_perm = jax.random.split(state.key)
@@ -276,12 +281,13 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
         # shuffle at shuffle_block-row granularity: with sb>1 the per-step
         # gather moves (sb, D) contiguous slices at HBM bandwidth instead
         # of single rows (~4x faster at the production shape)
-        perm = jax.random.permutation(k_perm, n_train // sb)[: n_used // sb]
+        perm = jax.random.permutation(k_perm, n_blocks)[: n_used // sb]
         plan = perm.reshape(steps, B // sb)
-        x_view = x_all.reshape(n_train // sb, sb, *x_all.shape[1:])
+        x_view = x_all[: n_blocks * sb].reshape(n_blocks, sb,
+                                                *x_all.shape[1:])
         prior_view = (None if prior_all is None else
-                      prior_all.reshape(n_train // sb, sb,
-                                        *prior_all.shape[1:]))
+                      prior_all[: n_blocks * sb].reshape(
+                          n_blocks, sb, *prior_all.shape[1:]))
 
         def body(st, sel):
             x = jnp.take(x_view, sel, axis=0).reshape(B, *x_all.shape[1:])

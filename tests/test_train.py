@@ -184,3 +184,31 @@ def test_zinb_mode_through_trainer(tmp_path):
     res = cpl.eval_model(ds.log1p)
     assert np.isfinite(res["total_loss"])
     assert os.path.exists(path)
+
+
+def test_trainer_augmenter_plus_fused_kernels(tmp_path):
+    """Full CplMixVAE training with a frozen augmenter AND the fused
+    Pallas kernels forced on — the per-arm-x fused-recon path and the
+    per-arm-views fused-encoder path through the real trainer."""
+    from dvae_tpu.augment.augmenter import AugmenterConfig
+    from dvae_tpu.augment.train import train_augmenter
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    x = rng.gamma(2.0, 1.0, (160, 48)).astype(np.float32)
+    x *= rng.random((160, 48)) > 0.6
+    aug_path = str(tmp_path / "aug.ckpt")
+    train_augmenter(x, AugmenterConfig(noise_dim=8, latent_dim=4,
+                                       input_dim=48, n_dim=20, p_drop=0.2),
+                    n_epochs=3, batch_size=40, saving_path=aug_path,
+                    verbose=False)
+
+    cpl = CplMixVAE(saving_folder=str(tmp_path / "run"), aug_file=aug_path,
+                    seed=0)
+    cpl.init_model(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, batch_size=40, epochs_per_jit=2,
+                   fused=True)
+    assert cpl.cfg.fused_recon and cpl.cfg.fused_encoder
+    cpl.train(x, n_epoch=4, save_plots=False)
+    res = cpl.eval_model(x)
+    assert np.isfinite(res["total_loss"]).all()
+    assert 0.0 <= res["consensus"] <= 1.0
