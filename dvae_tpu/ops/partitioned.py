@@ -30,8 +30,7 @@ step is built with a >1-device mesh (train/step.make_train_step passes
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
