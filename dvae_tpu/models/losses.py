@@ -274,9 +274,13 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
             outs.x_rec, xs)
 
     if cfg.variational:
-        kl = jax.vmap(kl_gaussian)(outs.s_mean, outs.s_logvar)
+        # f32: bf16 catastrophic cancellation in mean/var-style reductions
+        # corrupts the small KL/coupling terms long before it hurts the
+        # (much larger) reconstruction term
+        kl = jax.vmap(kl_gaussian)(outs.s_mean.astype(jnp.float32),
+                                   outs.s_logvar.astype(jnp.float32))
     else:
-        kl = jnp.zeros((A,), xs.dtype)
+        kl = jnp.zeros((A,), jnp.float32)
 
     if fused_recon_args is not None:
         ll = ll_sumsq / (B * D) + B * math.log(2 * math.pi)
@@ -286,8 +290,10 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
 
     loss_ind_sum = jnp.sum(loss_rec + cfg.beta * kl)
 
-    # --- coupling terms ---
-    c = outs.c
+    # --- coupling terms (always f32: the batch variance inside inv_sd and
+    # log(c+eps) lose all signal in bf16 — the (A, B, C) tensors are small
+    # so the cast is free relative to the recon path) ---
+    c = outs.c.astype(jnp.float32)
     logc = jnp.log(c + eps)
     negent = neg_entropy(c, logc)                       # (A,)
 

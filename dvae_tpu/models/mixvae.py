@@ -154,17 +154,23 @@ def _batch_norm(x, stats, train: bool, momentum: float, eps: float):
     we replicate that semantics under data parallelism.
     """
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
+        # statistics in f32 even under bf16 compute: the variance reduction
+        # cancels catastrophically in bf16 (torch autocast also runs BN in
+        # f32); the normalized output returns to x's dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=0)
+        var = jnp.var(x32, axis=0)
         n = x.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
             "var": (1 - momentum) * stats["var"] + momentum * unbiased,
         }
-        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
         return y, new_stats
-    y = (x - stats["mean"]) * jax.lax.rsqrt(stats["var"] + eps)
+    y = ((x.astype(jnp.float32) - stats["mean"])
+         * jax.lax.rsqrt(stats["var"].astype(jnp.float32) + eps)
+         ).astype(x.dtype)
     return y, stats
 
 
@@ -339,7 +345,9 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     # A pruning mask restricts the softmax to surviving categories —
     # identical to the reference's gather/scatter form (:333-335) but with
     # static shapes.
-    logits_tau = c_prob / cfg.tau
+    # f32: the sharpened posterior feeds log/variance terms in the coupling
+    # loss whose signal vanishes in bf16 (small probabilities quantize away)
+    logits_tau = (c_prob / cfg.tau).astype(jnp.float32)
     if mask is not None:
         logits_tau = jnp.where(mask > 0, logits_tau, -jnp.inf)
     c = jax.nn.softmax(logits_tau, axis=-1)
@@ -352,7 +360,7 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
                                  skip_recon)
 
     x_rec, p_x, r_x, s_smp, s_mean, s_logvar = jax.vmap(dec_arm)(
-        params, x_low, c_smp, arm_keys)
+        params, x_low, c_smp.astype(x_low.dtype), arm_keys)
     outs = MixVAEOutputs(x_rec, p_x, r_x, x_low, c, s_smp, c_smp,
                          s_mean, s_logvar, c_prob)
     return outs, new_bn
