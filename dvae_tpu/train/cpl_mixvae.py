@@ -267,6 +267,8 @@ class CplMixVAE:
         cfg, tcfg = self.cfg, self.tcfg
         E = tcfg.epochs_per_jit
         done = 0
+        best_con = -1.0   # consensus can peak and decay (coupled clusterings
+        #                   drift apart with overtraining); keep the best
         while done < n_epoch:
             t0 = time.perf_counter()
             self.state, ems = runner(self.state, x_all, prior_all, temp)
@@ -306,6 +308,9 @@ class CplMixVAE:
 
             if done % max(tcfg.ckpt_every, E) == 0:
                 self.save_checkpoint(f"epoch_{epoch}")
+            if float(cons[-1]) > best_con:
+                best_con = float(cons[-1])
+                self.save_checkpoint(f"best_{phase}")
 
             # consensus early-stop (reference cpl_mixvae.py:851-927)
             if stop_con and float(cons[-1]) >= stop_con:
