@@ -243,8 +243,21 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     D = xs.shape[-1]
 
     # --- per-arm reconstruction + KL (vmapped) ---
-    if fused_recon_args is not None:
-        w11, b11, x_target = fused_recon_args
+    if fused_recon_args is not None and cfg.mode == "ZINB":
+        # fused three-head ZINB kernel (ops/zinb_pallas.py); outs.x_rec
+        # holds the decoder pre-output hidden
+        from dvae_tpu.ops.zinb_pallas import fused_zinb
+        fparams, x_target = fused_recon_args
+        sums = fused_zinb(outs.x_rec,
+                          fparams["fc11"]["w"], fparams["fc11"]["b"],
+                          fparams["fc11_p"]["w"], fparams["fc11_p"]["b"],
+                          fparams["fc11_r"]["w"], fparams["fc11_r"]["b"],
+                          x_target)
+        loss_rec = sums / (B * xs.shape[-1])
+        ll_sumsq = None   # ll proxy = the NLL itself (no materialized rec)
+    elif fused_recon_args is not None:
+        fparams, x_target = fused_recon_args
+        w11, b11 = fparams["fc11"]["w"], fparams["fc11"]["b"]
         if spmd_axes is not None:
             from dvae_tpu.ops.partitioned import make_partitioned_recon
             recon_op = make_partitioned_recon(spmd_axes[0], spmd_axes[1],
@@ -283,7 +296,8 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
         kl = jnp.zeros((A,), jnp.float32)
 
     if fused_recon_args is not None:
-        ll = ll_sumsq / (B * D) + B * math.log(2 * math.pi)
+        ll = (loss_rec if ll_sumsq is None
+              else ll_sumsq / (B * D) + B * math.log(2 * math.pi))
     else:
         ll = jax.vmap(lambda r, x: jnp.mean((r - x) ** 2))(outs.x_rec, xs) \
             + B * math.log(2 * math.pi)

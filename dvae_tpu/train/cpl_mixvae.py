@@ -103,8 +103,8 @@ class CplMixVAE:
         MSE mode.  ``shuffle_block`` — see TrainConfig.shuffle_block.
         """
         if fused is None:
-            fused = jax.default_backend() == "tpu" and mode == "MSE"
-        extra.setdefault("fused_recon", fused and mode != "ZINB")
+            fused = jax.default_backend() == "tpu"
+        extra.setdefault("fused_recon", fused)
         extra.setdefault("fused_encoder", fused)
         self.cfg = VAEConfig(
             n_categories=n_categories, state_dim=state_dim,

@@ -124,13 +124,14 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
         xs = xs.astype(compute_dtype)
         if x_shared is not None:
             x_shared = x_shared.astype(compute_dtype)
-    fused = cfg.fused_recon and cfg.mode != "ZINB"
+    # fused ZINB has no multi-chip partitioning rule yet — multi-device
+    # ZINB falls back to the XLA path (GSPMD partitions it natively)
+    fused = cfg.fused_recon and (cfg.mode != "ZINB" or spmd_axes is None)
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
                                 train=True, mask=mask, prior_c=prior_c,
                                 skip_recon=fused, x_shared=x_shared,
                                 spmd_axes=spmd_axes)
-    fused_args = ((params["fc11"]["w"], params["fc11"]["b"],
-                   xs if x_shared is None else x_shared)
+    fused_args = ((params, xs if x_shared is None else x_shared)
                   if fused else None)
     aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c,
                                    fused_recon_args=fused_args,

@@ -307,3 +307,87 @@ class TestFusedEncoder:
         t0 = float(loss_fn(params, bn, base, xs, kf, 1.0, mk,
                            None, None, x)[0])
         np.testing.assert_allclose(t0, t1, rtol=1e-5)
+
+
+class TestFusedZINB:
+    """ops/zinb_pallas: the elementary-op lgamma/digamma and the fused
+    three-head ZINB kernel vs the materializing jax.lax.lgamma oracle."""
+
+    def test_lgamma_digamma_accuracy(self):
+        from dvae_tpu.ops.zinb_pallas import digamma, lgamma
+        xs = jnp.asarray((10 ** np.linspace(-6, 6, 3000)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(lgamma(xs)),
+                                   np.asarray(jax.lax.lgamma(xs)),
+                                   rtol=3e-5, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(digamma(xs)),
+                                   np.asarray(jax.lax.digamma(xs)),
+                                   rtol=2e-4, atol=3e-4)
+
+    def _data(self, A=2, B=70, F=16, D=40):
+        r = np.random.default_rng(11)
+        h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
+        mk = lambda: (
+            jnp.asarray(0.1 * r.normal(size=(A, F, D)).astype(np.float32)),
+            jnp.asarray(0.1 * r.normal(size=(A, D)).astype(np.float32)))
+        x = jnp.asarray((np.maximum(r.normal(0.8, 1, (B, D)), 0)
+                         * (r.random((B, D)) > 0.5)).astype(np.float32))
+        return h, mk(), mk(), mk(), x
+
+    @pytest.mark.parametrize("B", [70, 600])
+    def test_values_and_grads_match_oracle(self, B):
+        from dvae_tpu.ops.zinb_pallas import fused_zinb, zinb_heads_reference
+        h, (wr, br), (wp, bp), (wz, bz), x = self._data(B=B)
+        A = h.shape[0]
+        xa = jnp.broadcast_to(x, (A,) + x.shape)
+        for xt in (x, xa):
+            s = fused_zinb(h, wr, br, wp, bp, wz, bz, xt)
+            s0 = zinb_heads_reference(h, wr, br, wp, bp, wz, bz, xa)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                                       rtol=2e-4)
+
+            def f(*a):
+                return jnp.sum(fused_zinb(*a, xt) * jnp.arange(1, A + 1))
+
+            def f0(*a):
+                return jnp.sum(zinb_heads_reference(*a, xa)
+                               * jnp.arange(1, A + 1))
+
+            g = jax.grad(f, tuple(range(7)))(h, wr, br, wp, bp, wz, bz)
+            g0 = jax.grad(f0, tuple(range(7)))(h, wr, br, wp, bp, wz, bz)
+            for a, e in zip(g, g0):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                           rtol=5e-3, atol=3e-3)
+
+    def test_fused_zinb_train_loss_equals_unfused(self):
+        from dvae_tpu.config import VAEConfig
+        from dvae_tpu.models import mixvae
+        from dvae_tpu.train.step import loss_fn
+
+        base = VAEConfig(n_arm=3, input_dim=120, n_categories=10, fc_dim=24,
+                         lowD_dim=6, x_drop=0.0, mode="ZINB")
+        cfgf = base.replace(fused_recon=True)
+        params = mixvae.init_params(jax.random.key(0), base)
+        bn = mixvae.init_bn_state(base)
+        B = 70
+        r0 = np.random.default_rng(1)
+        x = jnp.asarray((np.maximum(r0.normal(0.5, 1, (B, base.input_dim)),
+                                    0)
+                         * (r0.random((B, base.input_dim)) > 0.5))
+                        .astype(np.float32))
+        xs = jnp.broadcast_to(x, (base.n_arm, B, base.input_dim))
+        mk = jnp.ones((base.n_categories,))
+        kf = jax.random.key(7)
+        for x_shared in (None, x):
+            (t0, (aux0, _, _)), g0 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, base, xs, kf, 1.0, mk,
+                                       None, None, x_shared)
+            (t1, (aux1, _, _)), g1 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, cfgf, xs, kf, 1.0, mk,
+                                       None, None, x_shared)
+            np.testing.assert_allclose(float(t0), float(t1), rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(aux0.loss_rec),
+                                       np.asarray(aux1.loss_rec), rtol=1e-4)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-3),
+                g0, g1)
