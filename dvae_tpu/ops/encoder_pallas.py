@@ -65,6 +65,8 @@ def _dropped_tile(x_ref, mask_ref, seed_ref, a, i_b, nb, keep):
     uniform bits vs a precomputed threshold) — no float conversion; the
     VPU epilogue, not the matmul, is this kernel's bottleneck."""
     x = x_ref[:] if x_ref.ndim == 2 else x_ref[0]
+    if keep >= 1.0:  # rate 0: exact identity (the integer threshold
+        return x     # below would drop ~1 in 2^31 elements)
     if mask_ref is not None:
         m = mask_ref[0] > 0.5  # float mask: v5e has no int8 vector compare
     else:
