@@ -246,13 +246,18 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     if fused_recon_args is not None and cfg.mode == "ZINB":
         # fused three-head ZINB kernel (ops/zinb_pallas.py); outs.x_rec
         # holds the decoder pre-output hidden
-        from dvae_tpu.ops.zinb_pallas import fused_zinb
         fparams, x_target = fused_recon_args
-        sums = fused_zinb(outs.x_rec,
-                          fparams["fc11"]["w"], fparams["fc11"]["b"],
-                          fparams["fc11_p"]["w"], fparams["fc11_p"]["b"],
-                          fparams["fc11_r"]["w"], fparams["fc11_r"]["b"],
-                          x_target)
+        if spmd_axes is not None:
+            from dvae_tpu.ops.partitioned import make_partitioned_zinb
+            zinb_op = make_partitioned_zinb(spmd_axes[0], spmd_axes[1])
+        else:
+            from dvae_tpu.ops.zinb_pallas import fused_zinb
+            zinb_op = fused_zinb
+        sums = zinb_op(outs.x_rec,
+                       fparams["fc11"]["w"], fparams["fc11"]["b"],
+                       fparams["fc11_p"]["w"], fparams["fc11_p"]["b"],
+                       fparams["fc11_r"]["w"], fparams["fc11_r"]["b"],
+                       x_target)
         loss_rec = sums / (B * xs.shape[-1])
         ll_sumsq = None   # ll proxy = the NLL itself (no materialized rec)
     elif fused_recon_args is not None:

@@ -38,7 +38,7 @@ from jax.experimental.custom_partitioning import (SdyShardingRule,
                                                   custom_partitioning)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dvae_tpu.ops import encoder_pallas, recon_pallas
+from dvae_tpu.ops import encoder_pallas, recon_pallas, zinb_pallas
 
 _SEED_STRIDE = 0x9E3779B1 - (1 << 32)  # golden-ratio stride (as signed i32)
                                        # decorrelates shard seeds
@@ -301,6 +301,127 @@ def make_partitioned_dropout_fc1(arm_axes, batch_axes, rate: float):
         dw, db = b_cp(*args)
         dmask = None if mask is None else jnp.zeros_like(mask)
         return (None, jnp.zeros_like(x), dw, db, dmask)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# fused_zinb, partitioned
+# ---------------------------------------------------------------------------
+
+def make_partitioned_zinb(arm_axes, batch_axes, eps: float = 1e-6):
+    """Build an SPMD-partitioned fused_zinb(h, w_r, b_r, w_p, b_p, w_z,
+    b_z, x) → (A,) loss sums; same layout discipline as
+    make_partitioned_recon (per-arm sums psum'ed over the batch axes)."""
+    arm_axes, batch_axes = _axes(arm_axes), _axes(batch_axes)
+    a_s = arm_axes or None
+    b_s = batch_axes or None
+
+    def _in_specs(shared_x):
+        x_spec = P(b_s, None) if shared_x else P(a_s, b_s, None)
+        w, b = P(a_s, None, None), P(a_s, None)
+        return (P(a_s, b_s, None), w, b, w, b, w, b, x_spec)
+
+    def _maps(shared_x):
+        x_map = ("b", "d") if shared_x else ("a", "b", "d")
+        w, b = ("a", "f", "d"), ("a", "d")
+        return (("a", "b", "f"), w, b, w, b, w, b, x_map)
+
+    _defined = {}
+
+    def _ensure(shared_x):
+        if shared_x in _defined:
+            return _defined[shared_x]
+
+        def f_raw(h, wr, br, wp, bp, wz, bz, k):
+            return zinb_pallas._fwd(h, ((wr, br), (wp, bp), (wz, bz)), k,
+                                    eps)
+
+        f_cp = custom_partitioning(f_raw)
+
+        def f_infer(mesh, arg_infos, result_infos):
+            return NamedSharding(mesh, P(a_s))
+
+        def f_partition(mesh, arg_infos, result_infos):
+            arg_sh = tuple(NamedSharding(mesh, s)
+                           for s in _in_specs(shared_x))
+            out_sh = NamedSharding(mesh, P(a_s))
+
+            def impl(h, wr, br, wp, bp, wz, bz, k):
+                s = zinb_pallas._fwd(h, ((wr, br), (wp, bp), (wz, bz)), k,
+                                     eps)
+                return _psum(s, batch_axes)
+
+            return mesh, impl, out_sh, arg_sh
+
+        f_cp.def_partition(
+            infer_sharding_from_operands=f_infer,
+            partition=f_partition,
+            sharding_rule=SdyShardingRule(operand_mappings=_maps(shared_x),
+                                          result_mappings=(("a",),)))
+
+        def b_raw(g, h, wr, br, wp, bp, wz, bz, k):
+            dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = zinb_pallas._bwd_call(
+                g, h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
+            return dh, dwr, dbr, dwp, dbp, dwz, dbz
+
+        b_cp = custom_partitioning(b_raw)
+        dh_sh = P(a_s, b_s, None)
+        dw_sh, db_sh = P(a_s, None, None), P(a_s, None)
+        out_specs = (dh_sh, dw_sh, db_sh, dw_sh, db_sh, dw_sh, db_sh)
+
+        def b_infer(mesh, arg_infos, result_infos):
+            return tuple(NamedSharding(mesh, s) for s in out_specs)
+
+        def b_partition(mesh, arg_infos, result_infos):
+            arg_sh = (NamedSharding(mesh, P(a_s)),) + tuple(
+                NamedSharding(mesh, s) for s in _in_specs(shared_x))
+            out_sh = tuple(NamedSharding(mesh, s) for s in out_specs)
+
+            def impl(g, h, wr, br, wp, bp, wz, bz, k):
+                dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = \
+                    zinb_pallas._bwd_call(
+                        g, h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
+                ps = lambda t: _psum(t, batch_axes)
+                return (dh, ps(dwr), ps(dbr), ps(dwp), ps(dbp),
+                        ps(dwz), ps(dbz))
+
+            return mesh, impl, out_sh, arg_sh
+
+        b_cp.def_partition(
+            infer_sharding_from_operands=b_infer,
+            partition=b_partition,
+            sharding_rule=SdyShardingRule(
+                operand_mappings=(("a",),) + _maps(shared_x),
+                result_mappings=(("a", "b", "f"),
+                                 ("a", "f", "d"), ("a", "d"),
+                                 ("a", "f", "d"), ("a", "d"),
+                                 ("a", "f", "d"), ("a", "d"))))
+        _defined[shared_x] = (f_cp, b_cp)
+        return _defined[shared_x]
+
+    @jax.custom_vjp
+    def op(h, w_r, b_r, w_p, b_p, w_z, b_z, x):
+        f_cp, _ = _ensure(x.ndim == 2)
+        return f_cp(h, w_r, b_r, w_p, b_p, w_z, b_z,
+                    jnp.expm1(x.astype(jnp.float32)))
+
+    def op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x):
+        f_cp, _ = _ensure(x.ndim == 2)
+        k = jnp.expm1(x.astype(jnp.float32))
+        heads = (w_r, b_r, w_p, b_p, w_z, b_z)
+        return f_cp(h, *heads, k), (h, heads, k, x.ndim == 2)
+
+    def op_bwd(res, g):
+        h, heads, k, shared = res
+        _, b_cp = _ensure(shared)
+        outs = b_cp(g, h, *heads, k)
+        dh, dwr, dbr, dwp, dbp, dwz, dbz = outs
+        c = lambda t, like: t.astype(like.dtype)
+        return (c(dh, h), c(dwr, heads[0]), c(dbr, heads[1]),
+                c(dwp, heads[2]), c(dbp, heads[3]),
+                c(dwz, heads[4]), c(dbz, heads[5]), jnp.zeros_like(k))
 
     op.defvjp(op_fwd, op_bwd)
     return op

@@ -124,9 +124,7 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
         xs = xs.astype(compute_dtype)
         if x_shared is not None:
             x_shared = x_shared.astype(compute_dtype)
-    # fused ZINB has no multi-chip partitioning rule yet — multi-device
-    # ZINB falls back to the XLA path (GSPMD partitions it natively)
-    fused = cfg.fused_recon and (cfg.mode != "ZINB" or spmd_axes is None)
+    fused = cfg.fused_recon
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
                                 train=True, mask=mask, prior_c=prior_c,
                                 skip_recon=fused, x_shared=x_shared,

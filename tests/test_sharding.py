@@ -197,3 +197,40 @@ class TestPartitionedFusedOps:
             _, ems = run(state, x, None, 1.0)
             outs[name] = np.asarray(ems.total)
         np.testing.assert_allclose(outs["multi"], outs["single"], rtol=5e-4)
+
+    def test_partitioned_zinb_matches_oracle(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dvae_tpu.ops.partitioned import make_partitioned_zinb
+        from dvae_tpu.ops.zinb_pallas import zinb_heads_reference
+
+        mesh = self._mesh()
+        r = np.random.default_rng(2)
+        A, B, F, D = 4, 64, 16, 40
+        h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
+        mk = lambda: (
+            jnp.asarray(0.1 * r.normal(size=(A, F, D)).astype(np.float32)),
+            jnp.asarray(0.1 * r.normal(size=(A, D)).astype(np.float32)))
+        (wr, br), (wp, bp), (wz, bz) = mk(), mk(), mk()
+        x = jnp.asarray((np.maximum(r.normal(0.8, 1, (B, D)), 0)
+                         * (r.random((B, D)) > 0.5)).astype(np.float32))
+        xa = jnp.broadcast_to(x, (A, B, D))
+        op = make_partitioned_zinb(("arm",), ("data", "fsdp"))
+        put = lambda t, s: jax.device_put(t, NamedSharding(mesh, s))
+        hs = put(h, P("arm", ("data", "fsdp"), None))
+        args = (put(wr, P("arm", None, None)), put(br, P("arm", None)),
+                put(wp, P("arm", None, None)), put(bp, P("arm", None)),
+                put(wz, P("arm", None, None)), put(bz, P("arm", None)))
+        xts = put(x, P(("data", "fsdp"), None))
+        s = jax.jit(lambda *a: op(*a, xts))(hs, *args)
+        s0 = zinb_heads_reference(h, wr, br, wp, bp, wz, bz, xa)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=2e-4)
+        g = jax.jit(jax.grad(
+            lambda *a: jnp.sum(op(*a, xts) * jnp.arange(1, A + 1)),
+            tuple(range(7))))(hs, *args)
+        g0 = jax.grad(
+            lambda *a: jnp.sum(zinb_heads_reference(*a, xa)
+                               * jnp.arange(1, A + 1)),
+            tuple(range(7)))(h, wr, br, wp, bp, wz, bz)
+        for a, e in zip(g, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=5e-3, atol=3e-3)
