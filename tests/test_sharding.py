@@ -234,3 +234,36 @@ class TestPartitionedFusedOps:
         for a, e in zip(g, g0):
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=5e-3, atol=3e-3)
+
+    def test_fused_zinb_multi_device_epoch_matches_single(self):
+        from dvae_tpu.data.anndata_io import synthetic_dataset
+        from dvae_tpu.parallel.sharding import replicated, strategy_shardings
+        from dvae_tpu.train.step import (init_train_state,
+                                         make_epoch_runner, make_optimizer)
+
+        cfg = CFG.replace(fused_recon=True, fused_encoder=True, x_drop=0.0,
+                          mode="ZINB")
+        mesh = self._mesh()
+        ds = synthetic_dataset(n_cells=160, n_genes=64, n_types=8, seed=0)
+        x_all = jnp.asarray(ds.log1p)
+        outs = {}
+        for name in ("multi", "single"):
+            tc = (TCFG.replace(mesh=MeshConfig(data=2, arm=2, fsdp=2))
+                  if name == "multi" else TCFG)
+            tx = make_optimizer(cfg)
+            state = init_train_state(jax.random.key(0), cfg, tx)
+            x = x_all
+            if name == "multi":
+                shs = strategy_shardings(ShardingStrategy.FULL_SHARD, mesh,
+                                         state.params, state.bn,
+                                         state.opt_state)
+                state = state._replace(
+                    params=jax.device_put(state.params, shs[0]),
+                    bn=jax.device_put(state.bn, shs[1]),
+                    opt_state=jax.device_put(state.opt_state, shs[2]))
+                x = jax.device_put(x_all, replicated(mesh))
+            run = jax.jit(make_epoch_runner(cfg, tc, tx, n_train=160))
+            _, ems = run(state, x, None, 1.0)
+            outs[name] = np.asarray(ems.total)
+        assert np.isfinite(outs["multi"]).all()
+        np.testing.assert_allclose(outs["multi"], outs["single"], rtol=5e-4)
