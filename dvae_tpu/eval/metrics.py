@@ -181,8 +181,14 @@ def pairwise_confmats_device(labels, K: int):
                       preferred_element_type=jnp.float32)
 
 
-def consensus_device(labels, K: int):
-    """Mean pairwise consensus, fully on device. ``labels``: (A, N) ints."""
+def consensus_device(labels, K: int, active_only: bool = False):
+    """Mean pairwise consensus, fully on device. ``labels``: (A, N) ints.
+
+    ``active_only=False`` is the reference metric (mean diagonal over all
+    K categories, mmidas/_utils.py:127) — note its structural ceiling of
+    n_used_categories / K when the model uses fewer than K categories.
+    ``active_only=True`` averages the diagonal over categories with any
+    support in the pair, removing that ceiling (a TPU-build extension)."""
     A = labels.shape[0]
     cms = pairwise_confmats_device(labels, K)          # (A, A, K, K)
     col = jnp.sum(cms, axis=-2)                        # (A, A, K)
@@ -190,7 +196,11 @@ def consensus_device(labels, K: int):
     maxes = jnp.maximum(col, row)
     diag = jnp.diagonal(cms, axis1=-2, axis2=-1)       # (A, A, K)
     norm_diag = jnp.where(maxes != 0, diag / jnp.where(maxes == 0, 1, maxes), 0.0)
-    per_pair = jnp.mean(norm_diag, axis=-1)            # (A, A)
+    if active_only:
+        n_active = jnp.maximum(jnp.sum(maxes != 0, axis=-1), 1)
+        per_pair = jnp.sum(norm_diag, axis=-1) / n_active
+    else:
+        per_pair = jnp.mean(norm_diag, axis=-1)        # (A, A)
     iu = jnp.triu_indices(A, k=1)
     n_pairs = A * (A - 1) // 2
     if n_pairs == 0:

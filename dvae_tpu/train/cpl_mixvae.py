@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvae_tpu.config import MeshConfig, ShardingStrategy, TrainConfig, VAEConfig
-from dvae_tpu.eval.metrics import (consensus_from_labels,
+from dvae_tpu.eval.metrics import (consensus_device, consensus_from_labels,
                                    per_category_agreement)
 from dvae_tpu.models import mixvae
 from dvae_tpu.models.losses import mixvae_loss
@@ -348,8 +348,13 @@ class CplMixVAE:
             labels.append(np.asarray(lab))
         labels = np.concatenate(labels, axis=1)
         cons = consensus_from_labels(labels, self.cfg.n_categories)
+        # active-only variant: mean diagonal over supported categories —
+        # removes the structural n_used/K ceiling of the reference metric
+        cons_active = float(np.asarray(consensus_device(
+            jnp.asarray(labels), self.cfg.n_categories, active_only=True)))
         rec = np.mean(recs, axis=0)
         return {"loss": float(np.mean(tot)), "consensus": cons,
+                "consensus_active": cons_active,
                 **{f"rec_loss_arm{a}": float(rec[a])
                    for a in range(self.cfg.n_arm)}}
 

@@ -84,3 +84,20 @@ def test_classify_and_ecdf():
 def test_parse_epoch():
     assert parse_epoch("cpl_mixVAE_model_epoch_420.pth") == 420
     assert parse_epoch("nonsense") == "nonsense"
+
+
+def test_consensus_active_only_removes_structural_ceiling():
+    """With perfect agreement on only k of K categories, the reference
+    metric caps at k/K while the active-only variant reads 1.0."""
+    import jax.numpy as jnp
+    from dvae_tpu.eval.metrics import consensus_device
+
+    rng = np.random.default_rng(0)
+    k, K, N = 5, 20, 400
+    lab = rng.integers(0, k, N)
+    labels = jnp.asarray(np.stack([lab, lab]))
+    full = float(np.asarray(consensus_device(labels, K)))
+    active = float(np.asarray(consensus_device(labels, K,
+                                               active_only=True)))
+    assert full == pytest.approx(k / K)
+    assert active == pytest.approx(1.0)
