@@ -5,7 +5,8 @@ XLA reference implementation: dvae_tpu/models/losses.py
 ``loss_vectorize`` :617-628).  The XLA path materializes log(c+eps) and the
 precision-scaled tensor prec = logc·rsqrt(var_B(c)+eps) — two extra
 (A, B, C) HBM tensors — before the Gram contraction.  This kernel streams
-``c`` through VMEM **once** in two grid phases:
+``c`` through VMEM in two grid phases (each block is DMA'd twice,
+once per phase):
 
   phase 0: accumulate Σ_B c and Σ_B c² per (A, C)  → batch variance
   phase 1: w = rsqrt(var+eps); prec = log(c+eps)·w; G += prec·precᵀ (MXU)

@@ -42,20 +42,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvae_tpu.ops._common import (compiler_params as _params,
+                                  interpret as _interpret,
+                                  row_valid as _row_valid,
+                                  tile_rows)
+
 _TILE_B = 512
-_VMEM_LIMIT = 64 * 1024 * 1024
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _tile_b(B: int) -> int:
-    return min(_TILE_B, B)
-
-
-def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return tile_rows(B, _TILE_B)
 
 
 def _dropped_tile(x_ref, mask_ref, seed_ref, a, i_b, nb, keep):
@@ -65,10 +61,11 @@ def _dropped_tile(x_ref, mask_ref, seed_ref, a, i_b, nb, keep):
     uniform bits vs a precomputed threshold) — no float conversion; the
     VPU epilogue, not the matmul, is this kernel's bottleneck."""
     x = x_ref[:] if x_ref.ndim == 2 else x_ref[0]
-    if keep >= 1.0:  # rate 0: exact identity (the integer threshold
-        return x     # below would drop ~1 in 2^31 elements)
-    if mask_ref is not None:
+    if mask_ref is not None:  # explicit mask wins even at rate 0
         m = mask_ref[0] > 0.5  # float mask: v5e has no int8 vector compare
+    elif keep >= 1.0:
+        return x  # rate 0: exact identity (the integer threshold below
+        #           would drop ~1 in 2^31 elements)
     else:
         pltpu.prng_seed(seed_ref[0] + a * nb + i_b)
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
@@ -167,10 +164,8 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, mask_ref, dw_ref, db_ref, *, nb,
     if has_edge:
         @pl.when(i_b == nb - 1)
         def _():
-            rows = (jax.lax.broadcasted_iota(jnp.int32, xd.shape, 0)
-                    + i_b * tile_b) < n_rows
-            rows_g = (jax.lax.broadcasted_iota(jnp.int32, g_ref[0].shape, 0)
-                      + i_b * tile_b) < n_rows
+            rows = _row_valid(i_b, xd.shape, tile_b, n_rows)
+            rows_g = _row_valid(i_b, g_ref[0].shape, tile_b, n_rows)
             accumulate(jnp.where(rows, xd, 0),
                        jnp.where(rows_g, g_ref[0], 0))
 
@@ -246,14 +241,18 @@ def fused_dropout_fc1(seed, x, w, b, rate: float, mask=None):
 
 
 def _op_fwd(seed, x, w, b, rate, mask=None):
-    return _fwd(seed, x, w, b, 1.0 - rate, mask), (seed, x, mask, w.shape)
+    # a 0-size array carries w's dtype into the bwd (cotangents must match
+    # the primal dtypes under bf16 compute)
+    res = (seed, x, mask, w.shape, jnp.zeros((0,), w.dtype))
+    return _fwd(seed, x, w, b, 1.0 - rate, mask), res
 
 
 def _op_bwd(rate, res, g):
-    seed, x, mask, (A, D, F) = res
+    seed, x, mask, (A, D, F), w_dtype = res
     dw, db = _bwd_call(seed, x, g, 1.0 - rate, mask, D, F)
     dmask = None if mask is None else jnp.zeros_like(mask)
-    return (None, jnp.zeros_like(x), dw, db, dmask)
+    return (None, jnp.zeros_like(x), dw.astype(w_dtype.dtype),
+            db.astype(w_dtype.dtype), dmask)
 
 
 fused_dropout_fc1.defvjp(_op_fwd, _op_bwd)

@@ -70,7 +70,7 @@ def _gumbel_kernel_with_u(temp_ref, phi_ref, u_ref, out_ref, *, eps, tau,
     out_ref[:] = _finish(phi_ref[:], u_ref[:], temp_ref[0], eps, tau, hard)
 
 
-def _pad_rows(x, nb, pad, fill=0.0):
+def _pad_rows(x, pad, fill=0.0):
     return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill) if pad else x
 
 
@@ -89,7 +89,7 @@ def _gumbel_fwd_pallas(seed: jax.Array, phi: jax.Array, temp: float,
     N = x.shape[0]
     nb = pl.cdiv(N, _BLOCK_B)
     pad = nb * _BLOCK_B - N
-    x = _pad_rows(x, nb, pad, fill=1.0)
+    x = _pad_rows(x, pad, fill=1.0)
     spec = pl.BlockSpec((_BLOCK_B, C), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     if u is None and _interpret():
@@ -99,7 +99,7 @@ def _gumbel_fwd_pallas(seed: jax.Array, phi: jax.Array, temp: float,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     temp_arr = jnp.asarray(temp, jnp.float32).reshape(1)
     if u is not None:
-        uu = _pad_rows(u.reshape(-1, C).astype(jnp.float32), nb, pad,
+        uu = _pad_rows(u.reshape(-1, C).astype(jnp.float32), pad,
                        fill=0.5)
         out = pl.pallas_call(
             functools.partial(_gumbel_kernel_with_u, eps=eps, tau=tau,

@@ -292,15 +292,16 @@ def make_partitioned_dropout_fc1(arm_axes, batch_axes, rate: float):
     def op_fwd(seed, x, w, b, mask=None):
         f_cp, _ = _ensure(x.ndim == 2, mask is not None)
         args = (seed, x, w, b) + ((mask,) if mask is not None else ())
-        return f_cp(*args), (seed, x, mask)
+        return f_cp(*args), (seed, x, mask, jnp.zeros((0,), w.dtype))
 
     def op_bwd(res, g):
-        seed, x, mask = res
+        seed, x, mask, w_dtype = res
         _, b_cp = _ensure(x.ndim == 2, mask is not None)
         args = (seed, x, g) + ((mask,) if mask is not None else ())
         dw, db = b_cp(*args)
         dmask = None if mask is None else jnp.zeros_like(mask)
-        return (None, jnp.zeros_like(x), dw, db, dmask)
+        return (None, jnp.zeros_like(x), dw.astype(w_dtype.dtype),
+                db.astype(w_dtype.dtype), dmask)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -411,17 +412,19 @@ def make_partitioned_zinb(arm_axes, batch_axes, eps: float = 1e-6):
         f_cp, _ = _ensure(x.ndim == 2)
         k = jnp.expm1(x.astype(jnp.float32))
         heads = (w_r, b_r, w_p, b_p, w_z, b_z)
-        return f_cp(h, *heads, k), (h, heads, k, x.ndim == 2)
+        return (f_cp(h, *heads, k),
+                (h, heads, k, x.ndim == 2, jnp.zeros((0,), x.dtype)))
 
     def op_bwd(res, g):
-        h, heads, k, shared = res
+        h, heads, k, shared, x_dtype = res
         _, b_cp = _ensure(shared)
         outs = b_cp(g, h, *heads, k)
         dh, dwr, dbr, dwp, dbp, dwz, dbz = outs
         c = lambda t, like: t.astype(like.dtype)
         return (c(dh, h), c(dwr, heads[0]), c(dbr, heads[1]),
                 c(dwp, heads[2]), c(dbp, heads[3]),
-                c(dwz, heads[4]), c(dbz, heads[5]), jnp.zeros_like(k))
+                c(dwz, heads[4]), c(dbz, heads[5]),
+                jnp.zeros(k.shape, x_dtype.dtype))
 
     op.defvjp(op_fwd, op_bwd)
     return op

@@ -43,27 +43,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvae_tpu.ops._common import (compiler_params as _params,
+                                  interpret as _interpret,
+                                  row_valid as _row_valid,
+                                  tile_rows)
+
 _TILE_B = 512
-# the f32 r/gm tile intermediates exceed the compiler's default 16 MB scoped
-# VMEM budget; v5e/v4 TensorCores have ~128 MB physical VMEM
-_VMEM_LIMIT = 64 * 1024 * 1024
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _tile_b(B: int) -> int:
-    return min(_TILE_B, B)
-
-
-def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-
-
-def _row_valid(i_b: jax.Array, shape, tile_b: int, n_valid: int):
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i_b * tile_b
-    return rows < n_valid
+    return tile_rows(B, _TILE_B)
 
 
 def _tile_recon_f32(h_ref, w_ref, b_ref):

@@ -39,6 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvae_tpu.ops._common import (compiler_params, interpret as _interpret,
+                                  row_valid as _row_valid)
+
 _TILE_B = 256      # forward: three f32 head tiles + loss intermediates
 _TILE_B_BWD = 128  # backward is straight-line analytic math (below) with a
                    # small live set — no autodiff residuals
@@ -84,12 +87,8 @@ _STIRLING_CUT = 10.0   # Q(x) ~ x^8 overflows f32 past ~1e4; Stirling is
 #                        ~1e-9 accurate from z=10 up and much cheaper
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return compiler_params(_VMEM_LIMIT)
 
 
 def _polyder(coeffs):
@@ -172,11 +171,6 @@ def _tile_zinb_sum(y_r, y_p, y_z, k, valid, eps):
     return jnp.sum(jnp.where(valid, loss, 0.0))
 
 
-def _row_valid(i_b, shape, tile_b, n_rows):
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i_b * tile_b
-    return rows < n_rows
-
-
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -201,7 +195,7 @@ def _fwd_kernel(h_ref, wr_ref, br_ref, wp_ref, bp_ref, wz_ref, bz_ref, x_ref,
     out_ref[a, 0] += _tile_zinb_sum(y_r, y_p, y_z, k, valid, eps)
 
 
-def _specs(A, B, F, D, tb, shared_x, grid_order):
+def _specs(F, D, tb, shared_x, grid_order):
     """(h, w_r, b_r, w_p, b_p, w_z, b_z, x) block specs; grid (nb, A) when
     grid_order='bA' (arms innermost, shared x reused) else (A, nb)."""
     if grid_order == "bA":
@@ -237,7 +231,7 @@ def _fwd(h, heads, x, eps):
         functools.partial(_fwd_kernel, tile_b=tb, n_rows=B, eps=eps,
                           shared_x=shared_x),
         grid=(nb, A),
-        in_specs=_specs(A, B, F, D, tb, shared_x, "bA"),
+        in_specs=_specs(F, D, tb, shared_x, "bA"),
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((A, 1), jnp.float32),
         compiler_params=_params(),
@@ -331,7 +325,7 @@ def _bwd_call(g, h, heads, x, eps):
         functools.partial(_bwd_kernel, tile_b=tb, n_rows=B, eps=eps,
                           shared_x=shared_x),
         grid=(A, nb),   # arms outermost: dW/db revisits are consecutive
-        in_specs=[g_spec] + _specs(A, B, F, D, tb, shared_x, "Ab"),
+        in_specs=[g_spec] + _specs(F, D, tb, shared_x, "Ab"),
         out_specs=(
             pl.BlockSpec((1, tb, F), lambda a, i: (a, i, 0),
                          memory_space=pltpu.VMEM),
@@ -375,16 +369,19 @@ def fused_zinb(h, w_r, b_r, w_p, b_p, w_z, b_z, x, eps: float = 1e-6):
 def _op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x, eps):
     heads = ((w_r, b_r), (w_p, b_p), (w_z, b_z))
     k = jnp.expm1(x.astype(jnp.float32))
-    return _fwd(h, heads, k, eps), (h, heads, k)
+    # 0-size dtype token: the x-cotangent must match the PRIMAL x dtype,
+    # not the f32 residual k's
+    return _fwd(h, heads, k, eps), (h, heads, k, jnp.zeros((0,), x.dtype))
 
 
 def _op_bwd(eps, res, g):
-    h, heads, x = res
-    dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = _bwd_call(g, h, heads, x, eps)
+    h, heads, k, x_dtype = res
+    dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = _bwd_call(g, h, heads, k, eps)
     c = lambda t, like: t.astype(like.dtype)
     return (c(dh, h), c(dwr, heads[0][0]), c(dbr, heads[0][1]),
             c(dwp, heads[1][0]), c(dbp, heads[1][1]),
-            c(dwz, heads[2][0]), c(dbz, heads[2][1]), jnp.zeros_like(x))
+            c(dwz, heads[2][0]), c(dbz, heads[2][1]),
+            jnp.zeros(k.shape, x_dtype.dtype))
 
 
 fused_zinb.defvjp(_op_fwd, _op_bwd)

@@ -391,3 +391,23 @@ class TestFusedZINB:
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-3),
                 g0, g1)
+
+
+def test_sharpen_gumbel_fused_tau_matches_xla():
+    """ops/gumbel_pallas.sharpen_gumbel_pallas (fused tau-softmax + gumbel)
+    vs the two-stage XLA formula with the same injected noise."""
+    from dvae_tpu.ops.gumbel_pallas import sharpen_gumbel_pallas
+
+    logits = jnp.asarray(rng.normal(size=(2, 150, 12)).astype(np.float32))
+    tau = 0.1
+    u = jnp.asarray(rng.random(logits.shape).astype(np.float32))
+    y = sharpen_gumbel_pallas(jnp.int32(0), logits, tau, 0.8, EPS, False,)
+    # distribution check only for the PRNG path is covered elsewhere; here
+    # drive the with-u kernel through the public fused-tau wrapper
+    from dvae_tpu.ops.gumbel_pallas import _gumbel_fwd_pallas
+    y = _gumbel_fwd_pallas(jnp.int32(0), logits, 0.8, EPS, tau, False, u)
+    phi = jax.nn.softmax(logits / tau, axis=-1)
+    g = -jnp.log(-jnp.log(u + EPS) + EPS)
+    y_ref = jax.nn.softmax((jnp.log(phi + EPS) + g) / 0.8, axis=-1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
