@@ -59,13 +59,31 @@ def load_vae(path: str, cfg: Optional[VAEConfig] = None):
         cfg_dict = dict(meta.get("cfg", {}))
         if not cfg_dict:
             raise ValueError(f"{path} stores no config; pass cfg=")
-        cfg_dict.pop("reparam_noise", None)
         known = {f.name for f in
                  __import__("dataclasses").fields(VAEConfig)}
         cfg = VAEConfig(**{k: v for k, v in cfg_dict.items() if k in known})
     if mask is None:
         mask = jnp.ones((cfg.n_categories,), jnp.float32)
     return cfg, params, bn, mask
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_fwd(cfg: VAEConfig, temp: float):
+    """Jitted inference forward, cached per (cfg, temp) — a fresh closure
+    per generate() call would recompile every time (30-60 s through this
+    container's remote TPU compiler)."""
+
+    @jax.jit
+    def fwd(params, bn, xs, key, mask):
+        outs, _ = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
+                               train=False, mask=mask)
+        aux = mixvae_loss(cfg, outs, xs)
+        return outs, aux
+
+    return fwd
 
 
 def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
@@ -81,13 +99,7 @@ def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
     key = jax.random.key(0) if key is None else key
     if mask is None:
         mask = jnp.ones((cfg.n_categories,), jnp.float32)
-
-    @jax.jit
-    def fwd(params, bn, xs, key):
-        outs, _ = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
-                               train=False, mask=mask)
-        aux = mixvae_loss(cfg, outs, xs)
-        return outs, aux
+    fwd = _generate_fwd(cfg, float(temp))
 
     xj = jnp.asarray(x, jnp.float32)
     n = xj.shape[0]
@@ -98,7 +110,7 @@ def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
         key, k = jax.random.split(key)
         xb = xj[i: i + batch_size]
         xs = jnp.broadcast_to(xb, (cfg.n_arm,) + xb.shape)
-        outs, aux = fwd(params, bn, xs, k)
+        outs, aux = fwd(params, bn, xs, k, mask)
         acc["recon"].append(np.asarray(outs.x_rec))
         acc["c_prob"].append(np.asarray(outs.c))
         acc["c_smp"].append(np.asarray(outs.c_smp))
@@ -109,7 +121,8 @@ def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
         acc["pred_label"].append(np.asarray(jnp.argmax(outs.c, -1)))
         recs.append(np.asarray(aux.loss_rec))
     out = {k: np.concatenate(v, axis=1) for k, v in acc.items()}
-    out["loss_rec"] = np.mean(recs, axis=0)
+    sizes = [min(batch_size, n - i) for i in range(0, n, batch_size)]
+    out["loss_rec"] = np.average(recs, axis=0, weights=sizes)
     return out
 
 

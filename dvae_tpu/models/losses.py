@@ -136,7 +136,14 @@ def _pair_sums_from_gram(v: jax.Array) -> jax.Array:
     mean_B ‖v_a − v_b‖² = G_aa + G_bb − 2·G_ab with
     G = einsum('abc,dbc->ad', v, v) / B, so the pair sum collapses to
     A·tr(G) − sum(G).
+
+    The differences are invariant to subtracting any constant (C,) vector
+    from every arm, so v is centered first: with sharp posteriors, dead
+    categories carry identical huge constants (log(eps)·inv_sd ≈ −1.8e5)
+    in every arm, and the uncentered f32 Gram entries (~1e15) cancel
+    catastrophically in A·tr − Σ — the pair sum silently collapses to 0.
     """
+    v = v - jnp.mean(v, axis=(0, 1))
     B = v.shape[1]
     g = jnp.einsum("abc,dbc->ad", v, v,
                    preferred_element_type=jnp.float32) / B
@@ -231,6 +238,10 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     (extra entropy / L2 / λ_pc·BCE terms, reference :571-576 — note the
     reference's current-generation loss asserts this path off at :578; the
     working semantics are preserved from the pre-refactor generation).
+    The prior BCE rides inside the distance sum, so its effective weight
+    is λ·λ_pc — exactly as in the reference, which appends
+    ``lam_pc * BCE`` to ``c_dists`` before the ``self.lam`` multiply
+    (nn_model.py:576-580; build/lib/.../nn_model.py:418,424).
 
     ``fused_recon_args = (w11, b11, x_target)`` switches the reconstruction
     terms to the fused Pallas kernel (cfg.fused_recon path): ``outs.x_rec``

@@ -149,9 +149,13 @@ def _batch_norm(x, stats, train: bool, momentum: float, eps: float):
     Train: normalize with the *biased* batch variance; update running var
     with the *unbiased* batch variance (torch BatchNorm behavior).
     Eval: normalize with running statistics.
-    Running stats are updated per local batch only — the reference never
-    syncs BN stats across ranks (no SyncBatchNorm anywhere in the repo), and
-    we replicate that semantics under data parallelism.
+    Under a batch-sharded mesh the axis-0 reductions here are GLOBAL (the
+    partitioner inserts the collectives) — SyncBatchNorm semantics.  The
+    reference never syncs BN stats across ranks, but that is an artifact
+    of its DDP wrapping; global statistics are the statistically cleaner
+    choice and make the loss placement-invariant across sharding
+    strategies (tests/test_sharding.py).  Fidelity caveat documented here
+    rather than replicated.
     """
     if train:
         # statistics in f32 even under bf16 compute: the variance reduction

@@ -220,9 +220,16 @@ class CplMixVAE:
 
         # donating the carried state lets XLA update params/opt buffers
         # in place across chunk boundaries (no 2x state copy per chunk)
-        runner = jax.jit(make_epoch_runner(
-            cfg, tcfg, self.tx, n_train, augment=self._augment_fn()),
-            donate_argnums=(0,))
+        _runners = {}
+
+        def runner(n_chunk: int):
+            if n_chunk not in _runners:
+                _runners[n_chunk] = jax.jit(make_epoch_runner(
+                    cfg, tcfg, self.tx, n_train,
+                    augment=self._augment_fn(),
+                    epochs_per_chunk=n_chunk), donate_argnums=(0,))
+            return _runners[n_chunk]
+
         self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn())
 
         self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
@@ -264,49 +271,60 @@ class CplMixVAE:
 
     def _run_phase(self, runner, x_all, prior_all, x_val, n_epoch, temp,
                    stop_con, logger, phase: str) -> None:
+        """``runner``: chunk-size → jitted epoch-runner factory."""
         cfg, tcfg = self.cfg, self.tcfg
         E = tcfg.epochs_per_jit
         done = 0
         best_con = -1.0   # consensus can peak and decay (coupled clusterings
         #                   drift apart with overtraining); keep the best
+
+        def crossed(cadence: int) -> bool:
+            # did a multiple of ``cadence`` fall inside the last chunk?
+            c = max(cadence, 1)
+            return (done // c) > ((done - n_chunk) // c)
+
         while done < n_epoch:
+            n_chunk = min(E, n_epoch - done)   # exact epoch budget
             t0 = time.perf_counter()
-            self.state, ems = runner(self.state, x_all, prior_all, temp)
+            self.state, ems = runner(n_chunk)(self.state, x_all, prior_all,
+                                              temp)
             total = np.asarray(ems.total)       # forces completion
             dt = time.perf_counter() - t0
             cons = np.asarray(ems.consensus)
             rec = np.asarray(ems.loss_rec)
-            base = int(self.state.epoch) - E
-            for e in range(E):
+            joint = np.asarray(ems.loss_joint)
+            negent = np.asarray(ems.neg_entropy)
+            c_dist = np.asarray(ems.c_dist)
+            c_l2 = np.asarray(ems.c_l2_dist)
+            mem = device_memory_mb()
+            base = int(self.state.epoch) - n_chunk
+            for e in range(n_chunk):
                 row = {
                     f"{phase}/loss": float(total[e]),
-                    f"{phase}/loss_joint": float(np.asarray(ems.loss_joint)[e]),
-                    f"{phase}/neg_joint_entropy":
-                        float(np.asarray(ems.neg_entropy)[e]),
-                    f"{phase}/simplex_distance":
-                        float(np.asarray(ems.c_dist)[e]),
-                    f"{phase}/l2_distance":
-                        float(np.asarray(ems.c_l2_dist)[e]),
+                    f"{phase}/loss_joint": float(joint[e]),
+                    f"{phase}/neg_joint_entropy": float(negent[e]),
+                    f"{phase}/simplex_distance": float(c_dist[e]),
+                    f"{phase}/l2_distance": float(c_l2[e]),
                     f"{phase}/consensus": float(cons[e]),
-                    f"{phase}/epoch_time_s": dt / E,
-                    f"{phase}/device_mb": device_memory_mb(),
+                    f"{phase}/epoch_time_s": dt / n_chunk,
+                    f"{phase}/device_mb": mem,
                     **{f"{phase}/rec_loss_arm{a}": float(rec[e, a])
                        for a in range(cfg.n_arm)},
                 }
                 logger.log(row, step=base + e)
-            done += E
+            done += n_chunk
             epoch = int(self.state.epoch)
             mprint(f"[{phase}] epoch {epoch}: loss={total[-1]:.3f} "
-                   f"consensus={cons[-1]:.3f} ({dt / E:.3f}s/epoch)")
+                   f"consensus={cons[-1]:.3f} ({dt / n_chunk:.3f}s/epoch)")
 
-            if x_val is not None and done % max(tcfg.eval_every, E) == 0:
+            if x_val is not None and crossed(tcfg.eval_every):
                 val = self.validate(x_val, temp)
                 logger.log({f"val/{k}": v for k, v in val.items()},
                            step=epoch)
                 mprint(f"[val] loss={val['loss']:.3f} "
                        f"consensus={val['consensus']:.3f}")
 
-            if done % max(tcfg.ckpt_every, E) == 0:
+            if crossed(tcfg.ckpt_every):
                 self.save_checkpoint(f"epoch_{epoch}")
             if float(cons[-1]) > best_con:
                 best_con = float(cons[-1])
@@ -339,21 +357,25 @@ class CplMixVAE:
                                              augment=self._augment_fn())
         x = jnp.asarray(x_val, jnp.float32)
         n = x.shape[0]
-        tot, recs, labels = [], [], []
+        tot, recs, labels, sizes = [], [], [], []
         for i in range(0, n, batch_size):
             aux, lab, _ = self._eval_step(self.state, x[i: i + batch_size],
                                           None, temp)
             tot.append(float(aux.total))
             recs.append(np.asarray(aux.loss_rec))
             labels.append(np.asarray(lab))
+            sizes.append(min(batch_size, n - i))
         labels = np.concatenate(labels, axis=1)
         cons = consensus_from_labels(labels, self.cfg.n_categories)
         # active-only variant: mean diagonal over supported categories —
         # removes the structural n_used/K ceiling of the reference metric
         cons_active = float(np.asarray(consensus_device(
             jnp.asarray(labels), self.cfg.n_categories, active_only=True)))
-        rec = np.mean(recs, axis=0)
-        return {"loss": float(np.mean(tot)), "consensus": cons,
+        # weight per-batch means by batch size (a trailing partial batch
+        # must not get equal weight)
+        rec = np.average(recs, axis=0, weights=sizes)
+        return {"loss": float(np.average(tot, weights=sizes)),
+                "consensus": cons,
                 "consensus_active": cons_active,
                 **{f"rec_loss_arm{a}": float(rec[a])
                    for a in range(self.cfg.n_arm)}}

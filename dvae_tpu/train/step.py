@@ -158,8 +158,7 @@ def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig):
 
 def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation,
-                    augment: Optional[AugmentFn] = None,
-                    donate: bool = True):
+                    augment: Optional[AugmentFn] = None):
     """Build the jitted train step.
 
     step(state, x(B,D), prior_c(B,C)|None, temp) →

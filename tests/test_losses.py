@@ -243,3 +243,20 @@ def test_recon_bce_metric_flag_gradient_identical():
                                    rtol=1e-6, err_msg=ka)
     # values differ (the BCE term is positive)
     assert float(total(params, cfg_on)) > float(total(params, cfg_off))
+
+
+def test_coupling_distance_survives_dead_categories():
+    """Regression: with sharp posteriors (dead categories at exact zero,
+    the production tau=0.005 regime), the uncentered Gram form cancels
+    catastrophically in f32 and returned 0.0; the centered form must
+    match the naive pair-loop oracle."""
+    rng2 = np.random.default_rng(0)
+    A, B, C = 2, 512, 92
+    logits = rng2.normal(size=(A, B, 10)).astype(np.float32) * 3
+    c = np.zeros((A, B, C), np.float32)
+    c[:, :, :10] = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    c = jnp.asarray(c)
+    v = float(coupling_distance(c, 1e-8))
+    n = float(coupling_distance_naive(c, 1e-8))
+    assert n > 100.0  # the regime is nontrivial
+    np.testing.assert_allclose(v, n, rtol=2e-3)
