@@ -1,0 +1,124 @@
+"""Per-op TPU time breakdown of the production training step.
+
+Reconstructs the xprof op_profile recipe: ``jax.XlaRuntimeError``-free
+alternative to ``cost_analysis()`` (which reports 0 FLOPs/bytes for Pallas
+custom calls) — trace a few steps with ``jax.profiler.trace``, then convert
+the captured ``.xplane.pb`` with tensorboard_plugin_profile and print the
+self-time tree.
+
+Usage:
+    python scripts/op_profile.py [--zinb] [--augment] [--steps 30]
+
+Prints the top-k ops by self time plus the total device time per step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# tensorboard_plugin_profile ships stale _pb2 files; the pure-python
+# protobuf runtime accepts them (slow parse, fine for profiles this size)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+def capture(mode: str, steps: int, trace_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvae_tpu.config import TrainConfig, VAEConfig
+    from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
+                                     make_optimizer)
+
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True,
+                    **({"mode": "ZINB"} if mode == "zinb" else {}))
+    tcfg = TrainConfig(batch_size=5000, epochs_per_jit=1, bf16=True,
+                       rng_impl="rbg", shuffle_block=8)
+    N = 20_000
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx,
+                             rng_impl=tcfg.rng_impl)
+
+    augment = None
+    if mode == "augment":
+        from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
+                                                init_augmenter)
+        acfg = AugmenterConfig()
+        ap, abn = init_augmenter(jax.random.key(7), acfg, jnp.bfloat16)
+
+        def augment(key, x, n_arm):
+            return augment_arms(ap, abn, acfg, key, x, n_arm, scale=0.1)
+
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(rng.random((N, cfg.input_dim), dtype=np.float32),
+                        dtype=jnp.bfloat16)
+    run = jax.jit(make_epoch_runner(cfg, tcfg, tx, n_train=N,
+                                    augment=augment,
+                                    consensus_every_epoch=False))
+    state, ems = run(state, x_all, None, 1.0)      # compile
+    np.asarray(ems.total)                          # sync (tunnel-safe)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(max(steps // 4, 1)):        # 4 steps per epoch chunk
+            state, ems = run(state, x_all, None, 1.0)
+        np.asarray(ems.total)
+
+
+def parse(trace_dir: str, top_k: int, n_steps: int) -> None:
+    from xprof.convert import raw_to_tool_data
+
+    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane under {trace_dir}"
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
+    tree = json.loads(data)
+
+    def walk(node, depth, rows):
+        m = node.get("metrics", {})
+        t = m.get("rawTime", 0)
+        name = node.get("name", "?")
+        if t and depth >= 2:
+            rows.append((t, name, depth))
+        for ch in node.get("children", []):
+            walk(ch, depth + 1, rows)
+
+    by_prog = tree.get("byProgram", tree)
+    rows: list = []
+    walk(by_prog, 0, rows)
+    # leaf self-times: keep deepest occurrences (category → op)
+    leaves = [(t, n) for t, n, d in rows if d >= 3]
+    leaves.sort(reverse=True)
+    total_ps = sum(t for t, _ in leaves)
+    print(f"total device time: {total_ps/1e12*1e3:.3f} ms "
+          f"({total_ps/1e12*1e3/max(n_steps,1):.3f} ms/step over "
+          f"{n_steps} steps)")
+    for t, n in leaves[:top_k]:
+        print(f"  {t/1e12*1e3:9.3f} ms  {100*t/total_ps:5.1f}%  {n[:100]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--zinb", action="store_true")
+    ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-parse an existing --trace-dir without running")
+    args = ap.parse_args()
+    mode = "zinb" if args.zinb else ("augment" if args.augment else "mse")
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix=f"opprof_{mode}_")
+    steps = (args.steps // 4) * 4 or 4
+    print(f"trace dir: {trace_dir}", flush=True)
+    if not args.parse_only:
+        capture(mode, steps, trace_dir)
+    parse(trace_dir, args.top, steps)
+
+
+if __name__ == "__main__":
+    main()
