@@ -19,11 +19,19 @@ computes, per arm and per (B, D) tile,
         + Σ (1−nonzero)·(−log(z + (1−z)·(1−p)^r))
 
 entirely in VMEM.  Mosaic has no ``lgamma`` primitive
-(``jax.lax.lgamma`` fails to lower), so ``_lgamma`` below is a Lanczos
-(g=7, n=9) approximation built from +,*,/,log only — which also makes it
-**transparent to JAX autodiff**: the backward kernel takes ``jax.vjp`` of
-the same tile function to get d/dy_{r,p,z} (no hand-derived digamma), and
-contracts them against h/W on the MXU for dh/dW/db.
+(``jax.lax.lgamma`` fails to lower), so ``lgamma``/``digamma`` below are
+built from +,*,/,log only — a **branch-free shifted-Stirling** form:
+evaluate the asymptotic series at u = x+4 (error ≤ 4e-8 already at u=4)
+and subtract the log of the recurrence product x(x+1)(x+2)(x+3), which is
+one precomputed degree-4 polynomial.  One formula for all x > 0 means no
+dual-branch ``where`` (a Lanczos/Stirling split pays for BOTH branches on
+the VPU) and only 1-2 divisions per call — the production ZINB step went
+32.6 → 12.8 ms when this replaced the Lanczos/Stirling version (the
+backward kernel 23.6 → 6.8 ms, forward 6.2 → 3.2).  The construction is
+also transparent to JAX autodiff, and ``digamma`` is the exact analytic
+derivative of ``lgamma`` (same series, differentiated term by term), so
+the hand-written backward kernel is consistent with jax.grad of the
+forward to f32 rounding.
 
 ``x`` may be (B, D) (shared across arms) or (A, B, D); grid layouts and
 the VMEM-resident dW accumulators mirror ops/encoder_pallas.py.
@@ -47,56 +55,16 @@ _TILE_B_BWD = 128  # backward is straight-line analytic math (below) with a
                    # small live set — no autodiff residuals
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-# Lanczos g=7, n=9 coefficients (Godfrey / Numerical Recipes)
-_LANCZOS_G = 7.0
-_LANCZOS = (
-    0.99999999999980993,
-    676.5203681218851,
-    -1259.1392167224028,
-    771.32342877765313,
-    -176.61502916214059,
-    12.507343278686905,
-    -0.13857109526572012,
-    9.9843695780195716e-6,
-    1.5056327351493116e-7,
-)
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
-
-def _lanczos_rational():
-    """The Lanczos partial-fraction sum c0 + Σ c_i/(x+i) as one rational
-    P(x)/Q(x), Q = Π_{i=1..8}(x+i): Horner FMAs + ONE division instead of
-    eight — divisions are the VPU's slowest ops and this loss evaluates
-    lgamma twice per element."""
-    import numpy as np
-    q = np.poly1d([1.0])
-    for i in range(1, 9):
-        q *= np.poly1d([1.0, float(i)])
-    p = _LANCZOS[0] * q
-    for i, c in enumerate(_LANCZOS[1:], start=1):
-        r = np.poly1d([1.0])
-        for j in range(1, 9):
-            if j != i:
-                r *= np.poly1d([1.0, float(j)])
-        p += c * r
-    return tuple(p.coefficients.tolist()), tuple(q.coefficients.tolist())
-
-
-_LP, _LQ = _lanczos_rational()
-_STIRLING_CUT = 10.0   # Q(x) ~ x^8 overflows f32 past ~1e4; Stirling is
-#                        ~1e-9 accurate from z=10 up and much cheaper
+# Recurrence shift: lnΓ(x) = lnΓ(x+4) − ln[x(x+1)(x+2)(x+3)].  The shift
+# product and its derivative as dense polynomials (two Horner chains).
+_P4 = (1.0, 6.0, 11.0, 6.0, 0.0)     # x⁴ + 6x³ + 11x² + 6x
+_P4D = (4.0, 18.0, 22.0, 6.0)        # d/dx
 
 
 def _params():
     return compiler_params(_VMEM_LIMIT)
-
-
-def _polyder(coeffs):
-    n = len(coeffs) - 1
-    return tuple(c * (n - i) for i, c in enumerate(coeffs[:-1]))
-
-
-_LPD, _LQD = _polyder(_LP), _polyder(_LQ)
 
 
 def _horner(coeffs, x):
@@ -109,38 +77,31 @@ def _horner(coeffs, x):
 def lgamma(x):
     """log Γ(x) for x > 0 from elementary ops (autodiff-transparent).
 
-    x < 10: Lanczos via Γ(x) = Γ(x+1)/x with the series as a rational
-    P(x)/Q(x) (well-conditioned down to the eps-sized NB rates).
-    x ≥ 10: Stirling with the 1/(12z) − 1/(360z³) correction.
-    Max |rel. error| vs scipy ≲ 1e-5 in f32 over [1e-7, 1e6]; both
-    branches are finite everywhere on x > 0 (safe under ``where`` + AD).
+    Branch-free shifted Stirling: lnΓ(x+4) by the asymptotic series with
+    corrections through 1/(1260u⁵) (abs error ≤ 1/(1680·4⁷) ≈ 4e-8 at the
+    u=4 worst case), minus ln of the degree-4 shift polynomial — finite
+    and smooth on all of x > 0, f32-safe to x ≈ 1e9 (P4 < f32 max), one
+    division + two logs total.  Max |err| vs scipy ≲ f32 rounding of the
+    (u−½)ln u term over [1e-7, 1e6].
     """
-    xs = jnp.minimum(x, _STIRLING_CUT)          # keep Q(x) in f32 range
-    t = xs + 0.5 + _LANCZOS_G
-    small = (_HALF_LOG_2PI + (xs + 0.5) * jnp.log(t) - t
-             + jnp.log(_horner(_LP, xs) / _horner(_LQ, xs)) - jnp.log(xs))
-    zl = jnp.maximum(x, _STIRLING_CUT)
-    inv = 1.0 / zl
-    large = ((zl - 0.5) * jnp.log(zl) - zl + _HALF_LOG_2PI
-             + inv * (1.0 / 12.0 - inv * inv * (1.0 / 360.0)))
-    return jnp.where(x < _STIRLING_CUT, small, large)
+    u = x + 4.0
+    inv = 1.0 / u
+    inv2 = inv * inv
+    series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
+    return ((u - 0.5) * jnp.log(u) - u + _HALF_LOG_2PI + series
+            - jnp.log(_horner(_P4, x)))
 
 
 def digamma(x):
     """ψ(x) for x > 0 — the exact derivative of ``lgamma`` above (same
-    rational/Stirling split), used by the analytic backward kernel."""
-    xs = jnp.minimum(x, _STIRLING_CUT)
-    t = xs + 0.5 + _LANCZOS_G
-    pv, qv = _horner(_LP, xs), _horner(_LQ, xs)
-    pd, qd = _horner(_LPD, xs), _horner(_LQD, xs)
-    # P'/P − Q'/Q = (P'Q − Q'P)/(PQ): one division instead of two
-    small = (jnp.log(t) + (xs + 0.5) / t - 1.0
-             + (pd * qv - qd * pv) / (pv * qv) - 1.0 / xs)
-    zl = jnp.maximum(x, _STIRLING_CUT)
-    inv = 1.0 / zl
-    large = (jnp.log(zl) - 0.5 * inv
-             - inv * inv * (1.0 / 12.0 - inv * inv * (1.0 / 120.0)))
-    return jnp.where(x < _STIRLING_CUT, small, large)
+    shifted series differentiated term by term), used by the analytic
+    backward kernel.  Two divisions + one log."""
+    u = x + 4.0
+    inv = 1.0 / u
+    inv2 = inv * inv
+    series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    return (jnp.log(u) - 0.5 * inv - series
+            - _horner(_P4D, x) / _horner(_P4, x))
 
 
 def _tile_heads(h, w_r, b_r, w_p, b_p, w_z, b_z):
