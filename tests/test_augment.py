@@ -38,6 +38,26 @@ def test_augment_arms_views_differ_across_arms():
     assert not np.allclose(v[0], v[1])  # independent noise per arm
 
 
+def test_augment_arms_matches_naive_broadcast_oracle():
+    """The shared-trunk fast path (fc1–fc4 computed once) must equal the
+    reference-style expand-then-forward through ``apply_augmenter`` with the
+    same key — including in ZINB (n_zim>1) mode with its binary mask."""
+    for cfg in (ACFG, AugmenterConfig(noise_dim=10, latent_dim=4,
+                                      input_dim=50, n_dim=20, n_zim=2)):
+        params, bn = init_augmenter(jax.random.key(0), cfg)
+        x = jnp.asarray(rng.random((8, 50)).astype(np.float32))
+        fast = augment_arms(params, bn, cfg, jax.random.key(5), x, n_arm=3,
+                            scale=0.3)
+        xs = jnp.broadcast_to(x, (3,) + x.shape)
+        _, out, _ = apply_augmenter(params, bn, cfg, xs, jax.random.key(5),
+                                    train=False, noise=True, scale=0.3)
+        naive = out[..., :50]
+        if cfg.n_zim > 1:
+            naive = naive * (xs > 0).astype(naive.dtype)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_discriminator_shapes():
     dcfg = DiscriminatorConfig(input_dim=50)
     params, bn = init_discriminator(jax.random.key(0), dcfg)
