@@ -1,0 +1,65 @@
+"""train/fit.py — the declarative Trainer (Lightning-variant capability,
+reference dist/pl.py) on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from dvae_tpu.config import ShardingStrategy
+from dvae_tpu.examples.fsdp_tutorial import MLPConfig, synthetic_mnist
+from dvae_tpu.train.fit import MNISTFitModule, Trainer
+
+_CFG = MLPConfig(widths=(64,))  # test-sized PLNet analogue
+
+
+def _mod():
+    return MNISTFitModule(cfg=_CFG)
+
+
+class TestTrainerFit:
+    def test_fit_learns_and_logs(self):
+        trainer = Trainer(max_epochs=3, strategy="full")
+        summary = trainer.fit(_mod(), synthetic_mnist(1024, seed=0),
+                              val_data=synthetic_mnist(512, seed=1),
+                              batch_size=128, val_batch_size=256)
+        h = trainer.history
+        assert len(h) == 3
+        # learns the planted blobs
+        assert h[-1]["train_loss"] < h[0]["train_loss"]
+        assert h[-1]["val_acc"] > 0.8
+        # the pl.py logging surface: epoch_time / memory / post-run averages
+        for rec in h:
+            assert {"train_loss", "val_loss", "val_acc", "epoch_time",
+                    "device_memory_mb"} <= set(rec)
+        assert summary["avg_epoch_time"] > 0
+        assert trainer.params is not None
+
+    @pytest.mark.parametrize("strategy", ["ddp", "grad-op", "hybrid-zero2"])
+    def test_strategies_match_full_shard(self, strategy):
+        """Sharding strategy changes placement, not math: final losses of
+        every strategy match FULL_SHARD (the reference validates this
+        empirically across its SLURM sweep; here it is a unit test)."""
+        def run(s):
+            t = Trainer(max_epochs=2, strategy=s)
+            t.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+            return t.history[-1]["train_loss"]
+
+        np.testing.assert_allclose(run(strategy),
+                                   run(ShardingStrategy.FULL_SHARD),
+                                   rtol=1e-4)
+
+    def test_no_sampler_replicated_batch(self):
+        """use_distributed_sampler=False (reference --no-sampler) computes
+        the same loss with the batch replicated on every device."""
+        t1 = Trainer(max_epochs=1, strategy="no",
+                     use_distributed_sampler=False)
+        t1.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+        t2 = Trainer(max_epochs=1, strategy="no")
+        t2.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+        np.testing.assert_allclose(t1.history[0]["train_loss"],
+                                   t2.history[0]["train_loss"], rtol=1e-5)
+
+    def test_shuffle_epochs_differ(self):
+        t = Trainer(max_epochs=2, strategy="no", shuffle=True)
+        t.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+        assert len(t.history) == 2
