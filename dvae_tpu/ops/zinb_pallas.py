@@ -27,11 +27,15 @@ one precomputed degree-4 polynomial.  One formula for all x > 0 means no
 dual-branch ``where`` (a Lanczos/Stirling split pays for BOTH branches on
 the VPU) and only 1-2 divisions per call — the production ZINB step went
 32.6 → 12.8 ms when this replaced the Lanczos/Stirling version (the
-backward kernel 23.6 → 6.8 ms, forward 6.2 → 3.2).  The construction is
-also transparent to JAX autodiff, and ``digamma`` is the exact analytic
-derivative of ``lgamma`` (same series, differentiated term by term), so
-the hand-written backward kernel is consistent with jax.grad of the
-forward to f32 rounding.
+backward kernel 23.6 → 6.8 ms, forward 6.2 → 3.2).  On top of that, every
+in-kernel division is the VPU's fast reciprocal (Newton-refined in the
+backward — see ``_recip_div_refined``; the tile math is division-bound)
+and 1/p, 1/(1−p) share one reciprocal of p(1−p): 12.8 → 10.1 ms/step
+(backward ~4.8 ms, forward 2.4).  The construction is also transparent to JAX autodiff, and
+``digamma`` is the exact analytic derivative of ``lgamma`` (same series,
+differentiated term by term), so the hand-written backward kernel is
+consistent with jax.grad of the forward to well inside the oracle-test
+tolerance (the approximate reciprocal adds ~8e-6 relative noise).
 
 ``x`` may be (B, D) (shared across arms) or (A, B, D); grid layouts and
 the VMEM-resident dW accumulators mirror ops/encoder_pallas.py.
@@ -74,7 +78,44 @@ def _horner(coeffs, x):
     return acc
 
 
-def lgamma(x):
+def _div(n, d):
+    """Plain division — used when lgamma/digamma run outside a kernel."""
+    return n / d
+
+
+def _recip_div(n, d):
+    """n/d as the VPU's fast approximate reciprocal (~2^-17 rel. error) +
+    multiply — divisions are the slow op in these division-bound tiles
+    (~10 per element in the backward).  Requires 0 < d < inf.  Used ONLY
+    in the forward's lgamma (the 1/u series argument is bounded, u ≥ 4,
+    and 8e-6 noise on the summed loss is far under f32 accumulation
+    error); everywhere else use ``_recip_div_refined``."""
+    return n * pl.reciprocal(d, approx=True)
+
+
+def _recip_div_refined(n, d):
+    """``_recip_div`` + one Newton step (r·(2−d·r)): squares the error to
+    below f32 rounding for ~2 extra fma.  The backward kernel and the
+    sigmoids use this everywhere: raw 8e-6 reciprocal noise fails the
+    gradient oracle (rtol 5e-3) through two amplifiers — (a) an absolute
+    wiggle on σ(y)→p is an unbounded RELATIVE error on 1−p as p→1,
+    poisoning log(1−p), (1−p)^r, 1/(1−p); (b) near-singular rows (tiny NB
+    rate → ψ(r) ~ −1/r; confident-nonzero-on-observed-zero → 1/D0 huge)
+    dominate the dW row-sums, so their relative noise lands as large
+    absolute error on the cancelling accumulation.  Measured cost vs raw:
+    ~4% of the ZINB step."""
+    r = pl.reciprocal(d, approx=True)
+    return n * (r * (2.0 - d * r))
+
+
+def _sigmoid(y, div):
+    """σ(y) with the division injected.  y is clamped at -30 (σ ≈ 9e-14,
+    far below the loss's eps floor) so exp(-y) stays finite for the
+    approximate reciprocal (exp(30) ≈ 1e13 < f32 max)."""
+    return div(1.0, 1.0 + jnp.exp(-jnp.maximum(y, -30.0)))
+
+
+def lgamma(x, div=_div):
     """log Γ(x) for x > 0 from elementary ops (autodiff-transparent).
 
     Branch-free shifted Stirling: lnΓ(x+4) by the asymptotic series with
@@ -85,23 +126,25 @@ def lgamma(x):
     (u−½)ln u term over [1e-7, 1e6].
     """
     u = x + 4.0
-    inv = 1.0 / u
+    inv = div(1.0, u)
     inv2 = inv * inv
     series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
     return ((u - 0.5) * jnp.log(u) - u + _HALF_LOG_2PI + series
             - jnp.log(_horner(_P4, x)))
 
 
-def digamma(x):
+def digamma(x, div=_div):
     """ψ(x) for x > 0 — the exact derivative of ``lgamma`` above (same
     shifted series differentiated term by term), used by the analytic
-    backward kernel.  Two divisions + one log."""
+    backward kernel.  Two divisions + one log.  The P4D/P4 shift ratio
+    behaves like 1/x as x→0, so in-kernel callers must pass the refined
+    reciprocal (see ``_recip_div_refined``)."""
     u = x + 4.0
-    inv = 1.0 / u
+    inv = div(1.0, u)
     inv2 = inv * inv
     series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
     return (jnp.log(u) - 0.5 * inv - series
-            - _horner(_P4D, x) / _horner(_P4, x))
+            - div(_horner(_P4D, x), _horner(_P4, x)))
 
 
 def _tile_heads(h, w_r, b_r, w_p, b_p, w_z, b_z):
@@ -120,12 +163,12 @@ def _tile_zinb_sum(y_r, y_p, y_z, k, valid, eps):
     step outside the kernel instead of once per pass inside."""
     k = k.astype(jnp.float32)
     r = jax.nn.relu(y_r) + eps
-    p = (1.0 - eps) * (jax.nn.sigmoid(y_p) + eps)
-    z = (1.0 - eps) * (jax.nn.sigmoid(y_z) + eps)
+    p = (1.0 - eps) * (_sigmoid(y_p, _recip_div_refined) + eps)
+    z = (1.0 - eps) * (_sigmoid(y_z, _recip_div_refined) + eps)
     log1mp = jnp.log(1.0 - p)
     pow_term = jnp.exp(r * log1mp)                      # (1-p)^r
     loss_zero = -jnp.log(z + (1.0 - z) * pow_term)
-    loss_nonzero = (-lgamma(k + r) + lgamma(r)
+    loss_nonzero = (-lgamma(k + r, _recip_div) + lgamma(r, _recip_div)
                     - k * jnp.log(p) - r * log1mp - jnp.log(1.0 - z))
     nz = k > 0
     loss = jnp.where(nz, loss_nonzero, loss_zero)
@@ -228,20 +271,25 @@ def _bwd_kernel(g_ref, h_ref, wr_ref, br_ref, wp_ref, bp_ref, wz_ref, bz_ref,
     # ~10 live tiles).  Notation mirrors _tile_zinb_sum. ----
     k = k.astype(jnp.float32)
     r = jax.nn.relu(y_r) + eps
-    sigp = jax.nn.sigmoid(y_p)
-    sigz = jax.nn.sigmoid(y_z)
+    sigp = _sigmoid(y_p, _recip_div_refined)
+    sigz = _sigmoid(y_z, _recip_div_refined)
     p = (1.0 - eps) * (sigp + eps)
     z = (1.0 - eps) * (sigz + eps)
     log1mp = jnp.log(1.0 - p)
     E = jnp.exp(r * log1mp)                       # (1-p)^r
-    invD0 = 1.0 / (z + (1.0 - z) * E)
-    inv1mp = 1.0 / (1.0 - p)
+    invD0 = _recip_div_refined(1.0, z + (1.0 - z) * E)
+    # 1/p and 1/(1-p) from ONE reciprocal of p(1-p)
+    inv_p1mp = _recip_div_refined(1.0, p * (1.0 - p))
+    inv1mp = p * inv_p1mp
     common = invD0 * (1.0 - z) * E                # zero-branch weight
     nz = k > 0
-    dr = jnp.where(nz, -digamma(k + r) + digamma(r) - log1mp,
-                   -common * log1mp)
-    dp = jnp.where(nz, -k / p + r * inv1mp, common * r * inv1mp)
-    dz = jnp.where(nz, 1.0 / (1.0 - z), -invD0 * (1.0 - E))
+    dr = jnp.where(nz,
+                   -digamma(k + r, _recip_div_refined)
+                   + digamma(r, _recip_div_refined)
+                   - log1mp, -common * log1mp)
+    dp = jnp.where(nz, (r * p - k * (1.0 - p)) * inv_p1mp,
+                   common * r * inv1mp)
+    dz = jnp.where(nz, _recip_div_refined(1.0, 1.0 - z), -invD0 * (1.0 - E))
     ga = g_ref[a]
     gate = jnp.logical_and(valid, y_r > 0.0) if valid is not True \
         else y_r > 0.0
