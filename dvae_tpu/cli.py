@@ -116,6 +116,23 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    from dvae_tpu.utils.torch_import import (_load_torch,
+                                             import_augmenter_checkpoint,
+                                             import_mixvae_checkpoint)
+    kind = args.kind
+    if kind == "auto":
+        ckpt = _load_torch(args.path)
+        kind = "augmenter" if "netA" in ckpt else "model"
+    if kind == "augmenter":
+        out = import_augmenter_checkpoint(args.path, args.out)
+    else:
+        out = import_mixvae_checkpoint(
+            args.path, args.out, import_optimizer=not args.no_optimizer)
+    print(f"imported {kind} checkpoint -> {out}")
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from dvae_tpu.eval.evaluate import (avg_consensus, avg_max, mutinfo,
                                         summarize_inference)
@@ -230,6 +247,19 @@ def main(argv=None) -> int:
     pa.add_argument("--out", type=str, default=None)
     pa.add_argument("--seed", type=int, default=546)
     pa.set_defaults(fn=cmd_train_augmenter)
+
+    pi = sub.add_parser(
+        "import-torch",
+        help="convert a reference PyTorch .pth checkpoint (trainer or "
+             "augmenter) to the dvae_tpu checkpoint format")
+    pi.add_argument("path", type=str, help=".pth file to convert")
+    pi.add_argument("--out", type=str, default=None,
+                    help="output path (default: alongside, .ckpt)")
+    pi.add_argument("--kind", type=str, default="auto",
+                    choices=["auto", "model", "augmenter"])
+    pi.add_argument("--no-optimizer", action="store_true",
+                    help="skip Adam-moment import (fresh optimizer state)")
+    pi.set_defaults(fn=cmd_import_torch)
 
     args = parser.parse_args(argv)
     return args.fn(args)
