@@ -135,6 +135,35 @@ def _drop(key, x, rate, train):
                      x / keep, 0.0).astype(x.dtype)
 
 
+def _noise_concat(params, bn_fn, cfg: AugmenterConfig, h, k_noise,
+                  scale, dtype):
+    """z-draw + elu(BNz(W z)) + concat + fc5 (udagan.py:288-296)."""
+    z = scale * jax.random.normal(k_noise, h.shape[:-1] + (cfg.noise_dim,),
+                                  dtype)
+    z = bn_fn("bnz", _lin(params["noise"], z), act=jax.nn.elu)
+    h = jnp.concatenate([h, z], axis=-1)
+    return bn_fn("bn5", _lin(params["fc5"], h))
+
+
+def _latent_decode(params, bn_fn, cfg: AugmenterConfig, h, k_reparam,
+                   zinb_head: bool):
+    """fc_mu/fc_sigma reparam + the fc6..fc11 decoder (udagan.py:297-309);
+    shared by ``apply_augmenter`` and the ``augment_arms`` fast path so
+    the two forwards cannot drift apart.  Returns (s, x_mu, x_p|None)."""
+    mu = bn_fn("bn_mu", _lin(params["fc_mu"], h), act=None)
+    sigma = jax.nn.sigmoid(_lin(params["fc_sigma"], h))
+    s = mu + jax.random.normal(k_reparam, mu.shape, mu.dtype) * sigma
+
+    h = bn_fn("bn6", _lin(params["fc6"], s))
+    h = bn_fn("bn7", _lin(params["fc7"], h))
+    h = bn_fn("bn8", _lin(params["fc8"], h))
+    h = bn_fn("bn9", _lin(params["fc9"], h))
+    h = bn_fn("bn10", _lin(params["fc10"], h))
+    x_mu = jax.nn.relu(_lin(params["fc11"], h))
+    x_p = (jax.nn.sigmoid(_lin(params["fc11_p"], h)) if zinb_head else None)
+    return s, x_mu, x_p
+
+
 def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
                     key: jax.Array, train: bool = False,
                     noise: bool = True, scale: float = 1.0):
@@ -157,26 +186,13 @@ def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
     h = bnr("bn4", _lin(params["fc4"], h))
 
     if noise or cfg.variant == "smartseq":
-        z = scale * jax.random.normal(k_noise, h.shape[:-1] + (cfg.noise_dim,),
-                                      x.dtype)
-        z = bnr("bnz", _lin(params["noise"], z), act=jax.nn.elu)
-        h = jnp.concatenate([h, z], axis=-1)
-        h = bnr("bn5", _lin(params["fc5"], h))
+        h = _noise_concat(params, bnr, cfg, h, k_noise, scale, x.dtype)
     else:
         h = bnr("bn5", _lin(params["fc5_plain"], h))
 
-    mu = bnr("bn_mu", _lin(params["fc_mu"], h), act=None)
-    sigma = jax.nn.sigmoid(_lin(params["fc_sigma"], h))
-    s = mu + jax.random.normal(k_reparam, mu.shape, mu.dtype) * sigma
-
-    h = bnr("bn6", _lin(params["fc6"], s))
-    h = bnr("bn7", _lin(params["fc7"], h))
-    h = bnr("bn8", _lin(params["fc8"], h))
-    h = bnr("bn9", _lin(params["fc9"], h))
-    h = bnr("bn10", _lin(params["fc10"], h))
-    x_mu = jax.nn.relu(_lin(params["fc11"], h))
-    if cfg.n_zim > 1:
-        x_p = jax.nn.sigmoid(_lin(params["fc11_p"], h))
+    s, x_mu, x_p = _latent_decode(params, bnr, cfg, h, k_reparam,
+                                  zinb_head=cfg.n_zim > 1)
+    if x_p is not None:
         return s, jnp.concatenate([x_mu, x_p], axis=-1), new_bn
     return s, x_mu, new_bn
 
@@ -199,7 +215,6 @@ def augment_arms(params, bn, cfg: AugmenterConfig, key: jax.Array,
     broadcast path (oracle-tested).  The unused ZINB ``fc11_p`` head (its
     output is discarded here) is skipped too.
     """
-    A = n_arm
     _, k_noise, k_reparam = jax.random.split(key, 3)
 
     def ev(name, h, act=jax.nn.relu):
@@ -210,24 +225,11 @@ def augment_arms(params, bn, cfg: AugmenterConfig, key: jax.Array,
     h = ev("bn2", _lin(params["fc2"], h))
     h = ev("bn3", _lin(params["fc3"], h))
     h = ev("bn4", _lin(params["fc4"], h))
-    h = jnp.broadcast_to(h, (A,) + h.shape)
+    h = jnp.broadcast_to(h, (n_arm,) + h.shape)
 
-    z = scale * jax.random.normal(
-        k_noise, (A,) + x.shape[:-1] + (cfg.noise_dim,), x.dtype)
-    z = ev("bnz", _lin(params["noise"], z), act=jax.nn.elu)
-    h = jnp.concatenate([h, z], axis=-1)
-    h = ev("bn5", _lin(params["fc5"], h))
-
-    mu = ev("bn_mu", _lin(params["fc_mu"], h), act=None)
-    sigma = jax.nn.sigmoid(_lin(params["fc_sigma"], h))
-    s = mu + jax.random.normal(k_reparam, mu.shape, mu.dtype) * sigma
-
-    h = ev("bn6", _lin(params["fc6"], s))
-    h = ev("bn7", _lin(params["fc7"], h))
-    h = ev("bn8", _lin(params["fc8"], h))
-    h = ev("bn9", _lin(params["fc9"], h))
-    h = ev("bn10", _lin(params["fc10"], h))
-    x_mu = jax.nn.relu(_lin(params["fc11"], h))
+    h = _noise_concat(params, ev, cfg, h, k_noise, scale, x.dtype)
+    _, x_mu, _ = _latent_decode(params, ev, cfg, h, k_reparam,
+                                zinb_head=False)
     if cfg.n_zim > 1:
         # binary-masked ZINB augmentation (build/lib nn_model semantics):
         # keep entries where the original was nonzero

@@ -120,15 +120,16 @@ def cmd_import_torch(args) -> int:
     from dvae_tpu.utils.torch_import import (_load_torch,
                                              import_augmenter_checkpoint,
                                              import_mixvae_checkpoint)
-    kind = args.kind
+    kind, ckpt = args.kind, None
     if kind == "auto":
-        ckpt = _load_torch(args.path)
+        ckpt = _load_torch(args.path)   # loaded once, reused below
         kind = "augmenter" if "netA" in ckpt else "model"
     if kind == "augmenter":
-        out = import_augmenter_checkpoint(args.path, args.out)
+        out = import_augmenter_checkpoint(args.path, args.out, ckpt=ckpt)
     else:
         out = import_mixvae_checkpoint(
-            args.path, args.out, import_optimizer=not args.no_optimizer)
+            args.path, args.out, import_optimizer=not args.no_optimizer,
+            ckpt=ckpt)
     print(f"imported {kind} checkpoint -> {out}")
     return 0
 

@@ -105,7 +105,8 @@ class Trainer:
     shuffle: bool = False                  # reference loaders use shuffle=False
     seed: int = 1                          # reference default (dist/pl.py:215)
     logger: Optional[MetricLogger] = None
-    history: list = field(default_factory=list)
+    history: list = field(default_factory=list)   # reset by each fit()
+    _fitted: Any = None
 
     def fit(self, module: FitModule, train_data, val_data=None,
             batch_size: int = 64, val_batch_size: int = 1000,
@@ -117,6 +118,7 @@ class Trainer:
         whole number of batches are dropped (reference ``drop_last=True``,
         dist/pl.py:166).
         """
+        self.history = []
         strategy = ShardingStrategy(self.strategy)
         devs = jax.devices()[: self.devices or len(jax.devices())]
         mesh = Mesh(np.asarray(devs), ("dp",))
@@ -170,7 +172,8 @@ class Trainer:
                 lambda g, p: g.astype(p.dtype), grads, params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), dict(train_loss=loss, **metrics)
+            # a module-provided 'train_loss' metric wins over the raw loss
+            return (params, opt_state), {"train_loss": loss, **metrics}
 
         @jax.jit
         def run_epoch(params, opt_state, batches, key):
@@ -226,6 +229,8 @@ class Trainer:
     @property
     def params(self):
         """Trained parameters from the last ``fit`` call."""
+        if self._fitted is None:
+            raise RuntimeError("Trainer.params: no completed fit() yet")
         return self._fitted[0]
 
 

@@ -63,16 +63,18 @@ def _np(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
+_WRAPPER_SEGMENTS = frozenset(
+    {"module", "_fsdp_wrapped_module", "_orig_mod", "_checkpoint_wrapped_module"})
+
+
 def _strip_prefixes(sd: dict) -> dict:
-    """Drop wrapper prefixes (``module.`` from DDP, FSDP's
-    ``_fsdp_wrapped_module.``) so names match the bare model."""
-    out = {}
-    for k, v in sd.items():
-        for p in ("module.", "_fsdp_wrapped_module.", "_orig_mod."):
-            while p in k:
-                k = k.replace(p, "")
-        out[k] = v
-    return out
+    """Drop wrapper name segments (DDP ``module``, FSDP
+    ``_fsdp_wrapped_module``, compile ``_orig_mod``) so names match the
+    bare model.  Whole dotted segments only — a layer whose own name
+    merely contains one of these as a substring is untouched."""
+    return {".".join(seg for seg in k.split(".")
+                     if seg not in _WRAPPER_SEGMENTS): v
+            for k, v in sd.items()}
 
 
 def _linear(sd: dict, key: str):
@@ -134,25 +136,36 @@ def mixvae_from_state_dict(sd: dict):
     return params, bn, mask, inferred
 
 
-def _adam_state_from_torch(opt_sd: dict, params: dict, lr: float):
+def _adam_state_from_torch(opt_sd: dict, params: dict, lr: float,
+                           sd_keys):
     """optax ``adam(lr)`` state with torch Adam moments copied in.
 
-    Torch indexes parameters by position in ``model.parameters()`` order —
-    for the reference model that is the ModuleList definition order
-    (mmidas/nn_model.py:184-206) with (weight, bias) per Linear; the
-    batch-norms are affine=False and contribute no parameters.  Returns
-    None when the positional mapping fails a shape check (e.g. a pruned
-    checkpoint with doubled reparameterized params).
+    Torch indexes parameters by position in ``model.parameters()`` order.
+    Rather than assuming a layer order, the slot list is derived from the
+    ``model_state_dict`` key iteration order (``sd_keys``) — torch state
+    dicts preserve module registration order, and registration order IS
+    ``parameters()`` order for the Linear weights/biases (the batch-norms
+    are affine=False and contribute only buffers, which are filtered
+    out).  This keeps same-shaped layer pairs (fc2/fc3/fc4, fc_mu/
+    fc_sigma, fc11_p/fc11_r) correctly matched even though a shape check
+    could not tell them apart.  Returns None when the mapping fails (e.g.
+    a pruned checkpoint whose reparameterized params double up).
     """
     import optax
 
     slots = []          # (name, "w"|"b", arm) in torch parameters() order
-    for name in params:
-        A = params[name]["w"].shape[0]
-        for a in range(A):
-            slots.append((name, "w", a))
-            if params[name]["b"] is not None:
-                slots.append((name, "b", a))
+    for k in sd_keys:
+        parts = k.split(".")
+        if len(parts) != 3 or parts[0] not in params:
+            continue    # buffers (batch_l*, num_batches_tracked), extras
+        name, arm, kind = parts[0], int(parts[1]), parts[2]
+        if kind in ("weight", "weight_orig"):
+            slots.append((name, "w", arm))
+        elif kind in ("bias", "bias_orig"):
+            slots.append((name, "b", arm))
+        elif kind.endswith("_mask"):
+            return None  # pruning reparam present: parameters() order
+            #              differs from the folded view — skip moments
     state = opt_sd.get("state", {})
     if len(state) != len(slots):
         return None
@@ -182,13 +195,16 @@ def _adam_state_from_torch(opt_sd: dict, params: dict, lr: float):
 
 
 def import_mixvae_checkpoint(path: str, out_path: Optional[str] = None,
-                             import_optimizer: bool = True) -> str:
+                             import_optimizer: bool = True,
+                             ckpt: Optional[dict] = None) -> str:
     """Convert a reference trainer ``.pth`` to a dvae_tpu ``.ckpt`` that
     ``CplMixVAE.load_model`` (and ``init_model(trained_model=…)``) accepts.
-    Returns the written path."""
+    ``ckpt`` may pass the already-deserialized dict (the CLI auto-detect
+    loads it once for both kind detection and conversion).  Returns the
+    written path."""
     import optax
 
-    ckpt = _load_torch(path)
+    ckpt = _load_torch(path) if ckpt is None else ckpt
     sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
     params, bn, mask, inferred = mixvae_from_state_dict(sd)
     lr = 1e-3
@@ -197,7 +213,8 @@ def import_mixvae_checkpoint(path: str, out_path: Optional[str] = None,
         lr = float(opt_sd["param_groups"][0].get("lr", lr))
     opt_state = None
     if import_optimizer and opt_sd:
-        opt_state = _adam_state_from_torch(opt_sd, params, lr)
+        opt_state = _adam_state_from_torch(
+            opt_sd, params, lr, list(_strip_prefixes(sd)))
     if opt_state is None:
         opt_state = optax.adam(lr).init(params)
     out_path = out_path or os.path.splitext(path)[0] + ".ckpt"
@@ -226,13 +243,16 @@ def augmenter_from_checkpoint(ckpt: dict):
         n_dim=int(p.get("n_dim", 500)),
         p_drop=float(p.get("p_drop", 0.5)),
         n_zim=int(p.get("n_zim", 1)))
+    def has(ref):
+        return f"{ref}.weight" in sd or f"{ref}.weight_orig" in sd
+
     params = {}
     for ours, ref in _AUG_LINEAR.items():
-        if f"{ref}.weight" not in sd:
+        if not has(ref):
             continue
         w, b = _linear(sd, ref)
         params[ours] = {"w": w.T, "b": b}
-    if "fc11_p.weight" in sd:
+    if has("fc11_p"):
         w, b = _linear(sd, "fc11_p")
         params["fc11_p"] = {"w": w.T, "b": b}
     bn = {}
@@ -247,13 +267,14 @@ def augmenter_from_checkpoint(ckpt: dict):
 
 
 def import_augmenter_checkpoint(path: str,
-                                out_path: Optional[str] = None) -> str:
+                                out_path: Optional[str] = None,
+                                ckpt: Optional[dict] = None) -> str:
     """Convert a reference augmenter ``.pth`` (the ``aug_model`` entry of
     mmidas.toml) to the dvae_tpu augmenter checkpoint format consumed by
     ``CplMixVAE(aug_file=…)``.  Returns the written path."""
     from dvae_tpu.augment.augmenter import save_augmenter
 
-    ckpt = _load_torch(path)
+    ckpt = _load_torch(path) if ckpt is None else ckpt
     params, bn, cfg = augmenter_from_checkpoint(ckpt)
     out_path = out_path or os.path.splitext(path)[0] + ".ckpt"
     return save_augmenter(out_path, params, bn, cfg,

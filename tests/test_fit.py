@@ -63,3 +63,15 @@ class TestTrainerFit:
         t = Trainer(max_epochs=2, strategy="no", shuffle=True)
         t.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
         assert len(t.history) == 2
+
+    def test_refit_resets_history(self):
+        """A second fit() must not average the first run's epochs into its
+        post-run summary."""
+        t = Trainer(max_epochs=2, strategy="no")
+        t.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+        t.fit(_mod(), synthetic_mnist(512, seed=0), batch_size=128)
+        assert len(t.history) == 2
+
+    def test_params_before_fit_raises(self):
+        with pytest.raises(RuntimeError, match="no completed fit"):
+            Trainer().params

@@ -117,6 +117,32 @@ class TestMixVAEImport:
         assert np.isfinite(res["total_loss"])
         assert res["pred_label"].shape == (A, 40)
 
+    def test_adam_slots_follow_checkpoint_key_order(self):
+        """Moment mapping is positional in torch; the slot list must come
+        from the state-dict key order, not an assumed layer order — pairs
+        like fc_mu/fc_sigma are same-shaped, so a shape check alone cannot
+        catch a swap."""
+        from dvae_tpu.utils.torch_import import (_adam_state_from_torch,
+                                                 mixvae_from_state_dict)
+        sd = _mixvae_state_dict()
+        # re-insert with fc_sigma registered BEFORE fc_mu
+        reordered = dict(
+            sorted(sd.items(),
+                   key=lambda kv: kv[0].replace("fc_sigma", "fc_m0")))
+        params, _, _, _ = mixvae_from_state_dict(reordered)
+        opt_sd = _adam_sd(reordered)
+        # tag each param's exp_avg with its slot index so a swap is visible
+        for i in opt_sd["state"]:
+            opt_sd["state"][i]["exp_avg"] *= (i + 1)
+        st = _adam_state_from_torch(opt_sd, params, 1e-3,
+                                    list(reordered))
+        keys = [k for k in reordered
+                if not k.startswith("batch_") and "mask" not in k]
+        i_sig = keys.index("fc_sigma.0.weight")
+        np.testing.assert_allclose(
+            np.asarray(st[0].mu["fc_sigma"]["w"][0]),
+            0.01 * (i_sig + 1), rtol=1e-6)
+
     def test_epoch_parsed_and_wrapper_prefixes(self, tmp_path):
         from dvae_tpu.utils.torch_import import import_mixvae_checkpoint
         from dvae_tpu.utils.checkpoint import load_checkpoint
@@ -171,6 +197,19 @@ class TestAugmenterImport:
         v = augment_arms(params, bn, cfg, jax.random.key(0), x, n_arm=3)
         assert v.shape == (3, 5, D)
         assert np.isfinite(np.asarray(v)).all()
+
+    def test_pruned_reparam_augmenter_imports(self, tmp_path):
+        """Linears left in torch.nn.utils.prune form (weight_orig +
+        weight_mask) must fold, not silently drop the layer."""
+        from dvae_tpu.utils.torch_import import augmenter_from_checkpoint
+        ckpt = self._ckpt()
+        sd = ckpt["netA"]
+        w = sd.pop("fc1.weight")
+        sd["fc1.weight_orig"] = w
+        sd["fc1.weight_mask"] = torch.ones_like(w)
+        params, _, _ = augmenter_from_checkpoint(ckpt)
+        np.testing.assert_array_equal(params["fc1"]["w"],
+                                      np.asarray(w).T)
 
     def test_cli_auto_detect(self, tmp_path, capsys):
         from dvae_tpu.cli import main
