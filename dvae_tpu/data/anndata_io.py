@@ -82,6 +82,86 @@ def _encode_labels(labels: np.ndarray, eps: float, tau: float):
     return cluster_id, onehot, c_p, K
 
 
+def _h5_str(v):
+    return v.decode() if isinstance(v, bytes) else v
+
+
+def _h5_decode(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a)
+    if a.dtype.kind in ("S", "O"):
+        return np.array([_h5_str(x) for x in a.tolist()])
+    return a
+
+
+def _h5_column(node):
+    """An obs/var column: plain dataset, or the AnnData categorical group
+    ({codes, categories}); None for nested/unsupported elements."""
+    import h5py
+    if isinstance(node, h5py.Dataset):
+        return _h5_decode(node[()])
+    if "categories" in node and "codes" in node:
+        cats = _h5_decode(node["categories"][()])
+        codes = np.asarray(node["codes"][()])
+        out = np.full(codes.shape, "nan", dtype=object)
+        valid = codes >= 0
+        out[valid] = cats[codes[valid]]
+        return np.array(out.tolist())
+    return None
+
+
+def _h5_frame(g):
+    """(index, columns dict) from an AnnData obs/var HDF5 node.  Handles
+    the modern group layout (one child per column, ``_index`` attr) and
+    the legacy compound-dtype dataset (anndata < 0.7)."""
+    import h5py
+    if isinstance(g, h5py.Dataset):            # legacy structured array
+        rec = g[()]
+        cols = {name: _h5_decode(rec[name]) for name in rec.dtype.names}
+        idx = cols.pop("index", cols.pop("_index", None))
+        return idx, cols
+    idx_name = _h5_str(g.attrs.get("_index", "index"))
+    cols = {}
+    for k in g.keys():
+        v = _h5_column(g[k])
+        if v is not None:
+            cols[k] = v
+    return cols.pop(idx_name, None), cols
+
+
+def read_h5ad_arrays(path: str):
+    """(X dense f32, var index, obs columns dict) from an .h5ad file using
+    h5py only — no anndata dependency.  Supports dense X and the
+    CSR/CSC sparse group encoding (``data``/``indices``/``indptr`` +
+    ``shape`` attr), modern per-column obs groups (incl. categoricals),
+    and the legacy compound-dtype obs dataset."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        Xn = f["X"]
+        if isinstance(Xn, h5py.Group):
+            enc = _h5_str(Xn.attrs.get(
+                "encoding-type", Xn.attrs.get("h5sparse_format", "csr")))
+            shape = tuple(int(s) for s in np.asarray(
+                Xn.attrs.get("shape", Xn.attrs.get("h5sparse_shape"))))
+            data = np.asarray(Xn["data"], dtype=np.float32)
+            indices = np.asarray(Xn["indices"])
+            indptr = np.asarray(Xn["indptr"])
+            X = np.zeros(shape, np.float32)
+            major = np.repeat(np.arange(len(indptr) - 1),
+                              np.diff(indptr))
+            if enc.startswith("csr"):
+                X[major, indices] = data
+            else:                               # csc
+                X[indices, major] = data
+        else:
+            X = np.asarray(Xn[()], dtype=np.float32)
+        var_index, _ = _h5_frame(f["var"])
+        obs_index, obs = _h5_frame(f["obs"])
+        if obs_index is not None:
+            obs.setdefault("cell_id", obs_index)
+    return X, np.asarray(var_index), obs
+
+
 def load_data(
     datafile: str,
     n_gene: int = 0,
@@ -97,12 +177,20 @@ def load_data(
     ``min_num`` drops clusters with fewer cells (the reference computes the
     filter but — bug — never applies it to the rows; we apply it, which is
     the evident intent, and keep the label encoding over surviving cells).
-    """
-    import anndata  # optional dep; only needed for real data
 
-    adata = anndata.read_h5ad(datafile)
-    X = adata.X
-    genes = np.array(adata.var.index)
+    Reading uses anndata when importable, else the h5py-native reader
+    below (``read_h5ad_arrays``) — .h5ad is plain HDF5 with a documented
+    schema, so real data needs only h5py.
+    """
+    try:
+        import anndata  # optional; h5py fallback below covers real data
+    except ImportError:
+        X, genes, obs = read_h5ad_arrays(datafile)
+    else:
+        adata = anndata.read_h5ad(datafile)
+        X = adata.X
+        genes = np.array(adata.var.index)
+        obs = {k: np.asarray(adata.obs[k].values) for k in adata.obs.keys()}
 
     if len(gene_id) > 0:
         gene_idx = np.concatenate(
@@ -117,8 +205,7 @@ def load_data(
         X = np.asarray(X.todense())
     X = np.asarray(X, dtype=np.float32)
 
-    labels = np.asarray(adata.obs["cluster"].values).astype(str)
-    obs = {k: np.asarray(adata.obs[k].values) for k in adata.obs.keys()}
+    labels = np.asarray(obs["cluster"]).astype(str)
 
     keep = np.ones(len(labels), dtype=bool)
     for tt in rmv_type:

@@ -94,3 +94,90 @@ def test_prepare_dataset_roundtrip(tmp_path):
     assert ds.n_cells == 100 and ds.n_genes == 30
     assert ds.n_type == 4
     assert ds.c_onehot.shape == (100, 4)
+
+
+class TestH5pyNativeH5adReader:
+    """data/anndata_io.read_h5ad_arrays — the anndata-free .h5ad path
+    (anndata is absent in this image; .h5ad is plain HDF5)."""
+
+    def _arrays(self, n=60, d=20, k=4):
+        r = np.random.default_rng(5)
+        X = (r.gamma(1.5, 1.0, (n, d)) * (r.random((n, d)) > 0.6)
+             ).astype(np.float32)
+        labels = np.array([f"t{i % k}" for i in range(n)])
+        genes = np.array([f"g{j}" for j in range(d)])
+        return X, labels, genes
+
+    def _write_modern(self, path, X, labels, genes, sparse=None):
+        import h5py
+        with h5py.File(path, "w") as f:
+            if sparse is None:
+                f.create_dataset("X", data=X)
+            else:
+                g = f.create_group("X")
+                g.attrs["encoding-type"] = f"{sparse}_matrix"
+                g.attrs["shape"] = X.shape
+                if sparse == "csr":
+                    indptr = [0]
+                    data, indices = [], []
+                    for row in X:
+                        nz = np.nonzero(row)[0]
+                        indices.extend(nz)
+                        data.extend(row[nz])
+                        indptr.append(len(indices))
+                else:  # csc
+                    indptr = [0]
+                    data, indices = [], []
+                    for col in X.T:
+                        nz = np.nonzero(col)[0]
+                        indices.extend(nz)
+                        data.extend(col[nz])
+                        indptr.append(len(indices))
+                g.create_dataset("data", data=np.asarray(data, np.float32))
+                g.create_dataset("indices", data=np.asarray(indices))
+                g.create_dataset("indptr", data=np.asarray(indptr))
+            obs = f.create_group("obs")
+            obs.attrs["_index"] = "cell"
+            obs.create_dataset(
+                "cell", data=np.array([f"c{i}" for i in range(len(labels))],
+                                      dtype="S8"))
+            cat = obs.create_group("cluster")   # categorical column
+            uniq, codes = np.unique(labels, return_inverse=True)
+            cat.create_dataset("categories", data=uniq.astype("S8"))
+            cat.create_dataset("codes", data=codes.astype(np.int8))
+            var = f.create_group("var")
+            var.attrs["_index"] = "index"
+            var.create_dataset("index", data=genes.astype("S8"))
+
+    @pytest.mark.parametrize("sparse", [None, "csr", "csc"])
+    def test_modern_layouts(self, tmp_path, sparse):
+        from dvae_tpu.data.anndata_io import load_data, read_h5ad_arrays
+        X, labels, genes = self._arrays()
+        path = str(tmp_path / f"m_{sparse}.h5ad")
+        self._write_modern(path, X, labels, genes, sparse)
+        Xr, gr, obs = read_h5ad_arrays(path)
+        np.testing.assert_allclose(Xr, X, rtol=1e-6)
+        assert list(gr) == list(genes)
+        assert list(obs["cluster"]) == list(labels)
+        ds = load_data(path, verbose=False)     # end-to-end CellDataset
+        assert ds.n_type == 4 and ds.n_cells == 60
+        assert ds.c_onehot.shape == (60, 4)
+
+    def test_legacy_compound_obs(self, tmp_path):
+        import h5py
+        from dvae_tpu.data.anndata_io import read_h5ad_arrays
+        X, labels, genes = self._arrays(n=10, d=5)
+        path = str(tmp_path / "legacy.h5ad")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("X", data=X)
+            rec = np.zeros(10, dtype=[("index", "S8"), ("cluster", "S8")])
+            rec["index"] = [f"c{i}".encode() for i in range(10)]
+            rec["cluster"] = [l.encode() for l in labels]
+            f.create_dataset("obs", data=rec)
+            rv = np.zeros(5, dtype=[("index", "S8")])
+            rv["index"] = [g.encode() for g in genes]
+            f.create_dataset("var", data=rv)
+        Xr, gr, obs = read_h5ad_arrays(path)
+        np.testing.assert_allclose(Xr, X)
+        assert list(gr) == list(genes)
+        assert list(obs["cluster"]) == list(labels)
