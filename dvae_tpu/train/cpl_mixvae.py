@@ -395,27 +395,31 @@ class CplMixVAE:
                                              augment=self._augment_fn())
         xj = jnp.asarray(x, jnp.float32)
         n = xj.shape[0]
+        # accumulate per-batch DEVICE arrays and transfer each field once
+        # at the end: every np.asarray is a host round trip (7 per batch in
+        # the old form), and dispatch stays async so batches pipeline
         c_probs, mus, logvars, labels, recs, lows, totals = \
             [], [], [], [], [], [], []
         for i in range(0, n, batch_size):
             aux, lab, outs = self._eval_step(self.state, xj[i: i + batch_size],
                                              None, temp)
-            c_probs.append(np.asarray(outs.c))
-            mus.append(np.asarray(outs.s_mean))
-            logvars.append(np.asarray(outs.s_logvar))
-            lows.append(np.asarray(outs.x_low))
-            labels.append(np.asarray(lab))
-            recs.append(np.asarray(aux.loss_rec))
-            totals.append(float(aux.total))
-        labels = np.concatenate(labels, axis=1)
+            c_probs.append(outs.c)
+            mus.append(outs.s_mean)
+            logvars.append(outs.s_logvar)
+            lows.append(outs.x_low)
+            labels.append(lab)
+            recs.append(aux.loss_rec)
+            totals.append(aux.total)
+        cat = lambda ts: np.asarray(jnp.concatenate(ts, axis=1))
+        labels = cat(labels)
         return {
-            "c_prob": np.concatenate(c_probs, axis=1),
-            "state_mu": np.concatenate(mus, axis=1),
-            "state_logvar": np.concatenate(logvars, axis=1),
-            "x_low": np.concatenate(lows, axis=1),
+            "c_prob": cat(c_probs),
+            "state_mu": cat(mus),
+            "state_logvar": cat(logvars),
+            "x_low": cat(lows),
             "pred_label": labels,
-            "total_loss": float(np.mean(totals)),
-            "total_loss_rec": np.mean(recs, axis=0),
+            "total_loss": float(np.mean(np.asarray(jnp.stack(totals)))),
+            "total_loss_rec": np.mean(np.asarray(jnp.stack(recs)), axis=0),
             "consensus": consensus_from_labels(labels, self.cfg.n_categories),
             "mask": np.asarray(self.state.mask),
         }

@@ -212,3 +212,22 @@ def test_trainer_augmenter_plus_fused_kernels(tmp_path):
     res = cpl.eval_model(x)
     assert np.isfinite(res["total_loss"]).all()
     assert 0.0 <= res["consensus"] <= 1.0
+
+
+def test_eval_step_fused_matches_unfused(data, tx):
+    """make_eval_step with cfg.fused_recon must produce the same loss and
+    labels as the materializing XLA path (eval was previously always
+    unfused — 8x the train step's cost at production shape)."""
+    from dvae_tpu.train.step import make_eval_step
+    x = data[:32]
+    for mode in ("MSE", "ZINB"):
+        base = CFG.replace(mode=mode)
+        state = init_train_state(jax.random.key(2), base, make_optimizer(base))
+        aux0, lab0, _ = make_eval_step(base, TCFG)(state, x, None, 1.0)
+        auxf, labf, _ = make_eval_step(
+            base.replace(fused_recon=True), TCFG)(state, x, None, 1.0)
+        np.testing.assert_allclose(float(aux0.total), float(auxf.total),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(aux0.loss_rec),
+                                   np.asarray(auxf.loss_rec), rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(lab0), np.asarray(labf))
