@@ -79,6 +79,7 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=20000)
     ap.add_argument("--prune-iters", type=int, default=0)
     ap.add_argument("--folder", type=str, default="")
+    ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
     run(n_epoch=args.epochs, prune_iters=args.prune_iters,
-        folder=args.folder)
+        folder=args.folder, seed=args.seed)
