@@ -267,3 +267,44 @@ class TestPartitionedFusedOps:
             outs[name] = np.asarray(ems.total)
         assert np.isfinite(outs["multi"]).all()
         np.testing.assert_allclose(outs["multi"], outs["single"], rtol=5e-4)
+
+
+def test_fused_eval_multi_device_matches_single():
+    """The fused eval step (train/step.make_eval_step with cfg.fused_recon)
+    must route through the partitioned kernels on a >1-device mesh and
+    match the single-device result — eval gained the fused wiring after
+    the train path, so it needs its own multi-device check."""
+    from dvae_tpu.data.anndata_io import synthetic_dataset
+    from dvae_tpu.parallel.sharding import (make_mesh, replicated,
+                                            strategy_shardings)
+    from dvae_tpu.train.step import (init_train_state, make_eval_step,
+                                     make_optimizer)
+
+    cfg = CFG.replace(fused_recon=True)
+    mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+    ds = synthetic_dataset(n_cells=64, n_genes=64, n_types=8, seed=0)
+    x_all = jnp.asarray(ds.log1p)
+    outs = {}
+    for name in ("multi", "single"):
+        tc = (TCFG.replace(mesh=MeshConfig(data=2, arm=2, fsdp=2))
+              if name == "multi" else TCFG)
+        tx = make_optimizer(cfg)
+        state = init_train_state(jax.random.key(0), cfg, tx)
+        x = x_all
+        if name == "multi":
+            shs = strategy_shardings(ShardingStrategy.FULL_SHARD, mesh,
+                                     state.params, state.bn,
+                                     state.opt_state)
+            state = state._replace(
+                params=jax.device_put(state.params, shs[0]),
+                bn=jax.device_put(state.bn, shs[1]),
+                opt_state=jax.device_put(state.opt_state, shs[2]))
+            x = jax.device_put(x_all, replicated(mesh))
+        aux, labels, _ = make_eval_step(cfg, tc)(state, x, None, 1.0)
+        outs[name] = (np.asarray(aux.total), np.asarray(aux.loss_rec),
+                      np.asarray(labels))
+    np.testing.assert_allclose(outs["multi"][0], outs["single"][0],
+                               rtol=5e-4)
+    np.testing.assert_allclose(outs["multi"][1], outs["single"][1],
+                               rtol=5e-4)
+    np.testing.assert_array_equal(outs["multi"][2], outs["single"][2])
