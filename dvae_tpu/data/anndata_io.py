@@ -93,19 +93,28 @@ def _h5_decode(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _codes_to_labels(codes: np.ndarray, cats: np.ndarray) -> np.ndarray:
+    out = np.full(codes.shape, "nan", dtype=object)
+    valid = codes >= 0
+    out[valid] = cats[codes[valid]]
+    return np.array(out.tolist())
+
+
 def _h5_column(node):
-    """An obs/var column: plain dataset, or the AnnData categorical group
-    ({codes, categories}); None for nested/unsupported elements."""
+    """An obs/var column: plain dataset, the modern AnnData categorical
+    group ({codes, categories}), or the anndata-0.7.x encoding (an int
+    codes dataset whose ``categories`` attr is an object reference into
+    the sibling ``__categories`` group); None for unsupported elements."""
     import h5py
     if isinstance(node, h5py.Dataset):
+        ref = node.attrs.get("categories")
+        if isinstance(ref, h5py.Reference):      # 0.7.x vintage
+            cats = _h5_decode(node.file[ref][()])
+            return _codes_to_labels(np.asarray(node[()]), cats)
         return _h5_decode(node[()])
     if "categories" in node and "codes" in node:
-        cats = _h5_decode(node["categories"][()])
-        codes = np.asarray(node["codes"][()])
-        out = np.full(codes.shape, "nan", dtype=object)
-        valid = codes >= 0
-        out[valid] = cats[codes[valid]]
-        return np.array(out.tolist())
+        return _codes_to_labels(np.asarray(node["codes"][()]),
+                                _h5_decode(node["categories"][()]))
     return None
 
 
@@ -122,6 +131,8 @@ def _h5_frame(g):
     idx_name = _h5_str(g.attrs.get("_index", "index"))
     cols = {}
     for k in g.keys():
+        if k == "__categories":              # 0.7.x side table, not a column
+            continue
         v = _h5_column(g[k])
         if v is not None:
             cols[k] = v
@@ -141,8 +152,13 @@ def read_h5ad_arrays(path: str):
         if isinstance(Xn, h5py.Group):
             enc = _h5_str(Xn.attrs.get(
                 "encoding-type", Xn.attrs.get("h5sparse_format", "csr")))
-            shape = tuple(int(s) for s in np.asarray(
-                Xn.attrs.get("shape", Xn.attrs.get("h5sparse_shape"))))
+            raw_shape = Xn.attrs.get("shape", Xn.attrs.get("h5sparse_shape"))
+            if raw_shape is None:
+                raise ValueError(
+                    f"{path}: sparse X group has neither a 'shape' nor an "
+                    "'h5sparse_shape' attribute — unsupported .h5ad sparse "
+                    "encoding (install anndata to read this file)")
+            shape = tuple(int(s) for s in np.asarray(raw_shape))
             data = np.asarray(Xn["data"], dtype=np.float32)
             indices = np.asarray(Xn["indices"])
             indptr = np.asarray(Xn["indptr"])

@@ -397,29 +397,42 @@ class CplMixVAE:
         n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer each field once
         # at the end: every np.asarray is a host round trip (7 per batch in
-        # the old form), and dispatch stays async so batches pipeline
-        c_probs, mus, logvars, labels, recs, lows, totals = \
-            [], [], [], [], [], [], []
+        # the old form), and dispatch stays async so batches pipeline.
+        # Fields are flushed one at a time and their per-batch pieces
+        # dropped, so peak extra HBM is one concatenated field, not all of
+        # them at once.
+        fields = {k: [] for k in ("c", "s_mean", "s_logvar", "x_low", "lab")}
+        recs, totals, sizes = [], [], []
         for i in range(0, n, batch_size):
             aux, lab, outs = self._eval_step(self.state, xj[i: i + batch_size],
                                              None, temp)
-            c_probs.append(outs.c)
-            mus.append(outs.s_mean)
-            logvars.append(outs.s_logvar)
-            lows.append(outs.x_low)
-            labels.append(lab)
+            for k in ("c", "s_mean", "s_logvar", "x_low"):
+                fields[k].append(getattr(outs, k))
+            fields["lab"].append(lab)
             recs.append(aux.loss_rec)
             totals.append(aux.total)
-        cat = lambda ts: np.asarray(jnp.concatenate(ts, axis=1))
-        labels = cat(labels)
+            sizes.append(min(batch_size, n - i))
+
+        def flush(key):
+            parts = fields.pop(key)
+            out = np.asarray(jnp.concatenate(parts, axis=1))
+            del parts
+            return out
+
+        labels = flush("lab")
+        # per-batch means weighted by batch size: a trailing partial batch
+        # must not get equal weight (same rule as validate())
+        w = np.asarray(sizes, np.float64)
+        totals = np.asarray(jnp.stack(totals))
+        recs = np.asarray(jnp.stack(recs))
         return {
-            "c_prob": cat(c_probs),
-            "state_mu": cat(mus),
-            "state_logvar": cat(logvars),
-            "x_low": cat(lows),
+            "c_prob": flush("c"),
+            "state_mu": flush("s_mean"),
+            "state_logvar": flush("s_logvar"),
+            "x_low": flush("x_low"),
             "pred_label": labels,
-            "total_loss": float(np.mean(np.asarray(jnp.stack(totals)))),
-            "total_loss_rec": np.mean(np.asarray(jnp.stack(recs)), axis=0),
+            "total_loss": float(np.average(totals, weights=w)),
+            "total_loss_rec": np.average(recs, axis=0, weights=w),
             "consensus": consensus_from_labels(labels, self.cfg.n_categories),
             "mask": np.asarray(self.state.mask),
         }

@@ -124,9 +124,24 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
         xs = xs.astype(compute_dtype)
         if x_shared is not None:
             x_shared = x_shared.astype(compute_dtype)
-    fused = cfg.fused_recon
+    outs, new_bn, aux = _apply_with_loss(
+        params, bn, cfg, xs, key, temp, mask, prior_c, x_shared, spmd_axes,
+        train=True)
+    labels = jnp.argmax(outs.c, axis=-1)  # (A, B) int — for consensus
+    return aux.total.astype(jnp.float32), (aux, new_bn, labels)
+
+
+def _apply_with_loss(params, bn, cfg: VAEConfig, xs, key, temp, mask,
+                     prior_c, x_shared, spmd_axes, train: bool,
+                     fused_override: Optional[bool] = None):
+    """Forward + loss with the fused-recon wiring in ONE place — train
+    (``loss_fn``) and eval (``make_eval_step``) share it so their numerics
+    cannot desynchronize.  ``fused_override`` lets eval fall back to the
+    materializing path for batch shapes the partitioned kernels cannot
+    shard."""
+    fused = cfg.fused_recon if fused_override is None else fused_override
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
-                                train=True, mask=mask, prior_c=prior_c,
+                                train=train, mask=mask, prior_c=prior_c,
                                 skip_recon=fused, x_shared=x_shared,
                                 spmd_axes=spmd_axes)
     fused_args = ((params, xs if x_shared is None else x_shared)
@@ -134,8 +149,7 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
     aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c,
                                    fused_recon_args=fused_args,
                                    spmd_axes=spmd_axes)
-    labels = jnp.argmax(outs.c, axis=-1)  # (A, B) int — for consensus
-    return aux.total.astype(jnp.float32), (aux, new_bn, labels)
+    return outs, new_bn, aux
 
 
 def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig):
@@ -344,30 +358,38 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
     """Validation forward: no grad, eval semantics (hard one-hot, no noise,
     running-stat BN) — reference cpl_mixvae.py:563-761.
 
-    Uses the same fused recon-loss kernel wiring as ``loss_fn`` when
-    ``cfg.fused_recon`` is on: the eval loss is bandwidth-bound exactly
-    like the train loss, and the unfused path materializes the (A, B, D)
-    reconstruction in HBM (measured 25 → ~3 ms/batch at the production
-    shape).  ``outs.x_rec`` then carries the pre-output hidden, which no
-    eval consumer reads (eval_model returns posteriors/states/labels).
+    Uses the same fused recon-loss kernel wiring as ``loss_fn``
+    (``_apply_with_loss``) when ``cfg.fused_recon`` is on: the eval loss
+    is bandwidth-bound exactly like the train loss, and the unfused path
+    materializes the (A, B, D) reconstruction in HBM (measured 25 → ~3
+    ms/batch at the production shape).  ``outs.x_rec`` then carries the
+    pre-output hidden, which no eval consumer reads (eval_model returns
+    posteriors/states/labels).
+
+    Unlike training (drop_last batches), eval sees trailing partial
+    batches; on a >1-device mesh whose batch axes do not divide such a
+    batch, the partitioned kernels would shard it unevenly (unsupported),
+    so those traces fall back to the materializing path — a static,
+    per-shape decision under jit.
     """
     aug = augment or expand_arms
     spmd_axes = _fused_spmd_axes(cfg, tcfg)
+    m = tcfg.mesh
+    n_batch_devices = max(m.data * m.fsdp, 1)
 
     @jax.jit
     def eval_step(state: TrainState, x, prior_c, temp):
         key, k_aug, k_fwd = jax.random.split(state.key, 3)
         xs = aug(k_aug, x, cfg.n_arm)
         x_shared = x if augment is None else None
-        fused = cfg.fused_recon
-        outs, _ = mixvae.apply(state.params, state.bn, cfg, xs, k_fwd,
-                               temp=temp, train=False, mask=state.mask,
-                               prior_c=prior_c, skip_recon=fused,
-                               x_shared=x_shared, spmd_axes=spmd_axes)
-        fused_args = ((state.params, xs if x_shared is None else x_shared)
-                      if fused else None)
-        aux = mixvae_loss(cfg, outs, xs, prior_c,
-                          fused_recon_args=fused_args, spmd_axes=spmd_axes)
+        fused_override = None
+        if (spmd_axes is not None and spmd_axes[1]
+                and x.shape[0] % n_batch_devices):
+            fused_override = False
+        outs, _, aux = _apply_with_loss(
+            state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
+            prior_c, x_shared, spmd_axes, train=False,
+            fused_override=fused_override)
         labels = jnp.argmax(outs.c, axis=-1)
         return aux, labels, outs
 

@@ -181,3 +181,35 @@ class TestH5pyNativeH5adReader:
         np.testing.assert_allclose(Xr, X)
         assert list(gr) == list(genes)
         assert list(obs["cluster"]) == list(labels)
+
+    def test_anndata_07x_categorical_obs(self, tmp_path):
+        """anndata-0.7.x vintage: int-code obs dataset whose 'categories'
+        attr is an object reference into the /obs/__categories group."""
+        import h5py
+        from dvae_tpu.data.anndata_io import read_h5ad_arrays
+        X, labels, genes = self._arrays(n=12, d=6)
+        path = str(tmp_path / "v07x.h5ad")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("X", data=X)
+            obs = f.create_group("obs")
+            obs.attrs["_index"] = "index"
+            obs.create_dataset(
+                "index", data=np.array([f"c{i}" for i in range(12)],
+                                       dtype="S8"))
+            uniq, codes = np.unique(labels, return_inverse=True)
+            codes = codes.astype(np.int8)
+            codes[3] = -1                       # missing value
+            sidecar = obs.create_group("__categories")
+            cats_ds = sidecar.create_dataset("cluster",
+                                             data=uniq.astype("S8"))
+            col = obs.create_dataset("cluster", data=codes)
+            col.attrs["categories"] = cats_ds.ref
+            var = f.create_group("var")
+            var.attrs["_index"] = "index"
+            var.create_dataset("index", data=genes.astype("S8"))
+        _, gr, obs_cols = read_h5ad_arrays(path)
+        assert list(gr) == list(genes)
+        expect = list(labels)
+        expect[3] = "nan"
+        assert list(obs_cols["cluster"]) == expect
+        assert "__categories" not in obs_cols

@@ -308,3 +308,27 @@ def test_fused_eval_multi_device_matches_single():
     np.testing.assert_allclose(outs["multi"][1], outs["single"][1],
                                rtol=5e-4)
     np.testing.assert_array_equal(outs["multi"][2], outs["single"][2])
+
+
+def test_fused_eval_partial_batch_on_mesh_falls_back():
+    """A trailing eval batch the mesh batch axes cannot divide must take
+    the materializing fallback (same numbers as unfused) instead of
+    sharding the partitioned kernels unevenly."""
+    from dvae_tpu.data.anndata_io import synthetic_dataset
+    from dvae_tpu.parallel.sharding import make_mesh, replicated
+    from dvae_tpu.train.step import (init_train_state, make_eval_step,
+                                     make_optimizer)
+
+    cfg = CFG.replace(fused_recon=True)
+    mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+    tc = TCFG.replace(mesh=MeshConfig(data=2, arm=2, fsdp=2))
+    ds = synthetic_dataset(n_cells=39, n_genes=64, n_types=8, seed=1)
+    x = jax.device_put(jnp.asarray(ds.log1p), replicated(mesh))  # 39 % 4 != 0
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    aux_f, lab_f, _ = make_eval_step(cfg, tc)(state, x, None, 1.0)
+    aux_0, lab_0, _ = make_eval_step(cfg.replace(fused_recon=False),
+                                     tc)(state, x, None, 1.0)
+    np.testing.assert_allclose(float(aux_f.total), float(aux_0.total),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_0))
