@@ -253,6 +253,16 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     eps = cfg.eps
     D = xs.shape[-1]
 
+    def _pin(h):
+        # pin the kernel's hidden input to (arm, batch, ·): see
+        # parallel/sharding.constrain (avoids involuntary remat at the
+        # custom-call boundary when propagation prefers feature sharding)
+        if spmd_axes is None or len(spmd_axes) < 3 or spmd_axes[2] is None:
+            return h
+        from dvae_tpu.parallel.sharding import constrain
+        return constrain(h, spmd_axes[2], spmd_axes[0] or None,
+                         spmd_axes[1] or None, None)
+
     # --- per-arm reconstruction + KL (vmapped) ---
     if fused_recon_args is not None and cfg.mode == "ZINB":
         # fused three-head ZINB kernel (ops/zinb_pallas.py); outs.x_rec
@@ -264,7 +274,7 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
         else:
             from dvae_tpu.ops.zinb_pallas import fused_zinb
             zinb_op = fused_zinb
-        sums = zinb_op(outs.x_rec,
+        sums = zinb_op(_pin(outs.x_rec),
                        fparams["fc11"]["w"], fparams["fc11"]["b"],
                        fparams["fc11_p"]["w"], fparams["fc11_p"]["b"],
                        fparams["fc11_r"]["w"], fparams["fc11_r"]["b"],
@@ -278,7 +288,7 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
             from dvae_tpu.ops.partitioned import make_partitioned_recon
             recon_op = make_partitioned_recon(spmd_axes[0], spmd_axes[1],
                                               0.1, cfg.recon_bce_metric)
-            sumsq, mism = recon_op(outs.x_rec, w11, b11, x_target)
+            sumsq, mism = recon_op(_pin(outs.x_rec), w11, b11, x_target)
         else:
             from dvae_tpu.ops.recon_pallas import fused_recon_mse
             sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target,

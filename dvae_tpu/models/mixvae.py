@@ -327,10 +327,18 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
                                           cfg.x_drop)
         if spmd_axes is not None:
             from dvae_tpu.ops.partitioned import make_partitioned_dropout_fc1
+            from dvae_tpu.parallel.sharding import constrain
             fc1_op = make_partitioned_dropout_fc1(spmd_axes[0], spmd_axes[1],
                                                   cfg.x_drop)
             y1 = fc1_op(seed, x_in, params["fc1"]["w"], params["fc1"]["b"],
                         drop_mask)
+            # pin the kernel output to its declared (arm, batch, ·) layout:
+            # downstream fsdp-sharded matmuls otherwise pull it
+            # feature-sharded and the custom-call boundary pays a full
+            # rematerialization (see parallel/sharding.constrain)
+            mesh = spmd_axes[2] if len(spmd_axes) > 2 else None
+            y1 = constrain(y1, mesh, spmd_axes[0] or None,
+                           spmd_axes[1] or None, None)
         else:
             y1 = fused_dropout_fc1(seed, x_in, params["fc1"]["w"],
                                    params["fc1"]["b"], cfg.x_drop, drop_mask)

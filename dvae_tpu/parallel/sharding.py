@@ -163,6 +163,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def constrain(x, mesh: Optional[Mesh], *spec):
+    """``with_sharding_constraint`` that no-ops without a mesh.
+
+    Used to pin activations at the fused-kernel boundaries: the sharding
+    propagator otherwise prefers feature-sharded layouts there (pressure
+    from the fsdp-sharded dense weights next door), which conflicts with
+    the kernels' batch-sharded specs and degenerates into
+    replicate-then-repartition ("involuntary full rematerialization")
+    inside the manual subgroup modules."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def bn_shardings(bn_state, mesh: Mesh):
     """Batch-norm running stats: shard over ``arm`` only (they are per-arm
     vectors; the reference never syncs them across ranks — no SyncBatchNorm

@@ -227,10 +227,12 @@ class CplMixVAE:
                 _runners[n_chunk] = jax.jit(make_epoch_runner(
                     cfg, tcfg, self.tx, n_train,
                     augment=self._augment_fn(),
-                    epochs_per_chunk=n_chunk), donate_argnums=(0,))
+                    epochs_per_chunk=n_chunk, mesh=self.mesh),
+                    donate_argnums=(0,))
             return _runners[n_chunk]
 
-        self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn())
+        self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
+                                         mesh=self.mesh)
 
         self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
                         stop_con, logger, phase="train")
@@ -354,7 +356,8 @@ class CplMixVAE:
         cpl_mixvae.py:563-761)."""
         if not hasattr(self, "_eval_step"):
             self._eval_step = make_eval_step(self.cfg, self.tcfg,
-                                             augment=self._augment_fn())
+                                             augment=self._augment_fn(),
+                                             mesh=self.mesh)
         x = jnp.asarray(x_val, jnp.float32)
         n = x.shape[0]
         tot, recs, labels, sizes = [], [], [], []
@@ -392,7 +395,8 @@ class CplMixVAE:
         """
         if not hasattr(self, "_eval_step") or self._eval_step is None:
             self._eval_step = make_eval_step(self.cfg, self.tcfg,
-                                             augment=self._augment_fn())
+                                             augment=self._augment_fn(),
+                                             mesh=self.mesh)
         xj = jnp.asarray(x, jnp.float32)
         n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer each field once

@@ -113,10 +113,11 @@ def loss_fn(params, bn, cfg: VAEConfig, xs, key, temp, mask, prior_c,
     ``x_shared``: the un-expanded (B, D) batch when every arm sees the same
     view (no augmentation) — lets the fused recon kernel read the target
     once instead of A times.
-    ``spmd_axes``: static ``(arm_axes, batch_axes)`` mesh axis names under a
+    ``spmd_axes``: static ``(arm_axes, batch_axes, mesh)`` under a
     >1-device mesh — routes the fused kernels through their SPMD
     partitioning rules (ops/partitioned.py) so they compute on local
-    shards instead of being replicated by the partitioner.
+    shards instead of being replicated by the partitioner; the mesh (may
+    be None) enables activation pinning at the kernel boundaries.
     """
     if compute_dtype is not None and compute_dtype != jnp.float32:
         params = jax.tree_util.tree_map(
@@ -152,13 +153,17 @@ def _apply_with_loss(params, bn, cfg: VAEConfig, xs, key, temp, mask,
     return outs, new_bn, aux
 
 
-def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig):
-    """Static (arm_axes, batch_axes) for the fused kernels' partitioning
-    rules under a >1-device mesh (parallel/sharding.batch_sharding lays the
-    batch over ('data', 'fsdp') and arms over 'arm').  None on one device
-    or when the fused kernels are off; axes that do not divide their
-    dimension are dropped (the partitioner then replicates that dim —
-    correct, just less parallel)."""
+def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig, mesh=None):
+    """Static (arm_axes, batch_axes, mesh) for the fused kernels'
+    partitioning rules under a >1-device mesh (parallel/sharding
+    .batch_sharding lays the batch over ('data', 'fsdp') and arms over
+    'arm').  None on one device or when the fused kernels are off; axes
+    that do not divide their dimension are dropped (the partitioner then
+    replicates that dim — correct, just less parallel).
+
+    ``mesh``: the concrete ``jax.sharding.Mesh`` when the caller has one —
+    enables explicit activation constraints at the kernel boundaries
+    (parallel/sharding.constrain)."""
     m = tcfg.mesh
     if m.n_devices <= 1 or not (cfg.fused_recon or cfg.fused_encoder):
         return None
@@ -167,12 +172,29 @@ def _fused_spmd_axes(cfg: VAEConfig, tcfg: TrainConfig):
     batch_axes = tuple(
         ax for ax, sz in (("data", m.data), ("fsdp", m.fsdp)) if sz > 1
     ) if tcfg.batch_size % max(n_batch, 1) == 0 else ()
-    return (arm_axes, batch_axes)
+    return (arm_axes, batch_axes, mesh)
+
+
+def _batch_ns(mesh, n_rows: int):
+    """NamedSharding for a (B, ...) host batch laid over the batch axes, or
+    None when the mesh is absent/trivial or does not divide ``n_rows``."""
+    if mesh is None:
+        return None
+    axes = tuple(ax for ax in ("data", "fsdp") if mesh.shape[ax] > 1)
+    if not axes:
+        return None
+    n = 1
+    for ax in axes:
+        n *= mesh.shape[ax]
+    if n_rows % n:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P(axes, None))
 
 
 def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation,
-                    augment: Optional[AugmentFn] = None):
+                    augment: Optional[AugmentFn] = None, mesh=None):
     """Build the jitted train step.
 
     step(state, x(B,D), prior_c(B,C)|None, temp) →
@@ -180,7 +202,7 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
     """
     compute_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
     aug = augment or expand_arms
-    spmd_axes = _fused_spmd_axes(cfg, tcfg)
+    spmd_axes = _fused_spmd_axes(cfg, tcfg, mesh)
 
     def step(state: TrainState, x: jax.Array,
              prior_c: Optional[jax.Array], temp) -> tuple:
@@ -262,7 +284,7 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
                       n_train: int,
                       augment: Optional[AugmentFn] = None,
                       epochs_per_chunk: Optional[int] = None,
-                      consensus_every_epoch: bool = True):
+                      consensus_every_epoch: bool = True, mesh=None):
     """Build run_epochs(state, x_all, idx_all, prior_all, temp) jit-able fn.
 
     Runs ``epochs_per_chunk`` epochs fully on device: per epoch an on-device
@@ -275,7 +297,8 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
     steps = n_train // B
     if steps == 0:
         raise ValueError(f"batch_size {B} > dataset size {n_train}")
-    step_fn = make_train_step(cfg, tcfg, tx, augment)
+    step_fn = make_train_step(cfg, tcfg, tx, augment, mesh)
+    batch_ns = _batch_ns(mesh, tcfg.batch_size)
     n_used = steps * B
     sb = tcfg.shuffle_block
     if sb > 1 and B % sb:
@@ -306,6 +329,14 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
             prior = (None if prior_view is None
                      else jnp.take(prior_view, sel, axis=0).reshape(
                          B, *prior_all.shape[1:]))
+            if batch_ns is not None:
+                # pin the gathered batch to the batch sharding: without the
+                # constraint, propagation feature-shards it (pressure from
+                # the fsdp-sharded fc1 weight) and the kernel boundary pays
+                # a replicate-then-repartition
+                x = jax.lax.with_sharding_constraint(x, batch_ns)
+                if prior is not None:
+                    prior = jax.lax.with_sharding_constraint(prior, batch_ns)
             st, m, labels = step_fn(st, x, prior, temp)
             return st, (m, labels)
 
@@ -354,7 +385,7 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
 # ---------------------------------------------------------------------------
 
 def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
-                   augment: Optional[AugmentFn] = None):
+                   augment: Optional[AugmentFn] = None, mesh=None):
     """Validation forward: no grad, eval semantics (hard one-hot, no noise,
     running-stat BN) — reference cpl_mixvae.py:563-761.
 
@@ -373,7 +404,7 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
     per-shape decision under jit.
     """
     aug = augment or expand_arms
-    spmd_axes = _fused_spmd_axes(cfg, tcfg)
+    spmd_axes = _fused_spmd_axes(cfg, tcfg, mesh)
     m = tcfg.mesh
     n_batch_devices = max(m.data * m.fsdp, 1)
 
