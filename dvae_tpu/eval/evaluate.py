@@ -31,14 +31,11 @@ from dvae_tpu.eval.metrics import (compute_confmat, confmat_mean,
 # North-star metrics (evaluation.py)
 # ---------------------------------------------------------------------------
 
-def mutinfo(probs: np.ndarray, targets: np.ndarray,
-            verbose: bool = False) -> np.ndarray:
-    """Per-(reference-type, discovered-cluster) adjusted mutual information.
-
-    ``probs``: (N, C) categorical posterior of one arm; ``targets``: (N, F)
-    one-hot reference labels.  Returns (F, C_used) AMI matrix — reference
-    evaluation.py:25-41 — with the O(F·C) inner loop vectorized through a
-    contingency-table AMI instead of sklearn-per-pair calls.
+def mutinfo_oracle(probs: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Reference transcription of ``mutinfo`` (evaluation.py:25-41): the
+    O(F·C) sklearn-per-pair double loop.  Kept as the equivalence oracle
+    for the vectorized ``mutinfo`` below (the repo's naive/optimized
+    testing idiom); at production N/F/C it takes minutes — use ``mutinfo``.
     """
     from sklearn.metrics.cluster import adjusted_mutual_info_score
 
@@ -55,6 +52,137 @@ def mutinfo(probs: np.ndarray, targets: np.ndarray,
         for f in range(F):
             mi[f, c] = adjusted_mutual_info_score(targets[:, f], per_c)
     return mi
+
+
+def _lngamma_table(n: int) -> np.ndarray:
+    """T[k] = ln k! for k = 0..n (cumulative-log table; lnC(n,r) is then
+    three lookups)."""
+    t = np.empty(n + 1)
+    t[0] = 0.0
+    np.cumsum(np.log(np.arange(1, n + 1)), out=t[1:])
+    return t
+
+
+def _emi_cell(a: np.ndarray, b: np.ndarray, N: int, T: np.ndarray,
+              chunk: int = 4096) -> np.ndarray:
+    """Expected-MI contribution of ONE cell of a 2x2 contingency table,
+    for broadcastable integer marginal grids ``a``, ``b``:
+
+        E[ (k/N)·ln(N·k/(a·b)) ]  over  k ~ Hypergeom(N, a, b)
+
+    summed over the support (Vinh et al. 2010 — the same quantity
+    sklearn's ``expected_mutual_information`` accumulates per cell).  The
+    hypergeometric pmf is evaluated from the ln-factorial table ``T`` and
+    the sum is truncated to ±(12σ+25) around the mean, where the pmf is
+    < 1e-30 (log-concave tails) — below f64 resolution of the result.
+    """
+    a, b = np.broadcast_arrays(a, b)
+    shape = a.shape
+    a = a.ravel().astype(np.int64)
+    b = b.ravel().astype(np.int64)
+    out = np.zeros(a.size)
+    lo_sup = np.maximum(1, a + b - N)
+    hi_sup = np.minimum(a, b)
+    mu = a * b / N
+    sig = np.sqrt(np.maximum(
+        a * b * (N - a) * (N - b) / (N * N * max(N - 1, 1)), 0.0))
+    w = 12.0 * sig + 25.0
+    lo = np.maximum(lo_sup, np.floor(mu - w).astype(np.int64))
+    hi = np.minimum(hi_sup, np.ceil(mu + w).astype(np.int64))
+    ln_const = T[N] - T[a] - T[N - a]  # -lnC(N, a), per pair
+    for s in range(0, a.size, chunk):
+        e = min(s + chunk, a.size)
+        al, bl = a[s:e, None], b[s:e, None]
+        lol, hil = lo[s:e], hi[s:e]
+        span = int(max(0, (hil - lol).max())) + 1 if e > s else 0
+        if span <= 0 or (hil < lol).all():
+            continue
+        k = lol[:, None] + np.arange(span)[None, :]
+        valid = k <= hil[:, None]
+        k = np.where(valid, k, 1)  # safe index; masked out below
+        ln_pmf = ((T[bl] - T[k] - T[np.maximum(bl - k, 0)])
+                  + (T[np.maximum(N - bl, 0)] - T[np.maximum(al - k, 0)]
+                     - T[np.maximum(N - bl - al + k, 0)])
+                  - ln_const[s:e, None])
+        with np.errstate(divide="ignore"):  # log(a·b)=−inf lanes are masked
+            term = ((k / N) * (np.log(N * k) - np.log(al * bl))
+                    * np.exp(ln_pmf))
+        out[s:e] = np.where(valid, term, 0.0).sum(axis=1)
+    return out.reshape(shape)
+
+
+def mutinfo(probs: np.ndarray, targets: np.ndarray,
+            verbose: bool = False) -> np.ndarray:
+    """Per-(reference-type, discovered-cluster) adjusted mutual information.
+
+    ``probs``: (N, C) categorical posterior of one arm; ``targets``: (N, F)
+    one-hot reference labels.  Returns the (F, C_used) AMI matrix of
+    reference evaluation.py:25-41 — but instead of F·C sklearn calls each
+    re-scanning all N samples, every pair is a **2x2 contingency table**
+    whose counts come from one (F, C) matmul; MI, the entropies, and the
+    expected MI (windowed hypergeometric sums, ``_emi_cell``) are then
+    evaluated in closed form, vectorized over all pairs.  Matches
+    ``mutinfo_oracle`` (= sklearn, 'arithmetic' averaging) to f64
+    round-off; ~3 orders of magnitude faster at the production shape.
+    """
+    del verbose
+    preds = np.argmax(probs, axis=1)
+    uniq, prediction = np.unique(preds, return_inverse=True)
+    C = len(uniq)
+    t_int = np.argmax(targets, axis=-1)
+    F = len(np.unique(t_int))
+    N = len(prediction)
+
+    # 2x2 contingency counts for every (f, c) pair from one matmul:
+    #   u_f = targets[:, f] != 0 (the reference passes the raw column as
+    #   labels),  v_c = (prediction == c)
+    tcols = (np.asarray(targets[:, :F]) != 0)
+    onehot_p = np.zeros((N, C))
+    onehot_p[np.arange(N), prediction] = 1.0
+    n11 = tcols.astype(np.float64).T @ onehot_p            # (F, C)
+    tf = tcols.sum(axis=0).astype(np.int64)                # (F,)
+    pc = np.bincount(prediction, minlength=C).astype(np.int64)  # (C,)
+    n11 = np.rint(n11).astype(np.int64)
+    n10 = tf[:, None] - n11
+    n01 = pc[None, :] - n11
+    n00 = N - tf[:, None] - pc[None, :] + n11
+
+    def _mi_cell(n, aa, bb):
+        n = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (n / N) * (np.log(N * n) - np.log(aa * bb))
+        return np.where(n > 0, t, 0.0)
+
+    af, bf = tf[:, None].astype(np.float64), pc[None, :].astype(np.float64)
+    mi = (_mi_cell(n11, af, bf) + _mi_cell(n10, af, N - bf)
+          + _mi_cell(n01, N - af, bf) + _mi_cell(n00, N - af, N - bf))
+
+    def _h2(cnt):  # binary entropy of an integer count vector vs N
+        p = cnt / N
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = -(p * np.log(p) + (1 - p) * np.log1p(-p))
+        return np.where((cnt > 0) & (cnt < N), h, 0.0)
+
+    h_u = _h2(tf.astype(np.float64))[:, None]              # (F, 1)
+    h_v = _h2(pc.astype(np.float64))[None, :]              # (1, C)
+
+    T = _lngamma_table(N)
+    emi = (_emi_cell(tf[:, None], pc[None, :], N, T)
+           + _emi_cell(tf[:, None], N - pc[None, :], N, T)
+           + _emi_cell(N - tf[:, None], pc[None, :], N, T)
+           + _emi_cell(N - tf[:, None], N - pc[None, :], N, T))
+
+    # sklearn's AMI assembly ('arithmetic' averaging + eps-guarded
+    # denominator + the both-single-cluster special case)
+    normalizer = 0.5 * (h_u + h_v)
+    denom = normalizer - emi
+    eps = np.finfo(np.float64).eps
+    denom = np.where(denom < 0, np.minimum(denom, -eps),
+                     np.maximum(denom, eps))
+    ami = (mi - emi) / denom
+    single_u = (tf == 0) | (tf == N)
+    both_single = single_u[:, None] & np.full((1, C), C == 1)
+    return np.where(both_single, 1.0, ami)
 
 
 def avg_max(a: np.ndarray) -> float:

@@ -61,6 +61,29 @@ class TestMutinfo:
         probs = rng.random((n, k))
         assert avg_max(mutinfo(probs, targets)) < 0.2
 
+    def test_matches_sklearn_oracle(self):
+        """Vectorized contingency-table AMI == the reference's
+        sklearn-per-pair double loop (evaluation.py:25-41)."""
+        from dvae_tpu.eval.evaluate import mutinfo_oracle
+        n, c, f = 800, 7, 5
+        t = rng.integers(0, f, n)
+        targets = np.eye(f)[t]
+        lab = np.where(rng.random(n) < 0.6, t % c, rng.integers(0, c, n))
+        probs = np.eye(c)[lab] + 0.01 * rng.random((n, c))
+        got, want = mutinfo(probs, targets), mutinfo_oracle(probs, targets)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_oracle_match_degenerate(self):
+        """Single-cluster predictions and an all-zero target column."""
+        from dvae_tpu.eval.evaluate import mutinfo_oracle
+        n = 250
+        t = rng.integers(1, 4, n)
+        targets = np.eye(6)[t]          # column 0 is all-zero
+        probs = np.ones((n, 1))         # one discovered cluster
+        np.testing.assert_allclose(mutinfo(probs, targets),
+                                   mutinfo_oracle(probs, targets),
+                                   atol=1e-10)
+
 
 class TestClusterAnalysis:
     def _blobs(self):
