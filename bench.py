@@ -3,16 +3,30 @@
 Measures steady-state training throughput (cells/sec/chip) of the flagship
 configuration — the reference's production run shape (A=5, B=5000, D=5032,
 C=92; train-scripts/run-train-A5-E500000-a100.sh, reference train.py
-defaults) — on whatever chip jax.devices()[0] is.
+defaults) — on whatever chip jax.devices()[0] is.  Three variants:
+
+  * ``train_throughput_A5_smartseq``      — MSE mode, no augmenter (the
+    kernel-limit figure; headline metric).
+  * ``train_throughput_A5_smartseq_aug``  — the frozen augmenter in the
+    loop, the reference's canonical production path
+    (mmidas/cpl_mixvae.py:422-425: ``netA(x.expand(A,-1,-1), True, 0.1)``).
+  * ``train_throughput_A5_zinb``          — ZINB reconstruction mode
+    (mmidas/utils/distributions.py), fused three-head kernel.
 
 ``vs_baseline`` compares against an estimated reference throughput of
 25,000 cells/sec on one A100: the reference publishes no benchmark tables
 (BASELINE.md), so this anchor is derived from its compute profile — A=5
 arms ≈ 50M params (dist/fsdp.py:672-675), 6·params·batch ≈ 1.5 TFLOP/step
 at B=5000, fp32 + python per-arm loop + per-batch host syncs on A100 ≈
-200 ms/step → 25k cells/s.  Driver target (BASELINE.json): ≥5× per chip.
+200 ms/step → 25k cells/s.  Sensitivity: a perfectly-overlapped fp32 A100
+run of the same FLOPs would bound the reference at ≤100k cells/s (1.5
+TFLOP / 19.5 TFLOPS·0.5 util ≈ 150 ms… optimistic ×4), so even at the
+most charitable baseline the headline ratio stays ≥16×; at the estimate
+it is ~65×.  Driver target (BASELINE.json): ≥5× per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
+— ``extra`` carries the augmenter-in-loop and ZINB figures (cells/s/chip)
+so a regression in either is driver-visible.
 
 Roofline status (v5e, measured 2026-08): the unfused step moves 5.73 GB
 of HBM traffic (XLA cost analysis) → 7.0 ms bandwidth roofline at
@@ -41,37 +55,24 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_CELLS_PER_SEC = 25_000.0  # estimated reference A100 throughput
+N = 20_000
+B = 5000
 
 
-def main() -> None:
-    from dvae_tpu.config import TrainConfig, VAEConfig
+def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg"):
+    """Steady-state cells/sec/chip of the fused epoch runner for ``cfg``."""
+    from dvae_tpu.config import TrainConfig
     from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
                                      make_optimizer)
 
-    # production defaults (C=92, D=5032, F=100) + the fused recon-loss and
-    # dropout+fc1 kernels (ops/recon_pallas.py, ops/encoder_pallas.py): no
-    # (A, B, D) tensor — reconstruction, its cotangent, or dropped input
-    # views — ever touches HBM, and the binarized-BCE metric term is free
-    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
     # shuffle_block=8: the epoch shuffle permutes 8-row blocks, so the
     # batch gather moves contiguous (8, D) slices at HBM bandwidth
-    tcfg = TrainConfig(batch_size=5000, epochs_per_jit=5, bf16=True,
-                       rng_impl="rbg", shuffle_block=8)
-    N = 20_000
-    B = tcfg.batch_size
-    steps_per_epoch = N // B  # 4 — the reference production regime
-
-    rng = np.random.default_rng(0)
-    # bf16 mode stores the dataset in bf16 (halves gather traffic); rbg keys
-    # use the TPU hardware RNG for the dropout/gumbel/reparam draws; the
-    # all-pairs consensus einsum runs once per logging chunk
-    x_all = jnp.asarray(
-        np.maximum(rng.normal(1.0, 1.0, (N, cfg.input_dim)), 0.0),
-        jnp.bfloat16)
-
+    tcfg = TrainConfig(batch_size=B, epochs_per_jit=5, bf16=True,
+                       rng_impl=rng_impl, shuffle_block=8)
     tx = make_optimizer(cfg)
-    state = init_train_state(jax.random.key(0), cfg, tx, rng_impl="rbg")
+    state = init_train_state(jax.random.key(0), cfg, tx, rng_impl=rng_impl)
     run = jax.jit(make_epoch_runner(cfg, tcfg, tx, n_train=N,
+                                    augment=augment,
                                     consensus_every_epoch=False),
                   donate_argnums=(0,))
 
@@ -80,25 +81,63 @@ def main() -> None:
     state, ems = run(state, x_all, None, 1.0)
     np.asarray(ems.total)
 
-    n_chunks = 6
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, ems = run(state, x_all, None, 1.0)
     np.asarray(ems.total)
     dt = time.perf_counter() - t0
 
-    epochs = n_chunks * tcfg.epochs_per_jit
-    steps = epochs * steps_per_epoch
-    cells = steps * B
-    cells_per_sec = cells / dt
+    steps = n_chunks * tcfg.epochs_per_jit * (N // B)
     n_local = max(jax.local_device_count(), 1)
-    per_chip = cells_per_sec / n_local
+    return steps * B / dt / n_local
+
+
+def _augment_fn(input_dim: int):
+    """Random-weight frozen augmenter (forward cost equals a trained one's)."""
+    from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
+                                            init_augmenter)
+
+    acfg = AugmenterConfig(input_dim=input_dim)
+    params, bn = init_augmenter(jax.random.key(7), acfg)
+
+    def fn(key, x, n_arm):
+        return augment_arms(params, bn, acfg, key, x, n_arm, scale=0.1)
+
+    return fn
+
+
+def main() -> None:
+    from dvae_tpu.config import VAEConfig
+
+    # production defaults (C=92, D=5032, F=100) + the fused recon-loss and
+    # dropout+fc1 kernels (ops/recon_pallas.py, ops/encoder_pallas.py): no
+    # (A, B, D) tensor — reconstruction, its cotangent, or dropped input
+    # views — ever touches HBM, and the binarized-BCE metric term is free
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
+    rng = np.random.default_rng(0)
+    # bf16 mode stores the dataset in bf16 (halves gather traffic); rbg keys
+    # use the TPU hardware RNG for the dropout/gumbel/reparam draws; the
+    # all-pairs consensus einsum runs once per logging chunk
+    x_all = jnp.asarray(
+        np.maximum(rng.normal(1.0, 1.0, (N, cfg.input_dim)), 0.0),
+        jnp.bfloat16)
+
+    per_chip = _throughput(cfg, x_all)
+    aug = _throughput(cfg, x_all, augment=_augment_fn(cfg.input_dim),
+                      n_chunks=3)
+    zinb = _throughput(cfg.replace(mode="ZINB"), x_all, n_chunks=3)
 
     print(json.dumps({
         "metric": "train_throughput_A5_smartseq",
         "value": round(per_chip, 1),
         "unit": "cells/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_CELLS_PER_SEC, 3),
+        "extra": {
+            "train_throughput_A5_smartseq_aug": round(aug, 1),
+            "train_throughput_A5_zinb": round(zinb, 1),
+            "aug_vs_baseline": round(aug / BASELINE_CELLS_PER_SEC, 3),
+            "zinb_vs_baseline": round(zinb / BASELINE_CELLS_PER_SEC, 3),
+        },
     }))
 
 

@@ -146,8 +146,34 @@ class CplMixVAE:
     def load_model(self, filename: str) -> int:
         """Restore model+optimizer state (reference ``load_model``,
         cpl_mixvae.py:317; ``init_model(trained_model=…)`` :276-283).
-        Returns the stored epoch (or -1)."""
+        Returns the stored epoch (or -1).
+
+        Standalone-capable: on a fresh instance (no prior ``init_model``)
+        the configs, optimizer, and mesh are rebuilt from the checkpoint
+        metadata — the reference eval workflow (evaluation.py:15-23) is
+        construct → load → eval with no explicit re-init."""
         tree, meta = load_checkpoint(filename)
+        if self.state is None:
+            if not meta.get("cfg"):
+                raise ValueError(
+                    f"{filename} has no 'cfg' metadata; call init_model "
+                    "first to load a bare pytree checkpoint")
+            cfg_d = dict(meta["cfg"])
+            tcfg_d = dict(meta.get("tcfg") or {})
+            mesh_d = tcfg_d.get("mesh")
+            if isinstance(mesh_d, dict):
+                tcfg_d["mesh"] = MeshConfig(**mesh_d)
+            if "sharding" in tcfg_d:
+                tcfg_d["sharding"] = ShardingStrategy(tcfg_d["sharding"])
+            self.cfg = VAEConfig(**cfg_d)
+            self.tcfg = TrainConfig(**tcfg_d)
+            self.temp = self.cfg.temp
+            self.mesh = make_mesh(self.tcfg.mesh) \
+                if self.tcfg.mesh.n_devices > 1 else None
+            self.tx = make_optimizer(self.cfg, self.tcfg.optimizer)
+            self.state = init_train_state(
+                jax.random.key(self.seed), self.cfg, self.tx,
+                rng_impl=self.tcfg.rng_impl)
         restored = jax.tree_util.tree_map(jnp.asarray, tree)
         self.state = TrainState(
             params=restored["params"], bn=restored["bn"],
@@ -156,6 +182,17 @@ class CplMixVAE:
                 jax.tree_util.tree_leaves(restored["opt_state"])),
             mask=restored["mask"], key=self.state.key,
             epoch=jnp.asarray(meta.get("epoch", 0), jnp.int32))
+        if self.mesh is not None:
+            # restored arrays land uncommitted on the default device —
+            # re-apply the strategy placement so a resumed multi-device
+            # run does not silently train replicated
+            shs = strategy_shardings(self.tcfg.sharding, self.mesh,
+                                     self.state.params, self.state.bn,
+                                     self.state.opt_state)
+            self.state = self.state._replace(
+                params=jax.device_put(self.state.params, shs[0]),
+                bn=jax.device_put(self.state.bn, shs[1]),
+                opt_state=jax.device_put(self.state.opt_state, shs[2]))
         return int(meta.get("epoch", -1))
 
     def save_checkpoint(self, tag: str) -> str:
@@ -163,9 +200,16 @@ class CplMixVAE:
                             f"cpl_mixVAE_model_{tag}.ckpt")
         ckpt = {"params": self.state.params, "bn": self.state.bn,
                 "opt_state": self.state.opt_state, "mask": self.state.mask}
-        return save_checkpoint(path, ckpt,
-                               {"epoch": int(self.state.epoch),
-                                "cfg": self.cfg.__dict__ if self.cfg else {}})
+        import dataclasses
+        return save_checkpoint(
+            path, ckpt,
+            {"epoch": int(self.state.epoch),
+             "cfg": self.cfg.__dict__ if self.cfg else {},
+             # plain-dict tcfg (enum → value) so a fresh instance can
+             # rebuild the full config tree from metadata alone
+             "tcfg": {**dataclasses.asdict(self.tcfg),
+                      "sharding": self.tcfg.sharding.value}
+             if self.tcfg else {}})
 
     # -- training -----------------------------------------------------------
 

@@ -117,6 +117,29 @@ def test_cpl_mixvae_train_prune_checkpoint_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_standalone_load_without_init(tmp_path):
+    """construct → ``load_model(path)`` → ``eval_model`` with NO prior
+    ``init_model``: configs/optimizer/mesh rebuilt from checkpoint
+    metadata (the reference eval workflow, evaluation.py:15-23)."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=120, n_genes=48, n_types=6, seed=2)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=6, input_dim=48, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, batch_size=24, epochs_per_jit=2)
+    path = cpl.train(ds.log1p, n_epoch=2)
+    res = cpl.eval_model(ds.log1p)
+
+    fresh = CplMixVAE(saving_folder=str(tmp_path))
+    epoch = fresh.load_model(path)          # no init_model
+    assert epoch == 2
+    assert fresh.cfg.n_categories == 6 and fresh.cfg.input_dim == 48
+    assert fresh.tcfg.batch_size == 24
+    res2 = fresh.eval_model(ds.log1p)
+    np.testing.assert_allclose(res2["c_prob"], res["c_prob"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_ref_prior_path(data, tx):
     cfg = CFG.replace(ref_prior=True)
     state = init_train_state(jax.random.key(0), cfg, tx)
