@@ -80,9 +80,14 @@ def _load_dataset(args):
 def cmd_train(args) -> int:
     from dvae_tpu.config import MeshConfig
     from dvae_tpu.data.pipeline import stratified_split_indices
+    from dvae_tpu.parallel.runtime import initialize_distributed
     from dvae_tpu.train.cpl_mixvae import CplMixVAE
     from dvae_tpu.utils.checkpoint import make_run_dir
 
+    # multi-host (DCN) bootstrap — no-op single-process (the reference's
+    # rendezvous env block, mmidas/_dist_utils.py:12-48)
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
     ds = _load_dataset(args)
     folder = make_run_dir(
         args.saving_folder or "results/",
@@ -209,6 +214,11 @@ def main(argv=None) -> int:
     pt.add_argument("--mesh_data", type=int, default=1)
     pt.add_argument("--mesh_arm", type=int, default=1)
     pt.add_argument("--mesh_fsdp", type=int, default=1)
+    pt.add_argument("--coordinator", type=str, default=None,
+                    help="multi-host coordinator address host:port "
+                         "(jax.distributed.initialize)")
+    pt.add_argument("--num_processes", type=int, default=None)
+    pt.add_argument("--process_id", type=int, default=None)
     pt.add_argument("--bf16", action="store_true")
     pt.add_argument("--fused", type=str, default="auto",
                     choices=["auto", "on", "off"],

@@ -39,6 +39,19 @@ def test_evaluate_cli(tmp_path, monkeypatch, capsys):
     assert os.path.exists("evaluation/A2-RUN0-E0.npy")
 
 
+def test_train_cli_hybrid_sharding(tmp_path, monkeypatch):
+    """--sharding hybrid on a 2-slice-shaped (data=2, fsdp=4) mesh: the
+    reference's HYBRID_SHARD demonstration (fsdp_mnist.py:223-226) driven
+    through the real CLI on the 8-device virtual mesh."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["train", *_TINY, "--n_epoch", "2", "--epochs_per_jit", "2",
+               "--batch_size", "40", "--sharding", "hybrid",
+               "--mesh_data", "2", "--mesh_fsdp", "4",
+               "--saving_folder", str(tmp_path) + "/"])
+    assert rc == 0
+    assert glob.glob(str(tmp_path) + "/*RUN0/*.ckpt")
+
+
 def test_train_augmenter_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = main(["train-augmenter", *_TINY[:7], "--n_epoch", "2",
