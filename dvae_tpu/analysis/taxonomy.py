@@ -208,6 +208,27 @@ class HTree:
         mod_subtree.update_layout()
         return merged, mod_subtree, subtree
 
+    def get_marker(self, exclude: Sequence[str] = ()) -> np.ndarray:
+        """Marker-gene names from the leaf labels (reference
+        ``HTree.get_marker``, analysis_cells_tree.py:168-198).
+
+        Allen leaf labels are "<subclass tokens> <gene1> <gene2> ..."; every
+        space-separated token after the first that is not a subclass name is
+        a marker gene.  ``exclude`` replaces the default subclass list when
+        given (the reference raises NameError on a non-empty ``exclude`` —
+        subclass_list is only bound in the empty branch; the evident intent
+        is implemented here).
+        """
+        subclass_list = list(exclude) if len(exclude) else [
+            "L2/3", "L4", "L5", "L6", "IT", "PT", "NP", "CT", "VISp", "ALM",
+            "Sst", "Vip", "Lamp5", "Pvalb", "Sncg", "Serpinf1"]
+        marker_genes = []
+        for ttype in self.child[self.isleaf]:
+            toks = str(ttype).split(" ")[1:]  # tokens after the first
+            marker_genes.extend(t for t in toks
+                                if t and t not in subclass_list)
+        return np.unique(marker_genes)
+
     # -- plotting (optional matplotlib) -------------------------------------
 
     def plot(self, figsize=(15, 10), fontsize=10, skeletononly=True,
@@ -274,6 +295,136 @@ def simplify_tree(pruned_subtree: HTree, skip_nodes=None):
         tree = HTree(htree_df=df.rename(columns={"child": "label",
                                                  "isleaf": "leaf"}))
     return tree, skip_nodes
+
+
+def parse_dend(htree_file: str):
+    """Parse a dend CSV export into merge/descendant structures
+    (reference ``parse_dend``, analysis_tree_helpers.py:122-154).
+
+    Returns ``(list_changes, descendants, treeobj, leaves, child, parent)``:
+      * ``list_changes``: ordered [children, parent] merges (get_mergeseq)
+      * ``descendants``: node → all-descendant list, every node in the tree
+      * ``treeobj``: the canonical sorted DataFrame in the reference's
+        column schema (x, y, leaf, label, parent, col); leaf rows carry
+        y = 0.0 (the reference leaves NaN and zeroes it at plot time)
+      * ``leaves``/``child``/``parent``: label arrays
+    """
+    tree = HTree(htree_file=htree_file)
+    treeobj = tree.obj2df().rename(columns={"child": "label",
+                                            "isleaf": "leaf"})
+    treeobj = treeobj[["x", "y", "leaf", "label", "parent", "col"]]
+    child, parent = tree.child, tree.parent
+    leaves = child[tree.isleaf]
+    return (tree.get_mergeseq(), tree.get_all_descendants(), treeobj,
+            leaves, child, parent)
+
+
+def plot_htree(htree_file: str, figsize=(15, 10), fontsize=8,
+               save_path: Optional[str] = None):
+    """Full dendrogram plot with leaf labels from a dend CSV (reference
+    ``plot_htree``, analysis_tree_helpers.py:157-196)."""
+    tree = HTree(htree_file=htree_file)
+    return tree.plot(figsize=figsize, fontsize=fontsize,
+                     skeletononly=False, save_path=save_path)
+
+
+class Node:
+    """Tree node over (child, parent) label arrays (reference
+    analysis_cells_tree.py:64-91): holds its children/parent names."""
+
+    def __init__(self, name: str, C_list=(), P_list=()):
+        C = np.asarray(C_list, dtype=object)
+        P = np.asarray(P_list, dtype=object)
+        self.name = name
+        # exclude self-loops: HTree renders the root's NaN parent as "root",
+        # which would make the root its own child (the reference keeps NaN)
+        self.C_name_list = [c for c in (C[P == name] if C.size else [])
+                            if c != name]
+        self.P_name = list(P[C == name]) if C.size else []
+
+    def __repr__(self):
+        return str(self.name)
+
+    __str__ = __repr__
+
+    def __eq__(self, other):
+        return isinstance(other, Node) and self.name == other.name
+
+    def __hash__(self):
+        return hash(self.name)
+
+    def children(self, C_list=(), P_list=()):
+        return [Node(n, C_list, P_list) for n in self.C_name_list]
+
+
+def get_valid_classifications(current_node_list, C_list, P_list,
+                              valid_classes: Optional[list] = None) -> list:
+    """All valid 'horizontal cut' classifications of the hierarchy
+    (reference ``get_valid_classifications``, analysis_cells_tree.py:93-120):
+    starting from [root], repeatedly replace any node by its children;
+    every reachable node multiset is one valid classification.
+
+    ``current_node_list`` may contain Node objects or plain names.  Returns
+    a list of sorted name lists (deduplicated, discovery order).  A set of
+    tuples backs the membership test — the reference's ``in`` over a list
+    of lists is quadratic in the (exponential) number of classifications.
+    """
+    if valid_classes is None:
+        valid_classes = []
+    nodes = [n if isinstance(n, Node) else Node(n, C_list, P_list)
+             for n in current_node_list]
+    seen = {tuple(c) for c in valid_classes}
+
+    def visit(node_list):
+        node_list = sorted(node_list, key=lambda n: str(n.name))
+        names = [str(n.name) for n in node_list]
+        key = tuple(names)
+        if key in seen:
+            return
+        seen.add(key)
+        valid_classes.append(names)
+        for node in node_list:
+            children = node.children(C_list=C_list, P_list=P_list)
+            if children:
+                expanded = [n for n in node_list if n.name != node.name]
+                expanded.extend(children)
+                visit(expanded)
+
+    visit(nodes)
+    return valid_classes
+
+
+def flatten(nested_dict: dict, separator: str = "_",
+            root_keys_to_ignore=None, replace_separators=None) -> dict:
+    """Flatten a nested dict/list structure into separator-joined keys
+    (reference ``flatten``, analysis_cells_tree.py:17-61 — used on the
+    Allen dendrogram JSON)."""
+    assert isinstance(nested_dict, dict), "flatten requires a dictionary"
+    assert isinstance(separator, str), "separator must be a string"
+    ignore = root_keys_to_ignore or set()
+    out: dict = {}
+
+    def mk_key(prev, new):
+        new = str(new)
+        if replace_separators is not None:
+            new = new.replace(separator, replace_separators)
+        return f"{prev}{separator}{new}" if prev else new
+
+    def walk(obj, key):
+        if not obj:
+            out[key] = obj
+        elif isinstance(obj, dict):
+            for k, v in obj.items():
+                if not (key is None and k in ignore):
+                    walk(v, mk_key(key, k))
+        elif isinstance(obj, (list, set, tuple)):
+            for i, item in enumerate(obj):
+                walk(item, mk_key(key, i))
+        else:
+            out[key] = obj
+
+    walk(nested_dict, None)
+    return out
 
 
 def dend_json_to_df(json_file: str) -> pd.DataFrame:

@@ -55,6 +55,47 @@ def get_cvfold(cvfile: str = "", refdata: Optional[dict] = None):
     return train_paired, val_paired, train_leaf, val_leaf
 
 
+def get_cvfold_extended(cvfile: str = "", refdata: Optional[dict] = None,
+                        full_data: bool = False):
+    """``get_cvfold`` + per-sample dataset indices (and optionally raw
+    features) carried through every split (reference :271-372).
+
+    Each returned dict additionally holds ``T_ind``/``E_ind`` — the
+    original row indices into the reference dataset — and, with
+    ``full_data=True``, the leaf dicts also carry ``T_x``/``E_x`` gene
+    expression / ephys feature matrices gathered by those indices.
+    """
+    import scipy.io as sio
+
+    refdata = refdata or {}
+    mat = sio.loadmat(cvfile, squeeze_me=True)
+
+    def build(z_t, z_e, ind_t, ind_e):
+        return {"T_z": z_t, "E_z": z_e,
+                "color": refdata["cluster_color"][ind_t],
+                "labels": refdata["cluster"][ind_t],
+                "labels_id": refdata["clusterID"][ind_t],
+                "T_ind": np.asarray(ind_t).copy(),
+                "E_ind": np.asarray(ind_e).copy()}
+
+    t_paired = refdata["T_ispaired"][mat["train_ind_T"]] == 1
+    e_paired = refdata["E_ispaired"][mat["train_ind_E"]] == 1
+    train_paired = build(mat["z_train_0"][t_paired],
+                         mat["z_train_1"][e_paired],
+                         mat["train_ind_T"][t_paired],
+                         mat["train_ind_E"][e_paired])
+    val_paired = build(mat["z_val_0"], mat["z_val_1"],
+                       mat["val_ind"], mat["val_ind"])
+
+    train_leaf = _subset(train_paired, train_paired["color"] != _LEAF_GRAY)
+    val_leaf = _subset(val_paired, val_paired["color"] != _LEAF_GRAY)
+    if full_data:
+        for leaf in (train_leaf, val_leaf):
+            leaf["T_x"] = refdata["T_dat"][leaf["T_ind"], :]
+            leaf["E_x"] = refdata["E_dat"][leaf["E_ind"], :]
+    return train_paired, val_paired, train_leaf, val_leaf
+
+
 def _fit_class_gaussians(train_z, train_lbl, unique_lbl,
                          n_per_class_thr: int, diag_cov_n_sample_thr: int,
                          ridge: float = 0.0):

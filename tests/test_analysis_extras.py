@@ -12,6 +12,76 @@ from dvae_tpu.utils.parser import (any_digit, choice, compose, many,
 rng = np.random.default_rng(31)
 
 
+class TestCvFold:
+    """Synthetic .mat CV-fold roundtrip (reference
+    analysis_tree_helpers.py:197-372)."""
+
+    def _fixture(self, tmp_path):
+        import scipy.io as sio
+
+        n_ref, n_tr, n_val, z = 40, 20, 8, 3
+        refdata = {
+            "cluster_color": np.array(
+                ["#808080" if i % 4 == 0 else f"#c{i:05d}"
+                 for i in range(n_ref)], dtype=object),
+            "cluster": np.array([f"t{i % 5}" for i in range(n_ref)],
+                                dtype=object),
+            "clusterID": np.arange(n_ref),
+            "T_ispaired": (np.arange(n_ref) % 2 == 0).astype(int),
+            "E_ispaired": (np.arange(n_ref) % 2 == 0).astype(int),
+            "T_dat": rng.normal(0, 1, (n_ref, 6)),
+            "E_dat": rng.normal(0, 1, (n_ref, 4)),
+        }
+        mat = {
+            "z_train_0": rng.normal(0, 1, (n_tr, z)),
+            "z_train_1": rng.normal(0, 1, (n_tr, z)),
+            "z_val_0": rng.normal(0, 1, (n_val, z)),
+            "z_val_1": rng.normal(0, 1, (n_val, z)),
+            "train_ind_T": np.arange(n_tr),
+            "train_ind_E": np.arange(n_tr),
+            "val_ind": np.arange(n_tr, n_tr + n_val),
+        }
+        p = str(tmp_path / "cv.mat")
+        sio.savemat(p, mat)
+        return p, refdata, mat
+
+    def test_extended_carries_indices(self, tmp_path):
+        from dvae_tpu.analysis.tree_helpers import get_cvfold_extended
+
+        p, refdata, mat = self._fixture(tmp_path)
+        tr_p, val_p, tr_l, val_l = get_cvfold_extended(p, refdata)
+        paired = refdata["T_ispaired"][mat["train_ind_T"]] == 1
+        np.testing.assert_array_equal(tr_p["T_ind"],
+                                      mat["train_ind_T"][paired])
+        np.testing.assert_array_equal(val_p["T_ind"], mat["val_ind"])
+        # leaf split removes the gray (merged) nodes, indices follow
+        assert (tr_l["color"] != "#808080").all()
+        assert len(tr_l["T_ind"]) == len(tr_l["T_z"])
+
+    def test_extended_full_data_gathers_features(self, tmp_path):
+        from dvae_tpu.analysis.tree_helpers import get_cvfold_extended
+
+        p, refdata, _ = self._fixture(tmp_path)
+        _, _, tr_l, val_l = get_cvfold_extended(p, refdata, full_data=True)
+        for leaf in (tr_l, val_l):
+            np.testing.assert_array_equal(
+                leaf["T_x"], refdata["T_dat"][leaf["T_ind"], :])
+            np.testing.assert_array_equal(
+                leaf["E_x"], refdata["E_dat"][leaf["E_ind"], :])
+
+    def test_matches_get_cvfold(self, tmp_path):
+        """Extended is a superset of get_cvfold's fields/values."""
+        from dvae_tpu.analysis.tree_helpers import (get_cvfold,
+                                                    get_cvfold_extended)
+
+        p, refdata, _ = self._fixture(tmp_path)
+        base = get_cvfold(p, refdata)
+        ext = get_cvfold_extended(p, refdata)
+        for b, e in zip(base, ext):
+            for k in b:
+                np.testing.assert_array_equal(b[k], e[k])
+
+
 class TestCorrAnalysis:
     def test_vectorized_matches_scipy_loop(self):
         state = rng.normal(0, 1, (80, 2))

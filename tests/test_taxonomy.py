@@ -89,6 +89,71 @@ def test_simplify_tree_removes_chain():
     assert "mid" not in df["child"].values
 
 
+def test_parse_dend(tmp_path):
+    p = tmp_path / "dend.csv"
+    _tree_df().to_csv(p, index=False)
+    from dvae_tpu.analysis.taxonomy import parse_dend
+    list_changes, descendants, treeobj, leaves, child, parent = \
+        parse_dend(str(p))
+    assert list_changes[0] == [["a", "b"], "n1"]
+    assert set(descendants["n1"]) == {"a", "b"}
+    assert set(descendants["root"]) == {"n1", "n2", "a", "b", "c", "d"}
+    assert set(leaves) == {"a", "b", "c", "d"}
+    assert list(treeobj.columns) == ["x", "y", "leaf", "label", "parent",
+                                     "col"]
+    assert len(child) == len(parent) == 7
+
+
+def test_plot_htree(tmp_path):
+    p = tmp_path / "dend.csv"
+    _tree_df().to_csv(p, index=False)
+    from dvae_tpu.analysis.taxonomy import plot_htree
+    fig = plot_htree(str(p), save_path=str(tmp_path / "tree.png"))
+    assert fig is not None
+    assert (tmp_path / "tree.png").exists()
+
+
+def test_get_valid_classifications(tree):
+    from dvae_tpu.analysis.taxonomy import get_valid_classifications
+    got = get_valid_classifications(["root"], tree.child, tree.parent, [])
+    as_sets = {frozenset(c) for c in got}
+    assert as_sets == {
+        frozenset({"root"}),
+        frozenset({"n1", "n2"}),
+        frozenset({"a", "b", "n2"}),
+        frozenset({"n1", "c", "d"}),
+        frozenset({"a", "b", "c", "d"}),
+    }
+    # every classification is sorted, first is the root
+    assert got[0] == ["root"]
+    assert all(c == sorted(c) for c in got)
+
+
+def test_flatten_nested():
+    from dvae_tpu.analysis.taxonomy import flatten
+    nested = {"a": {"b": 1, "c": [10, {"d": 2}]}, "e": 3}
+    flat = flatten(nested)
+    assert flat == {"a_b": 1, "a_c_0": 10, "a_c_1_d": 2, "e": 3}
+    flat2 = flatten(nested, separator=".", root_keys_to_ignore={"e"})
+    assert flat2 == {"a.b": 1, "a.c.0": 10, "a.c.1.d": 2}
+
+
+def test_get_marker():
+    rows = [
+        dict(x=0, y=0, leaf=True, label="L2/3 IT VISp Agmat",
+             parent="n1", col="#111111"),
+        dict(x=1, y=0, leaf=True, label="Sst Calb2 Pdlim5",
+             parent="n1", col="#222222"),
+        dict(x=0.5, y=1, leaf=False, label="n1", parent=None, col=None),
+    ]
+    t = HTree(htree_df=pd.DataFrame(rows))
+    # tokens after the first that are not subclass names: IT/VISp filtered,
+    # 'Sst' is the first token of its label so never considered
+    assert t.get_marker().tolist() == ["Agmat", "Calb2", "Pdlim5"]
+    # exclude replaces the subclass list
+    assert "VISp" in t.get_marker(exclude=["IT"]).tolist()
+
+
 def test_dend_json_roundtrip(tmp_path):
     dend = {
         "node_attribute": {"_row": "root", "height": 2.0},
