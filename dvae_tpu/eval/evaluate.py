@@ -311,6 +311,34 @@ def evals2(labels_a: np.ndarray, labels_b: np.ndarray,
     return out
 
 
+def evals2_files(file_a: str, file_b: str, x: np.ndarray,
+                 batch_size: int = 5000, with_probs: bool = True) -> dict:
+    """One-call cross-run reproducibility from two checkpoint FILES
+    (the reference's ``evals2(fa, fb, dl)`` workflow, mmidas/_evals.py:8:
+    load both models, run inference on the same dataset, compare).
+
+    Each checkpoint is loaded standalone (configs rebuilt from metadata —
+    train/cpl_mixvae.load_model), evaluated over ``x``, and the label/
+    posterior matrices handed to ``evals2``.  Returns its dict plus
+    ``labels_a``/``labels_b``.
+    """
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    results = []
+    for f in (file_a, file_b):
+        cpl = CplMixVAE()
+        cpl.load_model(f)
+        res = cpl.eval_model(x, batch_size=batch_size)
+        results.append(res)
+    ra, rb = results
+    K = max(r["c_prob"].shape[-1] for r in results)
+    out = evals2(ra["pred_label"], rb["pred_label"],
+                 c_prob_a=ra["c_prob"] if with_probs else None,
+                 c_prob_b=rb["c_prob"] if with_probs else None, K=K)
+    out["labels_a"], out["labels_b"] = ra["pred_label"], rb["pred_label"]
+    return out
+
+
 def compute_consensus_statistics(runs_labels: Sequence[np.ndarray],
                                  K: int) -> dict:
     """Within-run / between-run consensus study over many runs

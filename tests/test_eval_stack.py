@@ -85,6 +85,31 @@ class TestMutinfo:
                                    atol=1e-10)
 
 
+class TestEvals2Files:
+    def test_one_call_from_checkpoints(self, tmp_path):
+        """The reference's file-level evals2 workflow (mmidas/_evals.py:8):
+        two checkpoint paths + a dataset in, consensus matrices out."""
+        from dvae_tpu.data.anndata_io import synthetic_dataset
+        from dvae_tpu.eval.evaluate import evals2_files
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+        ds = synthetic_dataset(n_cells=96, n_genes=32, n_types=4, seed=3)
+        paths = []
+        for seed in (0, 1):
+            cpl = CplMixVAE(saving_folder=str(tmp_path / f"r{seed}"),
+                            seed=seed)
+            cpl.init_model(n_categories=4, input_dim=32, fc_dim=12,
+                           lowD_dim=6, n_arm=2, tau=0.1, batch_size=32,
+                           epochs_per_jit=2)
+            paths.append(cpl.train(ds.log1p, n_epoch=2))
+        out = evals2_files(paths[0], paths[1], ds.log1p, batch_size=96)
+        assert out["within_a"].shape == (2, 2)
+        assert out["between"].shape == (2, 2)
+        assert out["l2_between"].shape == (2, 2)
+        assert out["labels_a"].shape == (2, 96)
+        assert np.all((out["between"] >= 0) & (out["between"] <= 1))
+
+
 class TestClusterAnalysis:
     def _blobs(self):
         centers = rng.normal(0, 5, (3, 8))
