@@ -126,7 +126,12 @@ def _h5_frame(g):
     if isinstance(g, h5py.Dataset):            # legacy structured array
         rec = g[()]
         cols = {name: _h5_decode(rec[name]) for name in rec.dtype.names}
-        idx = cols.pop("index", cols.pop("_index", None))
+        # pop sequentially: the one-liner pop("index", pop("_index", None))
+        # evaluates the inner pop eagerly and would drop a '_index' column
+        # from a frame that also has an 'index' column
+        idx = cols.pop("index", None)
+        if idx is None:
+            idx = cols.pop("_index", None)
         return idx, cols
     idx_name = _h5_str(g.attrs.get("_index", "index"))
     cols = {}

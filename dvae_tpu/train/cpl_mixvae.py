@@ -49,6 +49,11 @@ from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
 from dvae_tpu.utils.logging import MetricLogger, device_memory_mb, mprint
 
 
+_EVAL_FLUSH_BYTES = 1 << 30  # eval_model drains device accumulators to host
+                             # whenever the retained per-batch arrays pass
+                             # this bound (caps peak HBM on huge datasets)
+
+
 class CplMixVAE:
     """Coupled mixture-VAE trainer."""
 
@@ -443,29 +448,52 @@ class CplMixVAE:
                                              mesh=self.mesh)
         xj = jnp.asarray(x, jnp.float32)
         n = xj.shape[0]
-        # accumulate per-batch DEVICE arrays and transfer each field once
-        # at the end: every np.asarray is a host round trip (7 per batch in
-        # the old form), and dispatch stays async so batches pipeline.
-        # Fields are flushed one at a time and their per-batch pieces
-        # dropped, so peak extra HBM is one concatenated field, not all of
-        # them at once.
-        fields = {k: [] for k in ("c", "s_mean", "s_logvar", "x_low", "lab")}
+        # accumulate per-batch DEVICE arrays and transfer whole fields in
+        # few large copies: every np.asarray is a host round trip (7 per
+        # batch in the old form), and dispatch stays async so batches
+        # pipeline.  Accumulated device bytes are bounded: when the
+        # retained per-batch arrays exceed ``_EVAL_FLUSH_BYTES`` (~1 GB)
+        # they are drained to host mid-loop, so a many-million-cell
+        # eval cannot OOM HBM while short evals still pay one transfer
+        # per field.
+        fields = {k: {"dev": [], "host": []}
+                  for k in ("c", "s_mean", "s_logvar", "x_low", "lab")}
         recs, totals, sizes = [], [], []
+        pending = 0
+
+        def drain():
+            nonlocal pending
+            for d in fields.values():
+                if d["dev"]:
+                    d["host"].append(
+                        np.asarray(jnp.concatenate(d["dev"], axis=1)))
+                    d["dev"].clear()
+            pending = 0
+
         for i in range(0, n, batch_size):
             aux, lab, outs = self._eval_step(self.state, xj[i: i + batch_size],
                                              None, temp)
             for k in ("c", "s_mean", "s_logvar", "x_low"):
-                fields[k].append(getattr(outs, k))
-            fields["lab"].append(lab)
+                v = getattr(outs, k)
+                fields[k]["dev"].append(v)
+                pending += v.nbytes
+            fields["lab"]["dev"].append(lab)
+            pending += lab.nbytes
             recs.append(aux.loss_rec)
             totals.append(aux.total)
             sizes.append(min(batch_size, n - i))
+            if pending >= _EVAL_FLUSH_BYTES:
+                drain()
 
         def flush(key):
-            parts = fields.pop(key)
-            out = np.asarray(jnp.concatenate(parts, axis=1))
-            del parts
-            return out
+            d = fields.pop(key)
+            if d["dev"]:
+                d["host"].append(
+                    np.asarray(jnp.concatenate(d["dev"], axis=1)))
+                d["dev"].clear()
+            parts = d["host"]
+            return parts[0] if len(parts) == 1 else np.concatenate(parts,
+                                                                   axis=1)
 
         labels = flush("lab")
         # per-batch means weighted by batch size: a trailing partial batch

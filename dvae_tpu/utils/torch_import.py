@@ -215,7 +215,13 @@ def import_mixvae_checkpoint(path: str, out_path: Optional[str] = None,
     if import_optimizer and opt_sd:
         opt_state = _adam_state_from_torch(
             opt_sd, params, lr, list(_strip_prefixes(sd)))
+    moments_imported = opt_state is not None
     if opt_state is None:
+        if import_optimizer and opt_sd:
+            print("WARNING: could not map the torch Adam moments onto the "
+                  "stacked-arm layout (pruned-checkpoint reparametrization, "
+                  "slot-count or shape mismatch) — resuming with a FRESH "
+                  "optimizer state; loss may transiently spike.")
         opt_state = optax.adam(lr).init(params)
     out_path = out_path or os.path.splitext(path)[0] + ".ckpt"
     inferred["lr"] = lr
@@ -223,6 +229,7 @@ def import_mixvae_checkpoint(path: str, out_path: Optional[str] = None,
         out_path,
         {"params": params, "bn": bn, "opt_state": opt_state, "mask": mask},
         {"epoch": parse_epoch(path), "cfg": inferred,
+         "moments_imported": moments_imported,
          "imported_from": os.path.abspath(path)})
 
 

@@ -163,6 +163,24 @@ def test_standalone_load_without_init(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_eval_model_chunked_drain_identical(tmp_path, monkeypatch):
+    """The size-bounded mid-loop host drain in eval_model must be
+    invisible: tiny flush bound → many drains → identical outputs."""
+    from dvae_tpu.train import cpl_mixvae as cm
+
+    ds = synthetic_dataset(n_cells=90, n_genes=32, n_types=4, seed=5)
+    cpl = cm.CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=4, input_dim=32, fc_dim=12, lowD_dim=6,
+                   n_arm=2, tau=0.1, batch_size=30, epochs_per_jit=1)
+    cpl.train(ds.log1p, n_epoch=1)
+    ref = cpl.eval_model(ds.log1p, batch_size=30)
+    monkeypatch.setattr(cm, "_EVAL_FLUSH_BYTES", 1)
+    chunked = cpl.eval_model(ds.log1p, batch_size=30)
+    for k in ("c_prob", "state_mu", "state_logvar", "x_low", "pred_label"):
+        np.testing.assert_array_equal(ref[k], chunked[k])
+    assert ref["total_loss"] == chunked["total_loss"]
+
+
 def test_ref_prior_path(data, tx):
     cfg = CFG.replace(ref_prior=True)
     state = init_train_state(jax.random.key(0), cfg, tx)
