@@ -362,44 +362,47 @@ def make_partitioned_zinb(arm_axes, batch_axes, eps: float = 1e-6):
             sharding_rule=SdyShardingRule(operand_mappings=_maps(shared_x),
                                           result_mappings=(("a",),)))
 
-        def b_raw(g, h, wr, br, wp, bp, wz, bz, k):
-            dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = zinb_pallas._bwd_call(
-                g, h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
-            return dh, dwr, dbr, dwp, dbp, dwz, dbz
+        # --- fused loss+gradient primitive (training path; see
+        # zinb_pallas._fwdbwd_kernel): loss psum'ed over the batch axes,
+        # unscaled dW/db likewise, dh stays batch-local ---
+        def fb_raw(h, wr, br, wp, bp, wz, bz, k):
+            loss, dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = \
+                zinb_pallas._fwdbwd_call(
+                    h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
+            return loss, dh, dwr, dbr, dwp, dbp, dwz, dbz
 
-        b_cp = custom_partitioning(b_raw)
-        dh_sh = P(a_s, b_s, None)
-        dw_sh, db_sh = P(a_s, None, None), P(a_s, None)
-        out_specs = (dh_sh, dw_sh, db_sh, dw_sh, db_sh, dw_sh, db_sh)
+        fb_cp = custom_partitioning(fb_raw)
+        fb_out_specs = ((P(a_s),) + (P(a_s, b_s, None),)
+                        + (P(a_s, None, None), P(a_s, None)) * 3)
 
-        def b_infer(mesh, arg_infos, result_infos):
-            return tuple(NamedSharding(mesh, s) for s in out_specs)
+        def fb_infer(mesh, arg_infos, result_infos):
+            return tuple(NamedSharding(mesh, s) for s in fb_out_specs)
 
-        def b_partition(mesh, arg_infos, result_infos):
-            arg_sh = (NamedSharding(mesh, P(a_s)),) + tuple(
-                NamedSharding(mesh, s) for s in _in_specs(shared_x))
-            out_sh = tuple(NamedSharding(mesh, s) for s in out_specs)
+        def fb_partition(mesh, arg_infos, result_infos):
+            arg_sh = tuple(NamedSharding(mesh, s)
+                           for s in _in_specs(shared_x))
+            out_sh = tuple(NamedSharding(mesh, s) for s in fb_out_specs)
 
-            def impl(g, h, wr, br, wp, bp, wz, bz, k):
-                dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = \
-                    zinb_pallas._bwd_call(
-                        g, h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
+            def impl(h, wr, br, wp, bp, wz, bz, k):
+                loss, dh, (dwr, dbr), (dwp, dbp), (dwz, dbz) = \
+                    zinb_pallas._fwdbwd_call(
+                        h, ((wr, br), (wp, bp), (wz, bz)), k, eps)
                 ps = lambda t: _psum(t, batch_axes)
-                return (dh, ps(dwr), ps(dbr), ps(dwp), ps(dbp),
+                return (ps(loss), dh, ps(dwr), ps(dbr), ps(dwp), ps(dbp),
                         ps(dwz), ps(dbz))
 
             return mesh, impl, out_sh, arg_sh
 
-        b_cp.def_partition(
-            infer_sharding_from_operands=b_infer,
-            partition=b_partition,
+        fb_cp.def_partition(
+            infer_sharding_from_operands=fb_infer,
+            partition=fb_partition,
             sharding_rule=SdyShardingRule(
-                operand_mappings=(("a",),) + _maps(shared_x),
-                result_mappings=(("a", "b", "f"),
+                operand_mappings=_maps(shared_x),
+                result_mappings=(("a",), ("a", "b", "f"),
                                  ("a", "f", "d"), ("a", "d"),
                                  ("a", "f", "d"), ("a", "d"),
                                  ("a", "f", "d"), ("a", "d"))))
-        _defined[shared_x] = (f_cp, b_cp)
+        _defined[shared_x] = (f_cp, fb_cp)
         return _defined[shared_x]
 
     @jax.custom_vjp
@@ -409,22 +412,27 @@ def make_partitioned_zinb(arm_axes, batch_axes, eps: float = 1e-6):
                     jnp.expm1(x.astype(jnp.float32)))
 
     def op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x):
-        f_cp, _ = _ensure(x.ndim == 2)
+        """Fused loss+unscaled-gradients in one pass (the per-arm-scalar
+        cotangent reduces the backward to scaling) — same wiring as
+        zinb_pallas._op_fwd, through the partitioned primitive."""
+        _, fb_cp = _ensure(x.ndim == 2)
         k = jnp.expm1(x.astype(jnp.float32))
         heads = (w_r, b_r, w_p, b_p, w_z, b_z)
-        return (f_cp(h, *heads, k),
-                (h, heads, k, x.ndim == 2, jnp.zeros((0,), x.dtype)))
+        loss, dh, dwr, dbr, dwp, dbp, dwz, dbz = fb_cp(h, *heads, k)
+        tok = lambda t: jnp.zeros((0,), t.dtype)
+        return loss, (dh, dwr, dbr, dwp, dbp, dwz, dbz, tok(h),
+                      tuple(tok(t) for t in heads), x[..., :0])
 
     def op_bwd(res, g):
-        h, heads, k, shared, x_dtype = res
-        _, b_cp = _ensure(shared)
-        outs = b_cp(g, h, *heads, k)
-        dh, dwr, dbr, dwp, dbp, dwz, dbz = outs
+        dh, dwr, dbr, dwp, dbp, dwz, dbz, h_tok, head_toks, x_tok = res
+        ga = g.astype(jnp.float32)
+        s3, s2 = ga[:, None, None], ga[:, None]
         c = lambda t, like: t.astype(like.dtype)
-        return (c(dh, h), c(dwr, heads[0]), c(dbr, heads[1]),
-                c(dwp, heads[2]), c(dbp, heads[3]),
-                c(dwz, heads[4]), c(dbz, heads[5]),
-                jnp.zeros(k.shape, x_dtype.dtype))
+        return (c(dh * s3, h_tok), c(dwr * s3, head_toks[0]),
+                c(dbr * s2, head_toks[1]), c(dwp * s3, head_toks[2]),
+                c(dbp * s2, head_toks[3]), c(dwz * s3, head_toks[4]),
+                c(dbz * s2, head_toks[5]),
+                jnp.zeros(x_tok.shape[:-1] + (dwr.shape[-1],), x_tok.dtype))
 
     op.defvjp(op_fwd, op_bwd)
     return op
