@@ -40,7 +40,11 @@ binarized-BCE metric term free; the fused dropout+fc1 kernel
 edge-tile-specialized epilogues (the VPU, not the MXU, bounds these
 kernels) and the block-granular epoch shuffle (shuffle_block=8 turns
 the 50 MB random-row batch gather into contiguous-slice copies) the
-step runs at 3.1 ms (1.63M cells/s/chip, 65x the reference estimate).
+step ran at 3.1 ms; fusing each loss kernel's forward and backward into
+one pass (the loss cotangent is a per-arm scalar, so the vjp-forward can
+emit unscaled gradients and the backward is a multiply) removes the
+duplicated matmul+epilogue and the backward's A-fold re-read of the
+shared target: 2.8 ms (1.79M cells/s/chip, ~72x the reference estimate).
 The four kernels sit at their combined MXU+VPU roofline; the remaining
 non-kernel time is the f32 adam update (~0.15 ms) and ~0.5 ms of small
 (A,B,F)/(A,B,C) fusions (BN, gumbel, coupling).

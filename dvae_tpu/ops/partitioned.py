@@ -108,30 +108,34 @@ def make_partitioned_recon(arm_axes, batch_axes, thr: float = 0.1,
         return SdyShardingRule(operand_mappings=_rule(shared_x),
                                result_mappings=(("a",), ("a",)))
 
-    # --- backward primitive ---
-    def bwd_infer(mesh, arg_infos, result_infos):
-        return (NamedSharding(mesh, P(a_s, b_s, None)),
-                NamedSharding(mesh, P(a_s, None, None)),
-                NamedSharding(mesh, P(a_s, None)))
+    # --- fused loss+gradient primitive (training path; see
+    # recon_pallas._fwdbwd_kernel): per-arm sums + unscaled dW/db psum'ed
+    # over the batch axes, dh stays batch-local ---
+    def fb_out_specs():
+        return (P(a_s), P(a_s), P(a_s, b_s, None), P(a_s, None, None),
+                P(a_s, None))
 
-    def bwd_partition(mesh, arg_infos, result_infos):
-        shared_x = len(arg_infos[4].shape) == 2
-        arg_sh = (NamedSharding(mesh, P(a_s)),) + tuple(
-            NamedSharding(mesh, s) for s in _specs(shared_x))
-        out_sh = (NamedSharding(mesh, P(a_s, b_s, None)),
-                  NamedSharding(mesh, P(a_s, None, None)),
-                  NamedSharding(mesh, P(a_s, None)))
+    def fb_infer(mesh, arg_infos, result_infos):
+        return tuple(NamedSharding(mesh, s) for s in fb_out_specs())
 
-        def impl(g, h, w, b, x):
-            dh, dw, db = recon_pallas._bwd_call(g, h, w, b, x)
-            return dh, _psum(dw, batch_axes), _psum(db, batch_axes)
+    def fb_partition(mesh, arg_infos, result_infos):
+        shared_x = len(arg_infos[3].shape) == 2
+        arg_sh = tuple(NamedSharding(mesh, s) for s in _specs(shared_x))
+        out_sh = tuple(NamedSharding(mesh, s) for s in fb_out_specs())
+
+        def impl(h, w, b, x):
+            (s, m), dh, dw, db = recon_pallas._fwdbwd_call(
+                h, w, b, x, thr, with_mism)
+            ps = lambda t: _psum(t, batch_axes)
+            return ps(s), ps(m), dh, ps(dw), ps(db)
 
         return mesh, impl, out_sh, arg_sh
 
-    def _bwd_rule_for(shared_x):
+    def _fb_rule_for(shared_x):
         return SdyShardingRule(
-            operand_mappings=(("a",),) + _rule(shared_x),
-            result_mappings=(("a", "b", "f"), ("a", "f", "d"), ("a", "d")))
+            operand_mappings=_rule(shared_x),
+            result_mappings=(("a",), ("a",), ("a", "b", "f"),
+                             ("a", "f", "d"), ("a", "d")))
 
     # shardy rules depend on x's rank; def_partition once per call via a
     # tiny cache keyed on shared_x
@@ -145,12 +149,13 @@ def make_partitioned_recon(arm_axes, batch_axes, thr: float = 0.1,
         f_cp.def_partition(infer_sharding_from_operands=fwd_infer,
                            partition=fwd_partition,
                            sharding_rule=_fwd_rule_for(shared_x))
-        b_cp = custom_partitioning(
-            lambda g, h, w, b, x: recon_pallas._bwd_call(g, h, w, b, x))
-        b_cp.def_partition(infer_sharding_from_operands=bwd_infer,
-                           partition=bwd_partition,
-                           sharding_rule=_bwd_rule_for(shared_x))
-        _defined[shared_x] = (f_cp, b_cp)
+        fb_cp = custom_partitioning(
+            lambda h, w, b, x: _flat5(recon_pallas._fwdbwd_call(
+                h, w, b, x, thr, with_mism)))
+        fb_cp.def_partition(infer_sharding_from_operands=fb_infer,
+                           partition=fb_partition,
+                           sharding_rule=_fb_rule_for(shared_x))
+        _defined[shared_x] = (f_cp, fb_cp)
         return _defined[shared_x]
 
     @jax.custom_vjp
@@ -159,19 +164,29 @@ def make_partitioned_recon(arm_axes, batch_axes, thr: float = 0.1,
         return f_cp(h, w, b, x)
 
     def op_fwd(h, w, b, x):
-        f_cp, _ = _ensure(x.ndim == 2)
-        return f_cp(h, w, b, x), (h, w, b, x)
+        """Fused loss+unscaled-gradients (per-arm-scalar cotangent →
+        backward is a scale; recon_pallas._recon_fwd wiring, partitioned)."""
+        _, fb_cp = _ensure(x.ndim == 2)
+        s, m, dh, dw, db = fb_cp(h, w, b, x)
+        tok = lambda t: jnp.zeros((0,), t.dtype)
+        return (s, m), (dh, dw, db, tok(h), tok(w), tok(b), x[..., :0])
 
     def op_bwd(res, g):
-        h, w, b, x = res
-        _, b_cp = _ensure(x.ndim == 2)
+        dh, dw, db, h_tok, w_tok, b_tok, x_tok = res
         g_sumsq, _ = g
-        dh, dw, db = b_cp(g_sumsq, h, w, b, x)
-        return (dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype),
-                jnp.zeros_like(x))
+        ga = g_sumsq.astype(jnp.float32)
+        s3, s2 = ga[:, None, None], ga[:, None]
+        return ((dh * s3).astype(h_tok.dtype), (dw * s3).astype(w_tok.dtype),
+                (db * s2).astype(b_tok.dtype),
+                jnp.zeros(x_tok.shape[:-1] + (dw.shape[-1],), x_tok.dtype))
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+def _flat5(out):
+    (s, m), dh, dw, db = out
+    return s, m, dh, dw, db
 
 
 # ---------------------------------------------------------------------------

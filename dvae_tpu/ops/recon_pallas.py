@@ -233,6 +233,115 @@ def _bwd_call(g, h, w, b, x):
 
 
 # ---------------------------------------------------------------------------
+# Fused forward+backward (training path)
+# ---------------------------------------------------------------------------
+
+def _fwdbwd_kernel(h_ref, w_ref, b_ref, x_ref, out_ref, dh_ref, dw_ref,
+                   db_ref, *, tile_b, n_rows, thr, shared_x, with_mism):
+    """ONE pass: per-arm (sumsq, mism) AND the unscaled gradients (cotangent
+    1.0 on each arm's sumsq).  Both outputs are per-arm scalars, so the true
+    cotangent is a scalar the custom-vjp backward applies as a multiply —
+    the separate backward's full recompute (the h@W matmul, the ReLU
+    epilogue, and an A·|x| re-read of the shared target) disappears.
+
+    Grid (nb, A), arms innermost: a shared x tile is DMA'd once per i_b.
+    The dW/db accumulator blocks are therefore revisited NON-consecutively
+    (flushed/reloaded at each arm switch) — 2·nb·A·|W| ≈ 40 MB of extra
+    DMA at the production shape vs the ~250 MB of x re-reads it avoids."""
+    i_b = pl.program_id(0)
+    a = pl.program_id(1)
+    nb = pl.num_programs(0)
+    r = _tile_recon_f32(h_ref, w_ref, b_ref)
+    x = (x_ref[:] if shared_x else x_ref[0]).astype(jnp.float32)
+    has_edge = (n_rows % tile_b) != 0  # static
+
+    @pl.when(i_b == 0)
+    def _():
+        out_ref[a, 0] = 0.0
+        out_ref[a, 1] = 0.0
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+        db_ref[0] = jnp.zeros_like(db_ref[0])
+
+    def accumulate(e, mism, h):
+        out_ref[a, 0] += jnp.sum(e * e)
+        if with_mism:
+            out_ref[a, 1] += jnp.sum(mism.astype(jnp.float32))
+        gm = jnp.where(r > 0.0, 2.0 * e, 0.0)   # e is 0 on masked rows
+        gm16 = gm.astype(h_ref.dtype)
+        dh_ref[0] = jax.lax.dot_general(
+            gm16, w_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),   # gm @ Wᵀ
+            preferred_element_type=jnp.float32,
+        )
+        dw_ref[0] += jax.lax.dot_general(
+            h, gm16,
+            dimension_numbers=(((0,), (0,)), ((), ())),   # hᵀ @ gm
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[0] += jnp.sum(gm, axis=0)
+
+    @pl.when(jnp.logical_or(i_b < nb - 1, not has_edge))
+    def _():
+        accumulate(r - x, ((r > thr) != (x > thr)) if with_mism else None,
+                   h_ref[0])
+
+    if has_edge:
+        @pl.when(i_b == nb - 1)
+        def _():
+            valid = _row_valid(i_b, r.shape, tile_b, n_rows)
+            e = jnp.where(valid, r - x, 0.0)
+            mism = (jnp.logical_and(valid, (r > thr) != (x > thr))
+                    if with_mism else None)
+            rows_h = _row_valid(i_b, h_ref[0].shape, tile_b, n_rows)
+            accumulate(e, mism, jnp.where(rows_h, h_ref[0], 0))
+
+
+def _fwdbwd_call(h, w, b, x, thr, with_mism):
+    """((sumsq, mism), dh, dw, db) — gradients unscaled (g = 1)."""
+    A, B, F = h.shape
+    D = w.shape[-1]
+    shared_x = x.ndim == 2
+    tb = _tile_b(B)
+    nb = pl.cdiv(B, tb)
+    x_spec = (pl.BlockSpec((tb, D), lambda i, a: (i, 0),
+                           memory_space=pltpu.VMEM) if shared_x else
+              pl.BlockSpec((1, tb, D), lambda i, a: (a, i, 0),
+                           memory_space=pltpu.VMEM))
+    out, dh, dw, db = pl.pallas_call(
+        functools.partial(_fwdbwd_kernel, tile_b=tb, n_rows=B, thr=thr,
+                          shared_x=shared_x, with_mism=with_mism),
+        grid=(nb, A),
+        in_specs=[
+            pl.BlockSpec((1, tb, F), lambda i, a: (a, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, D), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            x_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tb, F), lambda i, a: (a, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, D), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, 2), jnp.float32),
+            jax.ShapeDtypeStruct((A, B, F), jnp.float32),
+            jax.ShapeDtypeStruct((A, F, D), jnp.float32),
+            jax.ShapeDtypeStruct((A, 1, D), jnp.float32),
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(h, w, b[:, None, :], x)
+    return (out[:, 0], out[:, 1]), dh, dw, db[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
 # Public op
 # ---------------------------------------------------------------------------
 
@@ -255,15 +364,23 @@ def fused_recon_mse(h, w, b, x, thr: float = 0.1, with_mism: bool = True):
 
 
 def _recon_fwd(h, w, b, x, thr, with_mism):
-    return _fwd(h, w, b, x, thr, with_mism), (h, w, b, x)
+    """vjp-forward = the fused loss+gradient kernel (``_fwdbwd_kernel``);
+    the backward scales the stashed unscaled gradients by the per-arm
+    scalar cotangent.  Value-only (eval) calls run the primal body's
+    forward kernel instead."""
+    out, dh, dw, db = _fwdbwd_call(h, w, b, x, thr, with_mism)
+    tok = lambda t: jnp.zeros((0,), t.dtype)
+    return out, (dh, dw, db, tok(h), tok(w), tok(b), x[..., :0])
 
 
 def _recon_bwd(thr, with_mism, res, g):
-    h, w, b, x = res
+    dh, dw, db, h_tok, w_tok, b_tok, x_tok = res
     g_sumsq, _ = g  # the mismatch count is a stop-gradient metric
-    dh, dw, db = _bwd_call(g_sumsq, h, w, b, x)
-    return (dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype),
-            jnp.zeros_like(x))
+    ga = g_sumsq.astype(jnp.float32)
+    s3, s2 = ga[:, None, None], ga[:, None]
+    return (( dh * s3).astype(h_tok.dtype), (dw * s3).astype(w_tok.dtype),
+            (db * s2).astype(b_tok.dtype),
+            jnp.zeros(x_tok.shape[:-1] + (dw.shape[-1],), x_tok.dtype))
 
 
 fused_recon_mse.defvjp(_recon_fwd, _recon_bwd)
