@@ -43,3 +43,59 @@ def test_bf16_precision_runs():
                            data=synthetic_mnist(1024, 0),
                            test_data=synthetic_mnist(256, 1))
     assert np.isfinite(res.train_losses).all()
+
+
+# ---------------------------------------------------------------------------
+# Science-example smoke tests (tiny shapes; production_scale's quality claim
+# is pinned by tests/test_train.py::test_science_quality_pinned_seed)
+# ---------------------------------------------------------------------------
+
+def test_arm_parallelism_benchmark():
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.examples.arm_parallelism import benchmark_arm_strategies
+
+    cfg = VAEConfig(n_arm=2, input_dim=64, n_categories=8, fc_dim=16,
+                    lowD_dim=8, tau=0.1)
+    res = benchmark_arm_strategies(cfg, batch_size=64, n_iters=2)
+    assert {"loop_ms", "vmap_ms"} <= set(res) or len(res) >= 2
+
+
+def test_consensus_convergence_run():
+    from dvae_tpu.examples.consensus_convergence import run
+
+    out = run(n_cells=240, n_genes=32, n_types=6, n_categories=8,
+              batch_size=60, n_epoch=200, epochs_per_jit=100,
+              stop=0.5, verbose=False)
+    assert 0.0 <= out["train_consensus"] <= 1.0
+    assert 0.0 <= out["test_consensus"] <= 1.0
+    assert out["curve_tail"]
+
+
+def test_clusterability_study_scores():
+    from dvae_tpu.examples.clusterability import clusterability_study
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 4, (4, 8))
+    y = rng.integers(0, 4, 200)
+    x_low = centers[y] + rng.normal(0, 0.3, (200, 8))
+    out = clusterability_study(x_low, y, (y + rng.integers(0, 2, 200)) % 4,
+                               kfold=2)
+    assert out["rf_accuracy"]["discovered"] > 0.9
+    assert out["silhouette_discovered"] > 0.2
+
+
+def test_state_traversal_study():
+    import jax
+
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.examples.state_traversal import traversal_study
+    from dvae_tpu.models import mixvae
+
+    cfg = VAEConfig(n_categories=6, input_dim=32, fc_dim=12, lowD_dim=6,
+                    state_dim=2, n_arm=2, tau=0.1)
+    params = mixvae.init_params(jax.random.key(0), cfg)
+    bn = mixvae.init_bn_state(cfg)
+    x = np.random.default_rng(1).random((10, 32), dtype=np.float32)
+    out = traversal_study(cfg, params, bn, x, d_s=1, n_samp=5)
+    assert out["recon"].shape == (2, 5, 10, 32)
+    assert out["gene_order"].shape[-1] == 32
