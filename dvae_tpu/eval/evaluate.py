@@ -166,11 +166,17 @@ def mutinfo(probs: np.ndarray, targets: np.ndarray,
     h_u = _h2(tf.astype(np.float64))[:, None]              # (F, 1)
     h_v = _h2(pc.astype(np.float64))[None, :]              # (1, C)
 
-    T = _lngamma_table(N)
-    emi = (_emi_cell(tf[:, None], pc[None, :], N, T)
-           + _emi_cell(tf[:, None], N - pc[None, :], N, T)
-           + _emi_cell(N - tf[:, None], pc[None, :], N, T)
-           + _emi_cell(N - tf[:, None], N - pc[None, :], N, T))
+    from dvae_tpu.utils import host_ops
+    if host_ops.has_emi():
+        # native C++ path (OpenMP over reference types): same windowed
+        # hypergeometric sums, ~10x the numpy version at production shape
+        emi = host_ops.emi_binary(tf, pc, N)
+    else:
+        T = _lngamma_table(N)
+        emi = (_emi_cell(tf[:, None], pc[None, :], N, T)
+               + _emi_cell(tf[:, None], N - pc[None, :], N, T)
+               + _emi_cell(N - tf[:, None], pc[None, :], N, T)
+               + _emi_cell(N - tf[:, None], N - pc[None, :], N, T))
 
     # sklearn's AMI assembly ('arithmetic' averaging + eps-guarded
     # denominator + the both-single-cluster special case)

@@ -28,11 +28,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    try:
+        # always invoke make: a no-op when the checked-in .so is current,
+        # a rebuild when host_ops.cpp is newer (e.g. after a pull)
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -51,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                            ctypes.c_int64, ctypes.c_int64,
                                            f64p]
     lib.per_category_agreement.restype = None
+    if hasattr(lib, "emi_binary"):   # absent in pre-round-2 .so builds
+        lib.emi_binary.argtypes = [i64p, ctypes.c_int64, i64p,
+                                   ctypes.c_int64, ctypes.c_int64, f64p]
+        lib.emi_binary.restype = None
     _lib = lib
     return _lib
 
@@ -91,4 +97,20 @@ def per_category_agreement(labels: np.ndarray, K: int) -> np.ndarray:
     A, N = labels.shape
     out = np.zeros(K, np.float64)
     lib.per_category_agreement(labels, A, N, K, out)
+    return out
+
+
+def has_emi() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "emi_binary")
+
+
+def emi_binary(tf: np.ndarray, pc: np.ndarray, N: int) -> np.ndarray:
+    """(F, C) expected MI of the 2x2 contingency tables with marginals
+    (tf[f], pc[c]) over N samples — the E[MI] term of the AMI."""
+    lib = _load()
+    tf = np.ascontiguousarray(tf, np.int64)
+    pc = np.ascontiguousarray(pc, np.int64)
+    out = np.zeros((len(tf), len(pc)), np.float64)
+    lib.emi_binary(tf, len(tf), pc, len(pc), N, out)
     return out

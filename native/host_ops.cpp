@@ -9,10 +9,11 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC host_ops.cpp)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
-#include <algorithm>
 
 extern "C" {
 
@@ -88,6 +89,63 @@ void per_category_agreement(const int64_t* labels, int64_t A, int64_t N,
     }
   for (int64_t k = 0; k < K; ++k)
     out[k] = n_pairs ? acc[k] / static_cast<double>(n_pairs) : 1.0;
+}
+
+// Expected mutual information of the 2x2 contingency tables of every
+// (reference-type, cluster) pair — the E[MI] term of the vectorized AMI
+// (eval/evaluate.mutinfo; reference evaluation.py:25-41 computes it via
+// sklearn per pair).  tf[F] = per-column positive counts, pc[C] = cluster
+// sizes, N = samples; out[F*C] receives the per-pair EMI (sum over the 4
+// cells of the hypergeometric expectation, Vinh et al. 2010).  The k-sum
+// is truncated to +/-(12 sigma + 25) around the mean, where the
+// log-concave pmf is < 1e-30 — below f64 resolution of the result.
+void emi_binary(const int64_t* tf, int64_t F, const int64_t* pc, int64_t C,
+                int64_t N, double* out) {
+  // ln k! and ln k tables, k = 0..N
+  std::vector<double> T(N + 1), L(N + 1);
+  T[0] = 0.0;
+  L[0] = 0.0;  // unused (k >= 1 in the sums)
+  for (int64_t k = 1; k <= N; ++k) {
+    L[k] = std::log(static_cast<double>(k));
+    T[k] = T[k - 1] + L[k];
+  }
+  const double dN = static_cast<double>(N);
+
+  // EMI contribution of one cell with marginals (a, b)
+  auto cell = [&](int64_t a, int64_t b) -> double {
+    if (a <= 0 || b <= 0) return 0.0;
+    const int64_t lo_sup = std::max<int64_t>(1, a + b - N);
+    const int64_t hi_sup = std::min(a, b);
+    if (hi_sup < lo_sup) return 0.0;
+    const double mu = static_cast<double>(a) * b / dN;
+    const double sig = std::sqrt(std::max(
+        static_cast<double>(a) * b * (N - a) * (N - b) /
+            (dN * dN * std::max<int64_t>(N - 1, 1)),
+        0.0));
+    const double w = 12.0 * sig + 25.0;
+    const int64_t lo = std::max(lo_sup, static_cast<int64_t>(mu - w));
+    const int64_t hi = std::min(hi_sup, static_cast<int64_t>(mu + w) + 1);
+    const double ln_const = T[N] - T[a] - T[N - a];  // -lnC(N, a)
+    const double ln_ab = L[a] + L[b];
+    double acc = 0.0;
+    for (int64_t k = lo; k <= hi; ++k) {
+      const double ln_pmf = (T[b] - T[k] - T[b - k]) +
+                            (T[N - b] - T[a - k] - T[N - b - a + k]) -
+                            ln_const;
+      acc += (k / dN) * (L[N] + L[k] - ln_ab) * std::exp(ln_pmf);
+    }
+    return acc;
+  };
+
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t a = tf[f];
+    for (int64_t c = 0; c < C; ++c) {
+      const int64_t b = pc[c];
+      out[f * C + c] =
+          cell(a, b) + cell(a, N - b) + cell(N - a, b) + cell(N - a, N - b);
+    }
+  }
 }
 
 }  // extern "C"

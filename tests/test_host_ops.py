@@ -81,3 +81,22 @@ def test_native_is_not_slower():
     t_numpy = time.perf_counter() - t0
     print(f"native {t_native*1e3:.2f} ms vs numpy {t_numpy*1e3:.2f} ms")
     assert t_native < t_numpy * 3  # sanity; typically ~2-10x faster
+
+
+def test_emi_binary_matches_numpy():
+    """Native hypergeometric EMI == the numpy windowed-sum implementation
+    (the E[MI] term of eval/evaluate.mutinfo)."""
+    if not host_ops.has_emi():
+        pytest.skip("native emi_binary unavailable")
+    from dvae_tpu.eval.evaluate import _emi_cell, _lngamma_table
+
+    N = 3000
+    tf = rng.integers(0, N, 7)
+    pc = rng.integers(1, N, 9)
+    T = _lngamma_table(N)
+    ref = (_emi_cell(tf[:, None], pc[None, :], N, T)
+           + _emi_cell(tf[:, None], N - pc[None, :], N, T)
+           + _emi_cell(N - tf[:, None], pc[None, :], N, T)
+           + _emi_cell(N - tf[:, None], N - pc[None, :], N, T))
+    got = host_ops.emi_binary(tf, pc, N)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
