@@ -411,3 +411,58 @@ def test_sharpen_gumbel_fused_tau_matches_xla():
     y_ref = jax.nn.softmax((jnp.log(phi + EPS) + g) / 0.8, axis=-1)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestFusedFwdBwdConsistency:
+    """The fused loss+gradient kernels' unscaled gradients must equal the
+    separate backward kernels at cotangent 1 — pins the two implementations
+    (the separate ones still serve the partitioned eval paths and act as
+    oracles here) against drift."""
+
+    def test_recon_fused_equals_separate_bwd(self):
+        from dvae_tpu.ops import recon_pallas as rp
+
+        rng = np.random.default_rng(11)
+        A, B, F, D = 2, 70, 8, 24          # deliberate partial edge tile
+        h = jnp.asarray(rng.normal(0, 1, (A, B, F)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.3, (A, F, D)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, (A, D)), jnp.float32)
+        x = jnp.asarray(rng.random((B, D)), jnp.float32)
+        (s, m), dh, dw, db = rp._fwdbwd_call(h, w, b, x, 0.1, True)
+        s0, m0 = rp._fwd(h, w, b, x, 0.1, True)
+        dh0, dw0, db0 = rp._bwd_call(jnp.ones((A,), jnp.float32), h, w, b, x)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(db0),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_zinb_fused_equals_separate_bwd(self):
+        from dvae_tpu.ops import zinb_pallas as zp
+
+        rng = np.random.default_rng(12)
+        A, B, F, D = 2, 50, 6, 16
+        h = jnp.asarray(rng.normal(0, 1, (A, B, F)), jnp.float32)
+        heads = tuple(
+            (jnp.asarray(rng.normal(0, 0.3, (A, F, D)), jnp.float32),
+             jnp.asarray(rng.normal(0, 0.1, (A, D)), jnp.float32))
+            for _ in range(3))
+        k = jnp.asarray(np.expm1(rng.random((B, D)) * 3), jnp.float32)
+        loss, dh, g1, g2, g3 = zp._fwdbwd_call(h, heads, k, 1e-6)
+        loss0 = zp._fwd(h, heads, k, 1e-6)
+        dh0, g10, g20, g30 = zp._bwd_call(jnp.ones((A,), jnp.float32),
+                                          h, heads, k, 1e-6)
+        np.testing.assert_allclose(np.asarray(loss), np.asarray(loss0),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh0),
+                                   rtol=1e-4, atol=1e-4)
+        for got, want in zip((g1, g2, g3), (g10, g20, g30)):
+            np.testing.assert_allclose(np.asarray(got[0]),
+                                       np.asarray(want[0]),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(got[1]),
+                                       np.asarray(want[1]),
+                                       rtol=1e-4, atol=1e-4)
