@@ -413,11 +413,15 @@ class CplMixVAE:
         for i in range(0, n, batch_size):
             aux, lab, _ = self._eval_step(self.state, x[i: i + batch_size],
                                           None, temp)
-            tot.append(float(aux.total))
-            recs.append(np.asarray(aux.loss_rec))
-            labels.append(np.asarray(lab))
+            # keep device arrays; one transfer per field below (a float()/
+            # np.asarray per batch is a ~30 ms tunnel round trip each)
+            tot.append(aux.total)
+            recs.append(aux.loss_rec)
+            labels.append(lab)
             sizes.append(min(batch_size, n - i))
-        labels = np.concatenate(labels, axis=1)
+        tot = [float(t) for t in np.asarray(jnp.stack(tot))]
+        recs = list(np.asarray(jnp.stack(recs)))
+        labels = np.asarray(jnp.concatenate(labels, axis=1))
         cons = consensus_from_labels(labels, self.cfg.n_categories)
         # active-only variant: mean diagonal over supported categories —
         # removes the structural n_used/K ceiling of the reference metric
