@@ -122,8 +122,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     # bf16 mode stores the dataset in bf16 (halves gather traffic); rbg keys
     # use the TPU hardware RNG for the dropout/gumbel/reparam draws; the
-    # all-pairs consensus einsum runs once per logging chunk
-    x_all = jnp.asarray(
+    # all-pairs consensus einsum runs once per logging chunk.  put_dataset
+    # commits the array row-major — the on-device bf16 convert otherwise
+    # lands column-major and each runner call pays a full-dataset re-layout
+    from dvae_tpu.parallel.sharding import put_dataset
+    x_all = put_dataset(
         np.maximum(rng.normal(1.0, 1.0, (N, cfg.input_dim)), 0.0),
         jnp.bfloat16)
 

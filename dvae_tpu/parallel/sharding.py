@@ -163,6 +163,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_dataset(x, dtype=None, sharding=None):
+    """Commit a host dataset to device, row-major, cast on host.
+
+    ``jnp.asarray(np_f32, bf16)`` runs the dtype convert *on device* with
+    auto output layout, and on v5e XLA picks a column-major
+    (major_to_minor=(1, 0)) layout for large bf16 matrices.  Every epoch-
+    runner call then pays a full-dataset layout copy before the batch
+    gather (~0.64 ms for 20k×5032 bf16 — measured 5.8% of the MSE step).
+    Casting on host and pinning the layout commits the array directly in
+    the row-major form the runner consumes.
+
+    ``sharding=None`` → the default device.  Non-numpy inputs fall back to
+    a plain device_put of the already-committed array.
+    """
+    if dtype is not None and isinstance(x, np.ndarray):
+        x = np.asarray(x, np.dtype(dtype))  # bf16 via ml_dtypes
+    elif dtype is not None:
+        x = x.astype(dtype)
+    try:
+        from jax.experimental.layout import Format, Layout
+        if sharding is None:
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        fmt = Format(Layout(tuple(range(np.ndim(x)))), sharding)
+        return jax.device_put(x, fmt)
+    except Exception:  # layout API unavailable / backend rejects layouts
+        return jax.device_put(x, sharding)
+
+
 def constrain(x, mesh: Optional[Mesh], *spec):
     """``with_sharding_constraint`` that no-ops without a mesh.
 

@@ -39,7 +39,7 @@ from dvae_tpu.eval.metrics import (consensus_device, consensus_from_labels,
                                    per_category_agreement)
 from dvae_tpu.models import mixvae
 from dvae_tpu.models.losses import mixvae_loss
-from dvae_tpu.parallel.sharding import (make_mesh, replicated,
+from dvae_tpu.parallel.sharding import (make_mesh, put_dataset, replicated,
                                         strategy_shardings)
 from dvae_tpu.train.step import (TrainState, init_train_state,
                                  make_epoch_runner, make_eval_step,
@@ -260,12 +260,14 @@ class CplMixVAE:
         # bf16 mode also stores the dataset in bf16: halves the HBM
         # footprint AND the per-step gather traffic
         store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
-        x_all = jax.device_put(jnp.asarray(x_train, store_dtype), sharding)
+        # put_dataset casts on host and pins a row-major device layout —
+        # jnp.asarray's on-device convert commits column-major on v5e and
+        # every runner call then re-layouts the whole dataset (~0.6 ms)
+        x_all = put_dataset(x_train, store_dtype, sharding)
         prior_all = None
         if cfg.ref_prior and c_p is not None:
             idx = (np.arange(n_train) if train_idx is None else train_idx)
-            prior_all = jax.device_put(
-                jnp.asarray(c_p[idx], jnp.float32), sharding)
+            prior_all = put_dataset(c_p[idx], jnp.float32, sharding)
 
         # donating the carried state lets XLA update params/opt buffers
         # in place across chunk boundaries (no 2x state copy per chunk)

@@ -55,9 +55,10 @@ def capture(mode: str, steps: int, trace_dir: str) -> None:
         def augment(key, x, n_arm):
             return augment_arms(ap, abn, acfg, key, x, n_arm, scale=0.1)
 
+    from dvae_tpu.parallel.sharding import put_dataset
     rng = np.random.default_rng(0)
-    x_all = jnp.asarray(rng.random((N, cfg.input_dim), dtype=np.float32),
-                        dtype=jnp.bfloat16)
+    x_all = put_dataset(rng.random((N, cfg.input_dim), dtype=np.float32),
+                        jnp.bfloat16)
     run = jax.jit(make_epoch_runner(cfg, tcfg, tx, n_train=N,
                                     augment=augment,
                                     consensus_every_epoch=False))
