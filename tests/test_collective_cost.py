@@ -1,0 +1,97 @@
+"""Collective-cost census tests (8-device virtual CPU mesh).
+
+Pins the structural facts the multi-chip perf story rests on: what each
+sharding strategy puts on the wire (reference capability anchor: the
+strategy matrix fsdp_mnist.py:215-228 and its measured comparison
+:354-507 — here verified from the compiled SPMD module instead of a pod).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dvae_tpu.config import MeshConfig, ShardingStrategy, TrainConfig, VAEConfig
+from dvae_tpu.parallel.collective_cost import (CollectiveStats,
+                                               epoch_runner_collective_stats,
+                                               hlo_collective_stats, predict)
+from dvae_tpu.parallel.sharding import make_mesh
+
+CFG = VAEConfig(n_categories=8, input_dim=64, fc_dim=16, lowD_dim=8,
+                state_dim=2, n_arm=2, tau=0.1)
+TCFG = TrainConfig(batch_size=32, epochs_per_jit=1)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=2, arm=1, fsdp=4))
+
+
+def _param_bytes():
+    from dvae_tpu.train.step import init_train_state, make_optimizer
+    tx = make_optimizer(CFG)
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    return sum(np.prod(p.shape) * p.dtype.itemsize
+               for p in jax.tree_util.tree_leaves(state.params))
+
+
+def test_hlo_parse_ring_model():
+    hlo = """
+  %all-reduce.1 = f32[8,16]{1,0} all-reduce(f32[8,16]{1,0} %p), replica_groups={{0,1,2,3},{4,5,6,7}}, to_apply=%add
+  %all-gather.2 = bf16[4,32]{1,0} all-gather(bf16[4,8]{1,0} %q), replica_groups=[2,4]<=[8], dimensions={1}
+  %rs = f32[2,8]{1,0} reduce-scatter(f32[8,8]{1,0} %r), replica_groups={{0,1,2,3}}, to_apply=%add
+"""
+    s = hlo_collective_stats(hlo, 8)
+    assert s.counts == {"all-reduce": 1, "all-gather": 1, "reduce-scatter": 1}
+    ar = 2 * (4 - 1) / 4 * 8 * 16 * 4
+    ag = (4 - 1) / 4 * 4 * 32 * 2
+    rs = (4 - 1) * 2 * 8 * 4
+    assert s.wire_bytes == pytest.approx(ar + ag + rs)
+    assert s.ici_seconds(90.0) == pytest.approx(s.wire_bytes / 90e9)
+
+
+def test_hlo_parse_async_and_tuple_forms():
+    hlo = ("%ars = (f32[4,4]{1,0}, f32[4,4]{1,0}) all-reduce-start("
+           "f32[4,4]{1,0} %x), replica_groups={{0,1}}\n")
+    s = hlo_collective_stats(hlo, 8)
+    assert s.counts == {"all-reduce": 1}
+    assert s.bytes_by_kind["all-reduce"] == 2 * 4 * 4 * 4
+
+
+def test_ddp_allreduces_gradients(mesh):
+    stats = epoch_runner_collective_stats(CFG, TCFG, ShardingStrategy.DDP,
+                                          mesh, n_train=128)
+    # DDP: all-reduce volume covers the full gradient pytree (per step —
+    # the step loop is rolled, each in-loop collective appears once); any
+    # all-gather is label accumulation for the consensus einsum, far below
+    # parameter size
+    assert stats.bytes_by_kind.get("all-gather", 0) < _param_bytes()
+    assert stats.bytes_by_kind.get("all-reduce", 0) >= _param_bytes()
+
+
+def test_full_shard_moves_params(mesh):
+    stats = epoch_runner_collective_stats(
+        CFG, TCFG, ShardingStrategy.FULL_SHARD, mesh, n_train=128)
+    # ZeRO-3 must gather sharded params into the matmuls and reduce the
+    # grads — all-gather traffic appears, and total wire > DDP's is NOT
+    # asserted (tiny model: replicated small layers dominate)
+    assert stats.counts.get("all-gather", 0) > 0
+    assert stats.wire_bytes > 0
+
+
+def test_no_shard_still_averages_gradients(mesh):
+    stats = epoch_runner_collective_stats(CFG, TCFG, ShardingStrategy.NO_SHARD,
+                                          mesh, n_train=128)
+    # batch stays sharded over data×fsdp, so gradient psums remain
+    assert stats.bytes_by_kind.get("all-reduce", 0) > 0
+
+
+def test_predict_brackets():
+    s = CollectiveStats({"all-reduce": 1}, {"all-reduce": 1000},
+                        wire_bytes=90e6)  # 1 ms at 90 GB/s
+    out = predict(s, step_seconds=1e-3, gbps=90.0)
+    assert out["wire_seconds_per_step"] == pytest.approx(1e-3)
+    assert out["efficiency_no_overlap"] == pytest.approx(0.5)
+    assert out["efficiency_full_overlap"] == pytest.approx(1.0)
