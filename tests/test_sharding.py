@@ -81,6 +81,21 @@ def test_batch_sharding_spec(mesh):
     assert sh.spec == jax.sharding.PartitionSpec("arm", ("data", "fsdp"), None)
 
 
+def test_put_dataset_row_major(mesh):
+    """put_dataset must commit row-major with the host-side cast applied
+    (an on-device convert picks a column-major auto layout on v5e, adding
+    a full-dataset relayout copy to every epoch-runner call)."""
+    from dvae_tpu.parallel.sharding import put_dataset
+    x = np.random.default_rng(0).random((64, 32), dtype=np.float32)
+    a = put_dataset(x, jnp.bfloat16)
+    assert a.dtype == jnp.bfloat16
+    assert a.format.layout.major_to_minor == (0, 1)
+    np.testing.assert_allclose(np.asarray(a, np.float32), x, atol=4e-3)
+    b = put_dataset(x, jnp.float32, replicated(mesh))
+    assert b.sharding.spec == jax.sharding.PartitionSpec()
+    assert b.format.layout.major_to_minor == (0, 1)
+
+
 class TestPartitionedFusedOps:
     """ops/partitioned.py: the fused Pallas kernels' custom_partitioning
     rules must reproduce the unsharded oracles under real (arm, data, fsdp)
