@@ -391,6 +391,13 @@ class CplMixVAE:
 
     # -- evaluation ---------------------------------------------------------
 
+    def _eval_dtype(self):
+        """Dataset dtype for eval: the training compute dtype — eval in f32
+        when training ran bf16 would diverge from the consensus labels the
+        early-stop saw, and pays 2× the HBM traffic (make_eval_step)."""
+        return (jnp.bfloat16 if self.tcfg is not None and self.tcfg.bf16
+                else jnp.float32)
+
     def _predict_labels(self, x_all, temp, batch_size: int = 5000):
         """Eval-mode argmax labels over a dataset → (A, N) numpy."""
         n = x_all.shape[0]
@@ -409,7 +416,7 @@ class CplMixVAE:
             self._eval_step = make_eval_step(self.cfg, self.tcfg,
                                              augment=self._augment_fn(),
                                              mesh=self.mesh)
-        x = jnp.asarray(x_val, jnp.float32)
+        x = jnp.asarray(x_val, self._eval_dtype())
         n = x.shape[0]
         tot, recs, labels, sizes = [], [], [], []
         for i in range(0, n, batch_size):
@@ -452,7 +459,7 @@ class CplMixVAE:
             self._eval_step = make_eval_step(self.cfg, self.tcfg,
                                              augment=self._augment_fn(),
                                              mesh=self.mesh)
-        xj = jnp.asarray(x, jnp.float32)
+        xj = jnp.asarray(x, self._eval_dtype())
         n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer whole fields in
         # few large copies: every np.asarray is a host round trip (7 per

