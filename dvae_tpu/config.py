@@ -94,6 +94,21 @@ class VAEConfig:
                                     # (A, B, D) input views never touch HBM
                                     # (ops/encoder_pallas.py); different
                                     # dropout bitstream, same distribution
+    fused_decoder: bool = False     # MSE mode only: extend the fused recon
+                                    # kernel upward through the whole decoder
+                                    # trunk fc6..fc10 — the (A, B, F) trunk
+                                    # activations stay in VMEM, forward AND
+                                    # backward (ops/decoder_pallas.py);
+                                    # single-device / arm-sharded meshes only
+                                    # (batch-sharded SPMD falls back to
+                                    # fused_recon).  OPT-IN, off even on TPU:
+                                    # at the production shape (F=100) it
+                                    # measured 3.62 vs 2.60 ms/step — the
+                                    # 100-wide trunk matmuls are too small to
+                                    # beat XLA's own fusions and the resident
+                                    # all-arm weight/accumulator blocks choke
+                                    # the kernel pipeline.  May win at much
+                                    # larger fc_dim; benchmark before use.
 
     def replace(self, **kw) -> "VAEConfig":
         return dataclasses.replace(self, **kw)

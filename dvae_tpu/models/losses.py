@@ -224,7 +224,8 @@ def mixvae_loss_naive(cfg: VAEConfig, outs, xs: jax.Array) -> jax.Array:
 def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
                 prior_c: Optional[jax.Array] = None,
                 fused_recon_args: Optional[tuple] = None,
-                spmd_axes: Optional[tuple] = None) -> LossOutputs:
+                spmd_axes: Optional[tuple] = None,
+                fused_trunk: bool = False) -> LossOutputs:
     """Total cpl-mixVAE loss (reference mmidas/nn_model.py:495-598).
 
       total = max(A−1, 1)·Σ_a (rec_a + β·KL_a)
@@ -243,10 +244,13 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     ``lam_pc * BCE`` to ``c_dists`` before the ``self.lam`` multiply
     (nn_model.py:576-580; build/lib/.../nn_model.py:418,424).
 
-    ``fused_recon_args = (w11, b11, x_target)`` switches the reconstruction
+    ``fused_recon_args = (params, x_target)`` switches the reconstruction
     terms to the fused Pallas kernel (cfg.fused_recon path): ``outs.x_rec``
     then holds the decoder pre-output hidden (A, B, F) and ``x_target`` is
-    (B, D) or (A, B, D) — the reconstruction never touches HBM.
+    (B, D) or (A, B, D) — the reconstruction never touches HBM.  With
+    ``fused_trunk`` (cfg.fused_decoder) ``outs.x_rec`` instead holds the
+    decoder input z (A, B, C+S) and the full fc6..fc11 chain runs inside
+    the kernel (ops/decoder_pallas.py).
     """
     A, C = cfg.n_arm, cfg.n_categories
     B = xs.shape[1]
@@ -283,15 +287,29 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
         ll_sumsq = None   # ll proxy = the NLL itself (no materialized rec)
     elif fused_recon_args is not None:
         fparams, x_target = fused_recon_args
-        w11, b11 = fparams["fc11"]["w"], fparams["fc11"]["b"]
-        if spmd_axes is not None:
+        if fused_trunk:
+            # full-decoder kernel (cfg.fused_decoder): outs.x_rec carries
+            # the decoder INPUT z = [c_smp, dropout(s)] and the whole
+            # fc6..fc11 chain runs in VMEM (ops/decoder_pallas.py);
+            # single-device or arm-sharded only (train/step gates on spmd
+            # batch axes)
+            from dvae_tpu.ops.decoder_pallas import fused_decoder_mse
+            flat = []
+            for name in ("fc6", "fc7", "fc8", "fc9", "fc10", "fc11"):
+                flat += [fparams[name]["w"], fparams[name]["b"]]
+            sumsq, mism = fused_decoder_mse(outs.x_rec, *flat, x_target,
+                                            0.1, cfg.recon_bce_metric)
+        elif spmd_axes is not None:
             from dvae_tpu.ops.partitioned import make_partitioned_recon
             recon_op = make_partitioned_recon(spmd_axes[0], spmd_axes[1],
                                               0.1, cfg.recon_bce_metric)
-            sumsq, mism = recon_op(_pin(outs.x_rec), w11, b11, x_target)
+            sumsq, mism = recon_op(_pin(outs.x_rec),
+                                   fparams["fc11"]["w"],
+                                   fparams["fc11"]["b"], x_target)
         else:
             from dvae_tpu.ops.recon_pallas import fused_recon_mse
-            sumsq, mism = fused_recon_mse(outs.x_rec, w11, b11, x_target,
+            sumsq, mism = fused_recon_mse(outs.x_rec, fparams["fc11"]["w"],
+                                          fparams["fc11"]["b"], x_target,
                                           0.1, cfg.recon_bce_metric)
         loss_rec = 0.5 * sumsq / B
         if cfg.recon_bce_metric:

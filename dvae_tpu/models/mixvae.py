@@ -239,13 +239,18 @@ def _decode_arm(p, c_smp, s, key, cfg: VAEConfig, train: bool):
 
 
 def _state_decode_arm(p, x_low, c_smp, keys, cfg: VAEConfig, train: bool,
-                      prior_c: Optional[jax.Array], skip_recon: bool = False):
+                      prior_c: Optional[jax.Array], skip_recon: bool = False,
+                      skip_trunk: bool = False):
     """State head + decoder for one arm (post-sampling half of the forward).
 
     With ``skip_recon`` the decoder stops before fc11 and the *pre-output
     hidden* (B, F) rides in the x_rec slot — the fused recon-loss kernel
     (ops/recon_pallas.fused_recon_mse) consumes it together with the fc11
-    weights, so the (B, D) reconstruction never materializes."""
+    weights, so the (B, D) reconstruction never materializes.  With
+    ``skip_trunk`` the decoder stops before fc6: the decoder INPUT
+    ``z = [c_smp, dropout(s_smp)]`` (B, C+S) rides in the x_rec slot and
+    the fused full-decoder kernel (ops/decoder_pallas.fused_decoder_mse)
+    runs the whole trunk in VMEM."""
     y_cat = prior_c if (cfg.ref_prior and prior_c is not None) else c_smp
     y = jnp.concatenate([x_low, y_cat], axis=-1)
 
@@ -260,6 +265,11 @@ def _state_decode_arm(p, x_low, c_smp, keys, cfg: VAEConfig, train: bool,
         s_logvar = jnp.zeros_like(s_mean)
         s_smp = s_mean
 
+    if skip_trunk:
+        s_d = _dropout(keys["drop_s"], s_smp, cfg.s_drop, train)
+        z = jnp.concatenate([c_smp, s_d], axis=-1)
+        small = jnp.zeros(z.shape[:-1] + (1,), z.dtype)
+        return z, small, small, s_smp, s_mean, s_logvar
     if skip_recon:
         h_dec = _decode_hidden_arm(p, c_smp, s_smp, keys["drop_s"], cfg, train)
         small = jnp.zeros(h_dec.shape[:-1] + (1,), h_dec.dtype)
@@ -291,6 +301,7 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
           mask: Optional[jax.Array] = None,
           prior_c: Optional[jax.Array] = None,
           skip_recon: bool = False,
+          skip_trunk: bool = False,
           x_shared: Optional[jax.Array] = None,
           spmd_axes: Optional[tuple] = None):
     """Forward pass of all A arms at once (vmapped over the leading axis).
@@ -369,7 +380,7 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     def dec_arm(p, xl, cs, ak):
         keys = {"reparam": ak[1], "drop_s": ak[2]}
         return _state_decode_arm(p, xl, cs, keys, cfg, train, prior_c,
-                                 skip_recon)
+                                 skip_recon, skip_trunk)
 
     x_rec, p_x, r_x, s_smp, s_mean, s_logvar = jax.vmap(dec_arm)(
         params, x_low, c_smp.astype(x_low.dtype), arm_keys)

@@ -111,6 +111,8 @@ class CplMixVAE:
             fused = jax.default_backend() == "tpu"
         extra.setdefault("fused_recon", fused)
         extra.setdefault("fused_encoder", fused)
+        # fused_decoder stays opt-in: measured SLOWER at the production
+        # shape (3.62 vs 2.60 ms/step, v5e-1 2026-08-17) — see config.py
         self.cfg = VAEConfig(
             n_categories=n_categories, state_dim=state_dim,
             input_dim=input_dim, fc_dim=fc_dim, lowD_dim=lowD_dim,

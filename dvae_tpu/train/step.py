@@ -141,15 +141,21 @@ def _apply_with_loss(params, bn, cfg: VAEConfig, xs, key, temp, mask,
     materializing path for batch shapes the partitioned kernels cannot
     shard."""
     fused = cfg.fused_recon if fused_override is None else fused_override
+    # the full-decoder kernel has no batch-sharded SPMD rule: under batch
+    # axes fall back to the fc11-only kernel (ops/partitioned.py path)
+    fused_trunk = (fused and cfg.fused_decoder and cfg.mode != "ZINB"
+                   and (spmd_axes is None or not spmd_axes[1]))
     outs, new_bn = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
                                 train=train, mask=mask, prior_c=prior_c,
-                                skip_recon=fused, x_shared=x_shared,
+                                skip_recon=fused, skip_trunk=fused_trunk,
+                                x_shared=x_shared,
                                 spmd_axes=spmd_axes)
     fused_args = ((params, xs if x_shared is None else x_shared)
                   if fused else None)
     aux: LossOutputs = mixvae_loss(cfg, outs, xs, prior_c,
                                    fused_recon_args=fused_args,
-                                   spmd_axes=spmd_axes)
+                                   spmd_axes=spmd_axes,
+                                   fused_trunk=fused_trunk)
     return outs, new_bn, aux
 
 

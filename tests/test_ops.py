@@ -466,3 +466,109 @@ class TestFusedFwdBwdConsistency:
             np.testing.assert_allclose(np.asarray(got[1]),
                                        np.asarray(want[1]),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestFusedDecoder:
+    """ops/decoder_pallas.fused_decoder_mse (full trunk fc6..fc11 + loss in
+    one pass) vs the materializing XLA oracle, and the fused_decoder train
+    path vs the fused_recon one."""
+
+    def _data(self, A=3, B=70, Z=10, L=6, F=16, D=40, seed=9):
+        r = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(0.3 * r.normal(size=s), jnp.float32)
+        z = mk(A, B, Z)
+        # reference trunk widths: fc6 Z->L, fc7 L->F, fc8..fc10 F->F
+        ws = [mk(A, Z, L), mk(A, L, F), mk(A, F, F), mk(A, F, F),
+              mk(A, F, F), mk(A, F, D)]
+        bs = [mk(A, L), mk(A, F), mk(A, F), mk(A, F), mk(A, F), mk(A, D)]
+        x = jnp.asarray(np.maximum(r.normal(0.5, 1, (B, D)), 0), jnp.float32)
+        args = [z]
+        for w, b in zip(ws, bs):
+            args += [w, b]
+        return args, x
+
+    @pytest.mark.parametrize("B", [70, 600])  # 600: partial edge tile (256)
+    def test_values_match_oracle(self, B):
+        from dvae_tpu.ops.decoder_pallas import (decoder_mse_reference,
+                                                 fused_decoder_mse)
+        args, x = self._data(B=B)
+        A = args[0].shape[0]
+        xa = jnp.broadcast_to(x, (A,) + x.shape)
+        for xt in (x, xa):
+            s, m = fused_decoder_mse(*args, xt)
+            s0, m0 = decoder_mse_reference(*args, xa)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(m0))
+
+    @pytest.mark.parametrize("B", [70, 600])
+    def test_gradients_match_oracle(self, B):
+        from dvae_tpu.ops.decoder_pallas import (decoder_mse_reference,
+                                                 fused_decoder_mse)
+        args, x = self._data(B=B)
+        A = args[0].shape[0]
+        xa = jnp.broadcast_to(x, (A,) + x.shape)
+        wgt = jnp.arange(1, A + 1, dtype=jnp.float32)
+
+        def f(*a):
+            return jnp.sum(fused_decoder_mse(*a, x)[0] * wgt)
+
+        def f0(*a):
+            return jnp.sum(decoder_mse_reference(*a, xa)[0] * wgt)
+
+        argnums = tuple(range(13))
+        g = jax.grad(f, argnums)(*args)
+        g0 = jax.grad(f0, argnums)(*args)
+        for i, (a, e) in enumerate(zip(g, g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=3e-4, atol=1e-4,
+                                       err_msg=f"arg {i}")
+
+    def test_fused_decoder_train_loss_equals_fused_recon(self):
+        """Full loss_fn value, metrics and parameter gradients agree
+        between cfg.fused_decoder and the fc11-only fused_recon path —
+        the SAME dropout/gumbel draws flow through both (the trunk split
+        point does not consume randomness)."""
+        from dvae_tpu.config import VAEConfig
+        from dvae_tpu.models import mixvae
+        from dvae_tpu.train.step import loss_fn
+
+        cfg0 = VAEConfig(n_arm=3, input_dim=120, n_categories=10, fc_dim=24,
+                         lowD_dim=6, fused_recon=True)
+        cfg1 = cfg0.replace(fused_decoder=True)
+        params = mixvae.init_params(jax.random.key(0), cfg0)
+        bn = mixvae.init_bn_state(cfg0)
+        B = 70
+        x = jnp.asarray(np.maximum(
+            np.random.default_rng(1).normal(0.5, 1, (B, cfg0.input_dim)),
+            0).astype(np.float32))
+        xs = jnp.broadcast_to(x, (cfg0.n_arm, B, cfg0.input_dim))
+        mask = jnp.ones((cfg0.n_categories,))
+        kf = jax.random.key(7)
+
+        for x_shared in (None, x):
+            (t0, (aux0, _, _)), g0 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, cfg0, xs, kf, 1.0, mask,
+                                       None, None, x_shared)
+            (t1, (aux1, _, _)), g1 = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bn, cfg1, xs, kf, 1.0, mask,
+                                       None, None, x_shared)
+            np.testing.assert_allclose(float(t0), float(t1), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(aux0.loss_rec),
+                                       np.asarray(aux1.loss_rec), rtol=1e-5)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5),
+                g0, g1)
+
+    def test_eval_value_path_matches(self):
+        """Value-only (no-grad) calls run the forward kernel — same sums."""
+        from dvae_tpu.ops.decoder_pallas import (_fwd, _fwdbwd_call,
+                                                 fused_decoder_mse)
+        args, x = self._data()
+        trunk = [(args[1 + 2 * i], args[2 + 2 * i]) for i in range(5)]
+        s, m = fused_decoder_mse(*args, x)
+        (s2, m2), _, _, _, _ = _fwdbwd_call(args[0], trunk, args[11],
+                                            args[12], x, 0.1, True)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m2))
