@@ -112,7 +112,7 @@ def cmd_train(args) -> int:
         epochs_per_jit=args.epochs_per_jit, sharding=args.sharding,
         mesh=mesh, bf16=args.bf16, optimizer=args.optimizer,
         fused={"auto": None, "on": True, "off": False}[args.fused],
-        shuffle_block=args.shuffle_block)
+        shuffle_block=args.shuffle_block, stream=args.stream)
     path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
                      n_epoch=args.n_epoch, n_epoch_p=args.n_epoch_p,
                      c_p=ds.c_p, train_idx=tr, min_con=args.min_con,
@@ -227,6 +227,10 @@ def main(argv=None) -> int:
     pt.add_argument("--shuffle_block", type=int, default=1,
                     help="epoch-shuffle granularity in rows (1 = exact "
                          "per-row reshuffle, reference semantics)")
+    pt.add_argument("--stream", action="store_true",
+                    help="keep the dataset on the host and double-buffer "
+                         "batches to the device per step (for datasets "
+                         "larger than HBM; data/stream.py)")
     pt.add_argument("--wandb", action="store_true")
     pt.set_defaults(fn=cmd_train)
 

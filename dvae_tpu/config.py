@@ -169,6 +169,12 @@ class TrainConfig:
     rng_impl: str = "threefry2x32"  # "rbg" uses the TPU hardware RNG for all
                                     # dropout/gumbel/reparam draws (faster,
                                     # different bitstream, same distributions)
+    stream: bool = False            # host→device streaming batches instead
+                                    # of committing the dataset to HBM —
+                                    # for datasets larger than device
+                                    # memory (data/stream.py; the
+                                    # reference's DataLoader-per-batch
+                                    # semantics, dataloader.py:123-132)
     shuffle_block: int = 1          # epoch-shuffle granularity in rows: 1 =
                                     # exact per-row reshuffle every epoch
                                     # (reference DataLoader semantics); >1

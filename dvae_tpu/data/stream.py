@@ -1,0 +1,206 @@
+"""Host→device streaming batch pipeline for datasets larger than HBM.
+
+The device-resident epoch runner (train/step.make_epoch_runner) commits the
+whole dataset to HBM — the fastest path by far (the per-step batch gather
+runs at HBM bandwidth, measured 71 µs at the production shape), but it caps
+the dataset at device memory: ~3 GB/million cells at D=5032 bf16, so an
+atlas-scale matrix (10M+ cells) cannot train that way on a 16 GB chip.
+
+The reference never holds the dataset on the GPU at all: its DataLoader
+re-gathers every batch on the host and ships it across PCIe each step
+(mmidas/utils/dataloader.py:123-132; consumed per batch in the train loop,
+mmidas/cpl_mixvae.py:400-436).  This module is that capability rebuilt for
+the TPU runtime — a **double-buffered asynchronous stream**: while the
+device computes step *i*, the host gathers batch *i+k* (numpy fancy-index)
+and its ``jax.device_put`` DMA runs in the background, so at steady state
+the transfer hides behind compute whenever
+
+    batch_bytes / PCIe_bandwidth  <  step_time.
+
+At the production shape (B=5000, D=5032 bf16 = 50 MB, ~2.6 ms/step) that
+needs ~20 GB/s — i.e. streaming is for *capacity*, not speed: datasets
+that fit in HBM should use the resident path (the trainer picks
+automatically via ``TrainConfig.stream``).
+
+Semantics match the resident runner: per-epoch host-RNG reshuffle
+(DataLoader ``shuffle=True``), ``drop_last`` batching, same jitted
+``make_train_step`` (so the numerics per batch are identical), per-epoch
+on-device consensus.  The shuffle RNG is ``np.random.default_rng((seed,
+epoch))`` — deterministic and resume-stable (the epoch index rides in the
+``TrainState``), but a *different stream* than the resident runner's
+on-device permutation; the two paths are statistically, not bitwise,
+interchangeable.
+
+Multi-device: each batch is committed with the mesh's batch
+``NamedSharding`` (one ``device_put`` scatters the rows across the local
+data/fsdp devices).  Multi-process meshes assemble the global batch from
+per-process local rows via ``jax.make_array_from_process_local_data`` —
+the same path the DCN integration test exercises (tests/_dcn_worker.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamBatch(NamedTuple):
+    x: jax.Array
+    prior: Optional[jax.Array]
+
+
+class BatchStreamer:
+    """Shuffled, prefetching host→device batch stream.
+
+    Args:
+      x: (N, D) host array, already in the storage dtype (cast once up
+        front — casting per batch would double the host work per step).
+      batch_size: rows per batch; ``drop_last`` semantics (the reference
+        train loader, dataloader.py:123-132).
+      prior: optional (N, C) ref-prior table streamed row-aligned with x.
+      seed: shuffle seed; epoch ``e`` uses ``default_rng((seed, e))``.
+      sharding: optional ``jax.sharding.Sharding`` for the committed batch
+        (a batch ``NamedSharding`` under a multi-device mesh).
+      prefetch: how many batches may be in flight beyond the current one.
+        2 = classic double buffering; higher depths only help when step
+        times are bursty.
+    """
+
+    def __init__(self, x: np.ndarray, batch_size: int, *,
+                 prior: Optional[np.ndarray] = None, seed: int = 0,
+                 shuffle: bool = True, sharding=None, prefetch: int = 2):
+        if batch_size > x.shape[0]:
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {x.shape[0]}")
+        self.x = x
+        self.prior = prior
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.sharding = sharding
+        self.prefetch = max(int(prefetch), 1)
+        self._multiprocess = jax.process_count() > 1
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.x.shape[0] // self.batch_size
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def _commit(self, h: np.ndarray) -> jax.Array:
+        if self.sharding is None:
+            return jax.device_put(h)
+        if self._multiprocess:
+            return jax.make_array_from_process_local_data(self.sharding, h)
+        return jax.device_put(h, self.sharding)
+
+    def epoch(self, epoch_idx: int) -> Iterator[StreamBatch]:
+        """Yield the epoch's batches, keeping ``prefetch`` in flight."""
+        n = self.x.shape[0]
+        steps = self.steps_per_epoch
+        if self.shuffle:
+            order = np.random.default_rng(
+                (self.seed, epoch_idx)).permutation(n)
+        else:
+            order = np.arange(n)
+        order = order[: steps * self.batch_size].reshape(
+            steps, self.batch_size)
+
+        pending: deque[StreamBatch] = deque()
+
+        def issue(i: int) -> None:
+            sel = order[i]
+            xb = self._commit(self.x[sel])
+            pb = (None if self.prior is None
+                  else self._commit(self.prior[sel]))
+            pending.append(StreamBatch(xb, pb))
+
+        depth = min(self.prefetch, steps)
+        for i in range(depth):
+            issue(i)
+        for i in range(steps):
+            if i + depth < steps:
+                issue(i + depth)
+            yield pending.popleft()
+
+
+# ---------------------------------------------------------------------------
+# Streaming epoch runner (drop-in for the resident make_epoch_runner)
+# ---------------------------------------------------------------------------
+
+def make_streaming_runner(cfg, tcfg, tx, n_train: int, augment=None,
+                          mesh=None, prefetch: int = 2):
+    """Streaming twin of ``train.step.make_epoch_runner``.
+
+    Returns ``runner(n_chunk)`` → ``run(state, x_host, prior_host, temp)``
+    with the exact signature/return contract of the jitted resident runner
+    (``(TrainState, EpochMetrics)`` stacked over ``n_chunk`` epochs), so
+    ``CplMixVAE._run_phase`` drives either interchangeably.  ``x_host`` /
+    ``prior_host`` are HOST numpy arrays here — nothing dataset-sized
+    touches HBM; per-step device residency is one batch plus the prefetch
+    window.
+    """
+    from dvae_tpu.eval.metrics import consensus_device
+    from dvae_tpu.train.step import (EpochMetrics, _batch_ns,
+                                     make_train_step)
+
+    B = tcfg.batch_size
+    steps = n_train // B
+    if steps == 0:
+        raise ValueError(f"batch_size {B} > dataset size {n_train}")
+    step_fn = jax.jit(make_train_step(cfg, tcfg, tx, augment, mesh),
+                      donate_argnums=(0,))
+    batch_ns = _batch_ns(mesh, B)
+
+    @jax.jit
+    def summarize(ms, labels):
+        """(steps,)-stacked StepMetrics + (steps, A, B) labels → one
+        EpochMetrics row (same reductions as the resident runner)."""
+        flat = jnp.moveaxis(labels, 1, 0).reshape(cfg.n_arm, steps * B)
+        return EpochMetrics(
+            total=jnp.mean(ms.total),
+            loss_rec=jnp.mean(ms.loss_rec, axis=0),
+            loss_joint=jnp.mean(ms.loss_joint),
+            neg_entropy=jnp.mean(ms.neg_entropy),
+            c_dist=jnp.mean(ms.c_dist),
+            c_l2_dist=jnp.mean(ms.c_l2_dist),
+            kl=jnp.mean(ms.kl, axis=0),
+            consensus=consensus_device(flat, cfg.n_categories),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def bump_epoch(state):
+        # donated: without it every epoch would copy the whole params/opt
+        # state just to increment the counter
+        return state._replace(epoch=state.epoch + 1)
+
+    def run(state, x_host, prior_host, temp, *, n_chunk: int):
+        base_epoch = int(jax.device_get(state.epoch))
+        streamer = BatchStreamer(
+            x_host, B, prior=prior_host, seed=tcfg.seed,
+            sharding=batch_ns, prefetch=prefetch)
+        rows = []
+        for e in range(n_chunk):
+            ms_steps, label_steps = [], []
+            for batch in streamer.epoch(base_epoch + e):
+                state, m, labels = step_fn(state, batch.x, batch.prior,
+                                           temp)
+                ms_steps.append(m)
+                label_steps.append(labels)
+            ms = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ms_steps)
+            rows.append(summarize(ms, jnp.stack(label_steps)))
+            state = bump_epoch(state)
+        ems = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
+        return state, ems
+
+    def runner(n_chunk: int):
+        return functools.partial(run, n_chunk=n_chunk)
+
+    return runner

@@ -98,7 +98,8 @@ class CplMixVAE:
                    mesh: Optional[MeshConfig] = None, bf16: bool = False,
                    rng_impl: str = "threefry2x32",
                    fused: Optional[bool] = None,
-                   shuffle_block: int = 1, **extra) -> None:
+                   shuffle_block: int = 1, stream: bool = False,
+                   **extra) -> None:
         """Build config + mesh + optimizer + initial state
         (reference ``init_model``, cpl_mixvae.py:193-286).
 
@@ -125,7 +126,7 @@ class CplMixVAE:
             optimizer=optimizer,
             sharding=ShardingStrategy(sharding),
             mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed,
-            rng_impl=rng_impl, shuffle_block=shuffle_block)
+            rng_impl=rng_impl, shuffle_block=shuffle_block, stream=stream)
         self.temp = temp
 
         self.mesh = make_mesh(self.tcfg.mesh) \
@@ -262,27 +263,46 @@ class CplMixVAE:
         # bf16 mode also stores the dataset in bf16: halves the HBM
         # footprint AND the per-step gather traffic
         store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
-        # put_dataset casts on host and pins a row-major device layout —
-        # jnp.asarray's on-device convert commits column-major on v5e and
-        # every runner call then re-layouts the whole dataset (~0.6 ms)
-        x_all = put_dataset(x_train, store_dtype, sharding)
-        prior_all = None
-        if cfg.ref_prior and c_p is not None:
-            idx = (np.arange(n_train) if train_idx is None else train_idx)
-            prior_all = put_dataset(c_p[idx], jnp.float32, sharding)
+        if tcfg.stream:
+            # dataset stays on the HOST (datasets larger than HBM): cast
+            # once to the storage dtype, batches double-buffer to device
+            # per step (data/stream.py — the reference's DataLoader
+            # semantics, dataloader.py:123-132)
+            x_all = np.asarray(x_train, np.dtype(store_dtype))
+            prior_all = None
+            if cfg.ref_prior and c_p is not None:
+                idx = (np.arange(n_train) if train_idx is None
+                       else train_idx)
+                prior_all = np.asarray(c_p[idx], np.float32)
+            from dvae_tpu.data.stream import make_streaming_runner
+            runner = make_streaming_runner(
+                cfg, tcfg, self.tx, n_train,
+                augment=self._augment_fn(), mesh=self.mesh)
+        else:
+            # put_dataset casts on host and pins a row-major device layout —
+            # jnp.asarray's on-device convert commits column-major on v5e
+            # and every runner call then re-layouts the whole dataset
+            # (~0.6 ms)
+            x_all = put_dataset(x_train, store_dtype, sharding)
+            prior_all = None
+            if cfg.ref_prior and c_p is not None:
+                idx = (np.arange(n_train) if train_idx is None
+                       else train_idx)
+                prior_all = put_dataset(c_p[idx], jnp.float32, sharding)
 
-        # donating the carried state lets XLA update params/opt buffers
-        # in place across chunk boundaries (no 2x state copy per chunk)
-        _runners = {}
+            # donating the carried state lets XLA update params/opt
+            # buffers in place across chunk boundaries (no 2x state copy
+            # per chunk)
+            _runners = {}
 
-        def runner(n_chunk: int):
-            if n_chunk not in _runners:
-                _runners[n_chunk] = jax.jit(make_epoch_runner(
-                    cfg, tcfg, self.tx, n_train,
-                    augment=self._augment_fn(),
-                    epochs_per_chunk=n_chunk, mesh=self.mesh),
-                    donate_argnums=(0,))
-            return _runners[n_chunk]
+            def runner(n_chunk: int):
+                if n_chunk not in _runners:
+                    _runners[n_chunk] = jax.jit(make_epoch_runner(
+                        cfg, tcfg, self.tx, n_train,
+                        augment=self._augment_fn(),
+                        epochs_per_chunk=n_chunk, mesh=self.mesh),
+                        donate_argnums=(0,))
+                return _runners[n_chunk]
 
         self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
                                          mesh=self.mesh)

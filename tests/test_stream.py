@@ -1,0 +1,147 @@
+"""Host→device streaming pipeline (data/stream.py).
+
+The capability under test: training from a HOST-resident dataset — the
+reference's DataLoader-per-batch path (mmidas/utils/dataloader.py:123-132,
+consumed at mmidas/cpl_mixvae.py:400-436) — with double-buffered async
+device commits, identical per-batch numerics to the resident runner
+(shared ``make_train_step``), and the ``CplMixVAE._run_phase`` contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvae_tpu.config import MeshConfig, TrainConfig, VAEConfig
+from dvae_tpu.data.stream import BatchStreamer, make_streaming_runner
+from dvae_tpu.train.step import init_train_state, make_optimizer
+
+N, D, C = 64, 24, 6
+
+
+def small_cfgs(**tkw):
+    cfg = VAEConfig(n_categories=C, state_dim=2, input_dim=D, fc_dim=16,
+                    lowD_dim=8, n_arm=2, fused_recon=False,
+                    fused_encoder=False)
+    tcfg = TrainConfig(batch_size=16, epochs_per_jit=2, seed=3, **tkw)
+    return cfg, tcfg
+
+
+def make_data(seed=0):
+    return np.random.default_rng(seed).random((N, D), np.float32)
+
+
+class TestBatchStreamer:
+    def test_epoch_covers_each_row_once(self):
+        x = make_data()
+        s = BatchStreamer(x, 16, seed=7)
+        seen = []
+        for b in s.epoch(0):
+            assert b.x.shape == (16, D)
+            seen.append(np.asarray(b.x))
+        assert len(seen) == 4
+        got = np.concatenate(seen)
+        # a permutation of the dataset: same multiset of rows
+        assert np.allclose(np.sort(got, axis=0), np.sort(x, axis=0))
+
+    def test_shuffle_is_deterministic_per_epoch_and_differs_across(self):
+        x = make_data()
+        a = [np.asarray(b.x) for b in BatchStreamer(x, 16, seed=7).epoch(2)]
+        b = [np.asarray(b.x) for b in BatchStreamer(x, 16, seed=7).epoch(2)]
+        c = [np.asarray(b.x) for b in BatchStreamer(x, 16, seed=7).epoch(3)]
+        assert all(np.array_equal(u, v) for u, v in zip(a, b))
+        assert not all(np.array_equal(u, v) for u, v in zip(a, c))
+
+    def test_drop_last_and_prior_alignment(self):
+        x = make_data()
+        prior = x[:, :1] * 10.0  # row-identifying companion
+        s = BatchStreamer(x, 24, prior=prior, seed=1)
+        batches = list(s.epoch(0))
+        assert len(batches) == 2  # 64 // 24, trailing 16 rows dropped
+        for b in batches:
+            assert np.allclose(np.asarray(b.prior),
+                               np.asarray(b.x)[:, :1] * 10.0)
+
+    def test_prefetch_depths_yield_identical_streams(self):
+        x = make_data()
+        for depth in (1, 3, 9):  # 9 > steps: clamped to steps
+            ref = [np.asarray(b.x)
+                   for b in BatchStreamer(x, 16, seed=5).epoch(1)]
+            got = [np.asarray(b.x) for b in
+                   BatchStreamer(x, 16, seed=5, prefetch=depth).epoch(1)]
+            assert all(np.array_equal(u, v) for u, v in zip(ref, got))
+
+    def test_batch_too_large_raises(self):
+        with pytest.raises(ValueError):
+            BatchStreamer(make_data(), N + 1)
+
+
+class TestStreamingRunner:
+    def test_matches_manual_step_loop(self):
+        """Plumbing exactness: the runner must produce bit-identical state
+        to driving the same jitted step by hand over the same batches."""
+        from dvae_tpu.train.step import make_train_step
+        cfg, tcfg = small_cfgs()
+        tx = make_optimizer(cfg)
+        x = make_data()
+        state0 = init_train_state(jax.random.key(0), cfg, tx)
+        runner = make_streaming_runner(cfg, tcfg, tx, N)
+        state_a, ems = runner(2)(state0, x, None, 1.0)
+
+        state_b = init_train_state(jax.random.key(0), cfg, tx)
+        step = jax.jit(make_train_step(cfg, tcfg, tx))
+        for e in range(2):
+            for b in BatchStreamer(x, tcfg.batch_size,
+                                   seed=tcfg.seed).epoch(e):
+                state_b, _, _ = step(state_b, b.x, None, 1.0)
+        for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_epoch_metrics_contract(self):
+        cfg, tcfg = small_cfgs()
+        tx = make_optimizer(cfg)
+        state = init_train_state(jax.random.key(0), cfg, tx)
+        runner = make_streaming_runner(cfg, tcfg, tx, N)
+        state, ems = runner(3)(state, make_data(), None, 1.0)
+        assert ems.total.shape == (3,)
+        assert ems.loss_rec.shape == (3, cfg.n_arm)
+        assert ems.consensus.shape == (3,)
+        assert np.all(np.isfinite(np.asarray(ems.total)))
+        assert np.all((np.asarray(ems.consensus) >= 0)
+                      & (np.asarray(ems.consensus) <= 1))
+        assert int(np.asarray(state.epoch)) == 3
+
+    def test_multidevice_batch_sharding(self):
+        """Streamed batches land sharded over the mesh batch axes and the
+        step still produces finite, correct-shaped results."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from dvae_tpu.parallel.sharding import make_mesh
+        mcfg = MeshConfig(data=2, fsdp=2)
+        cfg, tcfg = small_cfgs(mesh=mcfg)
+        mesh = make_mesh(mcfg, devices=jax.devices()[:4])
+        tx = make_optimizer(cfg)
+        state = init_train_state(jax.random.key(0), cfg, tx)
+        runner = make_streaming_runner(cfg, tcfg, tx, N, mesh=mesh)
+        state, ems = runner(2)(state, make_data(), None, 1.0)
+        assert np.all(np.isfinite(np.asarray(ems.total)))
+
+
+class TestTrainerIntegration:
+    def test_train_stream_end_to_end(self, tmp_path):
+        """CplMixVAE.train with stream=True: host dataset, loss decreases,
+        checkpoints land, epochs advance."""
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        rng = np.random.default_rng(0)
+        centers = rng.random((C, D), np.float32) * 2
+        x = (centers[rng.integers(0, C, N)]
+             + 0.05 * rng.standard_normal((N, D)).astype(np.float32))
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, stream=True, fused=False)
+        assert cpl.tcfg.stream
+        path = cpl.train(x, n_epoch=4, save_plots=False)
+        assert path
+        assert int(np.asarray(cpl.state.epoch)) >= 1
