@@ -53,6 +53,26 @@ _EVAL_FLUSH_BYTES = 1 << 30  # eval_model drains device accumulators to host
                              # whenever the retained per-batch arrays pass
                              # this bound (caps peak HBM on huge datasets)
 
+_HBM_DATASET_FRACTION = 0.7  # resident-path guard: above this share of a
+                             # device's memory the dataset can't coexist
+                             # with params/opt/activations — stream instead
+
+
+def _dataset_exceeds_hbm(x: np.ndarray, store_dtype, mesh) -> bool:
+    """True when committing ``x`` (replicated per device, as the resident
+    epoch runner does) would occupy more than ``_HBM_DATASET_FRACTION`` of
+    a device's memory.  Backends without ``memory_stats`` (CPU, some
+    emulators) report no limit → never trips."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    except Exception:
+        return False
+    if not limit:
+        return False
+    nbytes = x.size * np.dtype(store_dtype).itemsize
+    return nbytes > _HBM_DATASET_FRACTION * limit
+
 
 class CplMixVAE:
     """Coupled mixture-VAE trainer."""
@@ -263,6 +283,12 @@ class CplMixVAE:
         # bf16 mode also stores the dataset in bf16: halves the HBM
         # footprint AND the per-step gather traffic
         store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
+        if not tcfg.stream and _dataset_exceeds_hbm(
+                x_train, store_dtype, self.mesh):
+            mprint("dataset does not fit in device memory alongside the "
+                   "training state — falling back to host→device "
+                   "streaming (TrainConfig.stream)")
+            tcfg = self.tcfg = tcfg.replace(stream=True)
         if tcfg.stream:
             # dataset stays on the HOST (datasets larger than HBM): cast
             # once to the storage dtype, batches double-buffer to device

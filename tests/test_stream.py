@@ -145,3 +145,40 @@ class TestTrainerIntegration:
         path = cpl.train(x, n_epoch=4, save_plots=False)
         assert path
         assert int(np.asarray(cpl.state.epoch)) >= 1
+
+    def test_auto_stream_when_dataset_exceeds_hbm(self, tmp_path,
+                                                  monkeypatch):
+        """The resident path must fall back to streaming instead of OOMing
+        when the dataset cannot coexist with the training state."""
+        import dvae_tpu.train.cpl_mixvae as tm
+        monkeypatch.setattr(tm, "_dataset_exceeds_hbm",
+                            lambda x, dt, mesh: True)
+        x = make_data()
+        cpl = tm.CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, fused=False)
+        assert not cpl.tcfg.stream
+        cpl.train(x, n_epoch=2, save_plots=False)
+        assert cpl.tcfg.stream  # flipped by the guard
+
+    def test_hbm_guard_math(self, monkeypatch):
+        import dvae_tpu.train.cpl_mixvae as tm
+
+        class FakeDev:
+            def __init__(self, limit):
+                self._l = limit
+
+            def memory_stats(self):
+                return {"bytes_limit": self._l}
+
+        x = np.zeros((1000, 100), np.float32)  # 400 kB
+        monkeypatch.setattr(tm.jax, "local_devices",
+                            lambda: [FakeDev(1 << 20)])  # 1 MB
+        assert not tm._dataset_exceeds_hbm(x, np.float32, None)
+        monkeypatch.setattr(tm.jax, "local_devices",
+                            lambda: [FakeDev(500_000)])
+        assert tm._dataset_exceeds_hbm(x, np.float32, None)
+        monkeypatch.setattr(tm.jax, "local_devices",
+                            lambda: [FakeDev(None)])
+        assert not tm._dataset_exceeds_hbm(x, np.float32, None)
