@@ -116,12 +116,17 @@ def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",
 
 
 def _augment_fn(input_dim: int):
-    """Random-weight frozen augmenter (forward cost equals a trained one's)."""
+    """Random-weight frozen augmenter (forward cost equals a trained one's).
+    Weights in bf16 — the bench trains in bf16, and f32 weights against
+    bf16 activations would run every augmenter matmul at the 3-pass f32
+    MXU rate (same cast the trainer applies, cpl_mixvae._augment_fn)."""
     from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
+                                            cast_augmenter_params,
                                             init_augmenter)
 
     acfg = AugmenterConfig(input_dim=input_dim)
     params, bn = init_augmenter(jax.random.key(7), acfg)
+    params = cast_augmenter_params(params, jnp.bfloat16)
 
     def fn(key, x, n_arm):
         return augment_arms(params, bn, acfg, key, x, n_arm, scale=0.1)

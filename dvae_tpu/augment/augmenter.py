@@ -109,11 +109,18 @@ def _lin(p, x):
 
 def _bn(x, stats, train: bool):
     """Normalize over all leading axes (pools over A·B in arm-major mode —
-    the permute-trick semantics of udagan.py:284-309)."""
+    the permute-trick semantics of udagan.py:284-309).
+
+    Statistics compute in the running-stat dtype (f32 — batch moments in
+    bf16 lose ~3 digits and would also silently promote every activation
+    back to f32, defeating mixed-precision matmuls downstream); the
+    normalized output returns in the activation dtype.
+    """
     red = tuple(range(x.ndim - 1))
+    xf = x.astype(stats["mean"].dtype)
     if train:
-        mean = jnp.mean(x, axis=red)
-        var = jnp.var(x, axis=red)
+        mean = jnp.mean(xf, axis=red)
+        var = jnp.var(xf, axis=red)
         n = int(np.prod(x.shape[:-1]))
         unbiased = var * (n / max(n - 1, 1))
         new = dict(stats)
@@ -121,10 +128,10 @@ def _bn(x, stats, train: bool):
         new["var"] = (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased
     else:
         mean, var, new = stats["mean"], stats["var"], stats
-    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
+    y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS)
     if "scale" in stats:
         y = y * stats["scale"] + stats["bias"]
-    return y, new
+    return y.astype(x.dtype), new
 
 
 def _drop(key, x, rate, train):
@@ -319,10 +326,26 @@ def load_augmenter(path: str):
     return params, bn, cfg
 
 
-def load_augmenter_apply(path: str):
-    """Frozen closure for the trainer: (key, x, n_arm, scale) → (A, B, D)."""
+def load_augmenter_apply(path: str, dtype=None):
+    """Frozen closure for the trainer: (key, x, n_arm, scale) → (A, B, D).
+
+    ``dtype``: cast the frozen weights once (bf16 under mixed-precision
+    training — with f32 weights a bf16 activation promotes every augmenter
+    matmul to the 3-pass f32 MXU rate).  BN running stats stay f32
+    (``_bn`` computes in the stat dtype and returns the activation dtype).
+    """
     params, bn, cfg = load_augmenter(path)
+    params = cast_augmenter_params(params, dtype)
 
     def fn(key, x, n_arm, scale=0.1):
         return augment_arms(params, bn, cfg, key, x, n_arm, scale)
     return fn
+
+
+def cast_augmenter_params(params, dtype=None):
+    """Cast floating param leaves (None = identity); BN stats stay f32."""
+    if dtype is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, params)

@@ -75,21 +75,51 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
                   a_tx: optax.GradientTransformation,
                   d_tx: optax.GradientTransformation,
                   lambdas=(1.0, 0.5, 0.1, 0.5), alpha: float = 0.2,
-                  mode: str = "MSE"):
-    """Build the jitted combined D-step + A-step."""
+                  mode: str = "MSE", bf16: bool = False):
+    """Build the jitted combined D-step + A-step.
+
+    ``bf16``: mixed-precision compute.  Recipe: params and network inputs
+    cast to bf16; every LOSS term computed from f32-cast network outputs
+    (a bf16 mean over the (B, D)=5M-element recon/triplet tensors would
+    lose ~3 decimal digits of the gradient signal); master params, Adam
+    moments and the D-gate stay f32.  Measured at the production shape
+    (B=1000, D=5032, v5e-1): 5.37 → 4.91 ms/step (device 4.36 ms).  The
+    win is modest because the per-op profile is FLAT — ~35% f32 loss
+    reductions over (B, D) tensors plus dozens of elementwise/dropout
+    fusions, i.e. HBM-bandwidth-bound, not MXU-bound; and a full
+    pretraining run is only ~1000 steps (~5 s end-to-end), so this path
+    is not worth deeper kernel work (scripts/op_profile.py --gan).
+    """
+    cdt = jnp.bfloat16 if bf16 else None
+
+    def _c(tree):
+        """Cast the floating leaves of a param tree to the compute dtype."""
+        if cdt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(cdt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
+    def _cx(x):
+        return x if cdt is None else x.astype(cdt)
+
+    def _f32(x):
+        return x.astype(jnp.float32)
 
     def d_loss_fn(d_params, d_bn, data_bin, f1_bin, f2_bin, key):
+        d_params = _c(d_params)
         k1, k2, k3 = jax.random.split(key, 3)
         _, p_real, bn1 = apply_discriminator(d_params, d_bn, d_cfg,
-                                             data_bin, k1, train=True)
-        loss_real = bce(p_real.reshape(-1), jnp.ones(p_real.shape[0]))
+                                             _cx(data_bin), k1, train=True)
+        loss_real = bce(_f32(p_real).reshape(-1),
+                        jnp.ones(p_real.shape[0]))
         _, p_f1, bn2 = apply_discriminator(d_params, bn1, d_cfg,
-                                           f1_bin, k2, train=True)
+                                           _cx(f1_bin), k2, train=True)
         _, p_f2, bn3 = apply_discriminator(d_params, bn2, d_cfg,
-                                           f2_bin, k3, train=True)
+                                           _cx(f2_bin), k3, train=True)
         zeros = jnp.zeros(p_f1.shape[0])
-        loss_fake = (bce(p_f1.reshape(-1), zeros)
-                     + bce(p_f2.reshape(-1), zeros)) / 2
+        loss_fake = (bce(_f32(p_f1).reshape(-1), zeros)
+                     + bce(_f32(p_f2).reshape(-1), zeros)) / 2
         g_real = jax.lax.stop_gradient(
             (loss_real > _LOG2_HALF).astype(loss_real.dtype))
         g_fake = jax.lax.stop_gradient(
@@ -98,33 +128,37 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
         return gated, (loss_real + loss_fake, g_real + g_fake, bn3)
 
     def a_loss_fn(a_params, a_bn, d_params, d_bn, data, data_bin, key):
+        a_params, d_params = _c(a_params), _c(d_params)
         kf1, kf2, kd1, kd2 = jax.random.split(key, 4)
-        _, fake1, bn_a1 = apply_augmenter(a_params, a_bn, a_cfg, data, kf1,
-                                          train=True, noise=True)
-        _, fake2, bn_a2 = apply_augmenter(a_params, bn_a1, a_cfg, data, kf2,
-                                          train=True, noise=False)
+        _, fake1, bn_a1 = apply_augmenter(a_params, a_bn, a_cfg, _cx(data),
+                                          kf1, train=True, noise=True)
+        _, fake2, bn_a2 = apply_augmenter(a_params, bn_a1, a_cfg, _cx(data),
+                                          kf2, train=True, noise=False)
         if mode == "ZINB" and a_cfg.n_zim > 1:
             D = a_cfg.input_dim
-            p1 = data_bin * fake1[..., D:]
-            p2 = data_bin * fake2[..., D:]
+            p1 = data_bin * _f32(fake1[..., D:])
+            p2 = data_bin * _f32(fake2[..., D:])
             kb1, kb2 = jax.random.split(kf1)
             f1_bin = jax.random.bernoulli(kb1, p1).astype(data.dtype)
             f2_bin = jax.random.bernoulli(kb2, p2).astype(data.dtype)
-            fake_rec = fake2[..., :D] * data_bin
+            fake_rec = _f32(fake2[..., :D]) * data_bin
         else:
-            f1_bin = _binarize(fake1, FAKE_BIN_EPS)
-            f2_bin = _binarize(fake2, FAKE_BIN_EPS)
-            fake_rec = fake2
-        z1, p_f1, _ = apply_discriminator(d_params, d_bn, d_cfg, f1_bin,
-                                          kd1, train=True)
-        z2, p_f2, _ = apply_discriminator(d_params, d_bn, d_cfg, f2_bin,
-                                          kd2, train=True)
+            # binarize on the f32 view: 0/1 outputs are exact in either
+            # dtype but the threshold compare must see unrounded values
+            f1_bin = _binarize(_f32(fake1), FAKE_BIN_EPS)
+            f2_bin = _binarize(_f32(fake2), FAKE_BIN_EPS)
+            fake_rec = _f32(fake2)
+        z1, p_f1, _ = apply_discriminator(d_params, d_bn, d_cfg,
+                                          _cx(f1_bin), kd1, train=True)
+        z2, p_f2, _ = apply_discriminator(d_params, d_bn, d_cfg,
+                                          _cx(f2_bin), kd2, train=True)
         ones = jnp.ones(p_f1.shape[0])
-        gen = (bce(p_f1.reshape(-1), ones) + bce(p_f2.reshape(-1), ones)) / 2
+        gen = (bce(_f32(p_f1).reshape(-1), ones)
+               + bce(_f32(p_f2).reshape(-1), ones)) / 2
         trip = _triplet(data_bin, f2_bin, f1_bin, alpha)
         mse_rec = jnp.mean((fake_rec - data) ** 2)
         recon = (mse_rec + bce(f2_bin, data_bin)) / 2
-        z_mse = jnp.mean((z1 - z2) ** 2)
+        z_mse = jnp.mean((_f32(z1) - _f32(z2)) ** 2)
         total = (lambdas[0] * gen + lambdas[1] * trip
                  + lambdas[2] * z_mse + lambdas[3] * recon)
         return total, (gen, recon, mse_rec, trip, bn_a2, f1_bin, f2_bin)
@@ -179,11 +213,13 @@ def train_augmenter(x_train: np.ndarray,
                     lr: float = 1e-3, lambdas=(1.0, 0.5, 0.1, 0.5),
                     alpha: float = 0.2, mode: str = "MSE",
                     seed: int = 0, saving_path: Optional[str] = None,
-                    verbose: bool = True):
+                    verbose: bool = True, bf16: bool = False):
     """Full GAN training (reference train_augmenter, augmentation/train.py).
 
     Returns (params, bn, cfg, history).  Epochs run as one jitted
-    ``lax.scan`` over on-device shuffled batches.
+    ``lax.scan`` over on-device shuffled batches.  ``bf16``: run the
+    matmuls in bf16 with f32 loss math and master weights (the step is
+    MXU-bound — see make_gan_step).
     """
     D = x_train.shape[1]
     a_cfg = a_cfg or AugmenterConfig(input_dim=D)
@@ -201,7 +237,8 @@ def train_augmenter(x_train: np.ndarray,
     n = x_all.shape[0]
     steps = max(n // batch_size, 1)
 
-    step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, lambdas, alpha, mode)
+    step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, lambdas, alpha, mode,
+                            bf16=bf16)
 
     @jax.jit
     def run_epoch(state: GanState, x_all):

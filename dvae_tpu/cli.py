@@ -184,7 +184,8 @@ def cmd_train_augmenter(args) -> int:
     train_augmenter(ds.log1p, cfg, n_epochs=args.n_epoch,
                     batch_size=args.batch_size, lr=args.lr,
                     lambdas=tuple(args.lambda_), alpha=args.alpha,
-                    mode=args.mode, seed=args.seed, saving_path=out)
+                    mode=args.mode, seed=args.seed, saving_path=out,
+                    bf16=getattr(args, "gan_bf16", False))
     print(f"saved augmenter: {out}")
     return 0
 
@@ -261,6 +262,9 @@ def main(argv=None) -> int:
                     choices=["MSE", "ZINB"])
     pa.add_argument("--out", type=str, default=None)
     pa.add_argument("--seed", type=int, default=546)
+    pa.add_argument("--gan_bf16", action="store_true",
+                    help="mixed-precision GAN step (bf16 matmuls, f32 "
+                         "loss math + master weights)")
     pa.set_defaults(fn=cmd_train_augmenter)
 
     pi = sub.add_parser(

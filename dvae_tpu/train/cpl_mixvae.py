@@ -100,8 +100,10 @@ class CplMixVAE:
 
     def _load_augmenter(self, aug_file: str) -> None:
         """Load a frozen pre-trained augmenter (reference ``mk_augmenter``,
-        cpl_mixvae.py:128-149)."""
+        cpl_mixvae.py:128-149).  The compute-dtype cast happens lazily in
+        ``_augment_fn`` (tcfg is unknown at construction time)."""
         from dvae_tpu.augment.augmenter import load_augmenter_apply
+        self._aug_file = aug_file
         self.aug_apply = load_augmenter_apply(aug_file)
 
     def init_model(self, n_categories: int = 92, state_dim: int = 2,
@@ -246,6 +248,12 @@ class CplMixVAE:
             return None
         noise = self.tcfg.aug_noise if self.tcfg else 0.1
         aug = self.aug_apply
+        if self.tcfg is not None and self.tcfg.bf16:
+            # rebuild the frozen closure with bf16 weights: f32 weights
+            # against bf16 activations would promote every augmenter
+            # matmul to the 3-pass f32 MXU rate
+            from dvae_tpu.augment.augmenter import load_augmenter_apply
+            aug = load_augmenter_apply(self._aug_file, dtype=jnp.bfloat16)
 
         def fn(key, x, n_arm):
             return aug(key, x, n_arm, noise)

@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1000)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--zinb", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +70,8 @@ def main() -> None:
     x_all = put_dataset(x, jnp.float32)
     n = x.shape[0]
     steps = n // args.batch
-    step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, mode=mode)
+    step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, mode=mode,
+                            bf16=args.bf16)
 
     @jax.jit
     def run_epoch(state: GanState, x_all):

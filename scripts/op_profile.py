@@ -110,6 +110,61 @@ def _capture_eval(steps: int, trace_dir: str) -> None:
         np.asarray(lab)
 
 
+def _capture_gan(steps: int, trace_dir: str, bf16: bool) -> None:
+    """Per-op profile of the augmenter GAN pretraining step
+    (augment/train.make_gan_step at the production shape, B=1000)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dvae_tpu.augment.augmenter import (AugmenterConfig,
+                                            DiscriminatorConfig,
+                                            init_augmenter,
+                                            init_discriminator)
+    from dvae_tpu.augment.train import GanState, make_gan_step
+    from dvae_tpu.parallel.sharding import put_dataset
+
+    a_cfg = AugmenterConfig()
+    d_cfg = DiscriminatorConfig()
+    a_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+    k_a, k_d, k_run = jax.random.split(jax.random.key(0), 3)
+    a_params, a_bn = init_augmenter(k_a, a_cfg)
+    d_params, d_bn = init_discriminator(k_d, d_cfg)
+    state = GanState(a_params, a_bn, d_params, d_bn,
+                     a_tx.init(a_params), d_tx.init(d_params), k_run)
+    rng = np.random.default_rng(0)
+    x = rng.gamma(0.3, 2.0, (20_000, a_cfg.input_dim)).astype(np.float32)
+    x[x < 1.0] = 0.0
+    x_all = put_dataset(x, jnp.float32)
+    B, n = 1000, x.shape[0]
+    nsteps = n // B
+    step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, bf16=bf16)
+
+    @jax.jit
+    def run_epoch(state, x_all):
+        key, k_perm = jax.random.split(state.key)
+        state = state._replace(key=key)
+        plan = jax.random.permutation(k_perm, n)[: nsteps * B]
+        plan = plan.reshape(nsteps, B)
+
+        def body(st, sel):
+            return step_fn(st, jnp.take(x_all, sel, axis=0))
+
+        state, ms = jax.lax.scan(body, state, plan)
+        return state, jax.tree_util.tree_map(jnp.mean, ms)
+
+    for _ in range(2):  # compile + one-time-cost absorption
+        state, m = run_epoch(state, x_all)
+        np.asarray(m.a_loss)
+    epochs = max(steps // nsteps, 1)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(epochs):
+            state, m = run_epoch(state, x_all)
+        np.asarray(m.a_loss)
+    return epochs * nsteps
+
+
 def parse(trace_dir: str, top_k: int, n_steps: int) -> None:
     from xprof.convert import raw_to_tool_data
 
@@ -148,19 +203,26 @@ def main() -> None:
     ap.add_argument("--augment", action="store_true")
     ap.add_argument("--eval", action="store_true",
                     help="profile the eval step instead of training")
+    ap.add_argument("--gan", action="store_true",
+                    help="profile the augmenter GAN pretraining step")
+    ap.add_argument("--gan-bf16", action="store_true")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--parse-only", action="store_true",
                     help="re-parse an existing --trace-dir without running")
     args = ap.parse_args()
-    mode = ("eval" if args.eval else "zinb" if args.zinb
+    mode = ("gan" if args.gan else "eval" if args.eval
+            else "zinb" if args.zinb
             else "augment" if args.augment else "mse")
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix=f"opprof_{mode}_")
     steps = args.steps if mode == "eval" else (args.steps // 4) * 4 or 4
     print(f"trace dir: {trace_dir}", flush=True)
     if not args.parse_only:
-        capture(mode, steps, trace_dir)
+        if mode == "gan":
+            steps = _capture_gan(steps, trace_dir, args.gan_bf16)
+        else:
+            capture(mode, steps, trace_dir)
     parse(trace_dir, args.top, steps)
 
 

@@ -87,3 +87,69 @@ def test_gan_training_reduces_recon(tmp_path):
     views = fn(jax.random.key(0), jnp.asarray(x[:8]), 2, 0.1)
     assert views.shape == (2, 8, 50)
     assert np.isfinite(np.asarray(views)).all()
+
+
+def test_gan_step_bf16_matches_f32_semantics():
+    """Mixed-precision GAN step (make_gan_step(bf16=True)): same structure,
+    f32 master params/moments, losses within bf16 rounding of the f32
+    step from an identical state."""
+    import optax
+    from dvae_tpu.augment.train import GanState, make_gan_step
+
+    d_cfg = DiscriminatorConfig(input_dim=50, p_drop=0.2)
+    a_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+    k = jax.random.key(0)
+    ka, kd, kr = jax.random.split(k, 3)
+    a_params, a_bn = init_augmenter(ka, ACFG)
+    d_params, d_bn = init_discriminator(kd, d_cfg)
+    x = jnp.asarray(rng.gamma(2.0, 1.0, (32, 50)).astype(np.float32))
+
+    def run(bf16):
+        st = GanState(a_params, a_bn, d_params, d_bn,
+                      a_tx.init(a_params), d_tx.init(d_params), kr)
+        step = jax.jit(make_gan_step(ACFG, d_cfg, a_tx, d_tx, bf16=bf16))
+        st, m = step(st, x)
+        return st, m
+
+    st32, m32 = run(False)
+    st16, m16 = run(True)
+    # master params stay f32 and get a same-scale update
+    for p32, p16 in zip(jax.tree_util.tree_leaves(st32.a_params),
+                        jax.tree_util.tree_leaves(st16.a_params)):
+        assert p16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(p32), np.asarray(p16),
+                                   atol=2e-3)
+    # BN running stats stay f32
+    for leaf in jax.tree_util.tree_leaves(st16.a_bn):
+        assert leaf.dtype == jnp.float32
+    # same RNG stream, so losses differ only by bf16 rounding
+    np.testing.assert_allclose(float(m16.a_loss), float(m32.a_loss),
+                               rtol=0.05)
+    np.testing.assert_allclose(float(m16.d_loss), float(m32.d_loss),
+                               rtol=0.05)
+
+
+def test_train_augmenter_bf16_end_to_end(tmp_path):
+    x = rng.gamma(2.0, 1.0, (120, 50)).astype(np.float32)
+    x *= rng.random((120, 50)) > 0.6
+    params, bn, cfg, hist = train_augmenter(
+        x, ACFG, n_epochs=6, batch_size=40, verbose=False, bf16=True)
+    assert np.isfinite([h["a_loss"] for h in hist]).all()
+    assert (np.mean([h["mse_recon"] for h in hist[-2:]])
+            < np.mean([h["mse_recon"] for h in hist[:2]]))
+
+
+def test_frozen_augmenter_bf16_cast_matches_f32():
+    """cast_augmenter_params(bf16) keeps augment_arms within bf16 rounding
+    of the f32 path (the trainer's mixed-precision in-loop cast)."""
+    from dvae_tpu.augment.augmenter import cast_augmenter_params
+
+    params, bn = init_augmenter(jax.random.key(0), ACFG)
+    x = jnp.asarray(rng.random((8, 50)).astype(np.float32))
+    ref = augment_arms(params, bn, ACFG, jax.random.key(3), x, 2, 0.1)
+    p16 = cast_augmenter_params(params, jnp.bfloat16)
+    got = augment_arms(p16, bn, ACFG, jax.random.key(3),
+                       x.astype(jnp.bfloat16), 2, 0.1)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=0.1, atol=0.15)
