@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import signal
 import time
 from typing import Any, Optional
 
@@ -58,6 +59,45 @@ _HBM_DATASET_FRACTION = 0.7  # resident-path guard: above this share of a
                              # with params/opt/activations — stream instead
 
 
+class PreemptionGuard:
+    """SIGTERM-safe training: trap the preemption signal, let the current
+    on-device epoch chunk finish, checkpoint, and stop cleanly.
+
+    TPU VMs (spot/preemptible pools, maintenance events) deliver SIGTERM
+    with a grace window; the reference has no handling at all (a kill
+    loses everything since its last manual save).  Here ``_run_phase``
+    polls ``tripped`` at every chunk boundary — chunks are seconds, well
+    inside any grace window — and resume is the existing deterministic
+    ``load_model(latest_checkpoint(...))`` path.
+
+    No-ops outside the main thread (signal handlers cannot be installed
+    there); ``signals=()`` disables trapping entirely.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self.tripped = False
+        self._signals = tuple(signals)
+        self._prev: dict = {}
+
+    def __enter__(self):
+        for sig in self._signals:
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def _handler(self, signum, frame):
+        self.tripped = True
+        mprint(f"caught signal {signum}: checkpointing at the next chunk "
+               "boundary, then stopping")
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
+
+
 def _dataset_exceeds_hbm(x: np.ndarray, store_dtype, mesh) -> bool:
     """True when committing ``x`` (replicated per device, as the resident
     epoch runner does) would occupy more than ``_HBM_DATASET_FRACTION`` of
@@ -86,6 +126,7 @@ class CplMixVAE:
         self.seed = seed
         self.use_wandb = use_wandb
         self.aug_apply = None          # (key, x, n_arm) -> (A,B,D)
+        self._preempt = None           # PreemptionGuard while train() runs
         self.aug_file = aug_file
         if aug_file:
             self._load_augmenter(aug_file)
@@ -243,6 +284,9 @@ class CplMixVAE:
 
     # -- training -----------------------------------------------------------
 
+    def _preempted(self) -> bool:
+        return self._preempt is not None and self._preempt.tripped
+
     def _augment_fn(self):
         if self.aug_apply is None:
             return None
@@ -341,40 +385,47 @@ class CplMixVAE:
         self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
                                          mesh=self.mesh)
 
-        self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
-                        stop_con, logger, phase="train")
+        # SIGTERM (spot-VM preemption, maintenance) → checkpoint at the
+        # next chunk boundary and stop cleanly; resume via load_model
+        self._preempt = PreemptionGuard()
+        with self._preempt:
+            self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
+                            stop_con, logger, phase="train")
 
-        # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
-        #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
-        if n_epoch_p > 0 and max_prun_it > 0:
-            pr_it = 0
-            while pr_it < max_prun_it:
+            # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
+            #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
+            if n_epoch_p > 0 and max_prun_it > 0 and not self._preempted():
+                pr_it = 0
+                while pr_it < max_prun_it and not self._preempted():
+                    labels = self._predict_labels(x_all, temp)
+                    agreement = per_category_agreement(labels,
+                                                       cfg.n_categories)
+                    mask = np.array(self.state.mask)  # writable copy
+                    active = np.where(mask > 0)[0]
+                    agree_active = agreement[active]
+                    if float(np.min(agree_active)) > min_con:
+                        mprint("No more pruning!")
+                        break
+                    kill = active[int(np.argmin(agree_active))]
+                    mask[kill] = 0.0
+                    mprint(f"pruning iteration {pr_it}: pruned category "
+                           f"{kill} (agreement {agreement[kill]:.3f}); "
+                           f"{int(mask.sum())}/{cfg.n_categories} remain")
+                    self.state = self.state._replace(mask=jnp.asarray(mask))
+                    self.save_checkpoint(
+                        f"before_pruning_{pr_it}_A{cfg.n_arm}")
+                    self._run_phase(runner, x_all, prior_all, x_val,
+                                    n_epoch_p, temp, stop_con, logger,
+                                    phase=f"prune{pr_it}")
+                    pr_it += 1
+
+            path = self.save_checkpoint(f"epoch_{int(self.state.epoch)}")
+            if self.folder and save_plots and not self._preempted():
+                from dvae_tpu.utils.plots import save_training_artifacts
                 labels = self._predict_labels(x_all, temp)
-                agreement = per_category_agreement(labels, cfg.n_categories)
-                mask = np.array(self.state.mask)  # writable copy
-                active = np.where(mask > 0)[0]
-                agree_active = agreement[active]
-                if float(np.min(agree_active)) > min_con:
-                    mprint("No more pruning!")
-                    break
-                kill = active[int(np.argmin(agree_active))]
-                mask[kill] = 0.0
-                mprint(f"pruning iteration {pr_it}: pruned category {kill} "
-                       f"(agreement {agreement[kill]:.3f}); "
-                       f"{int(mask.sum())}/{cfg.n_categories} remain")
-                self.state = self.state._replace(mask=jnp.asarray(mask))
-                self.save_checkpoint(f"before_pruning_{pr_it}_A{cfg.n_arm}")
-                self._run_phase(runner, x_all, prior_all, x_val, n_epoch_p,
-                                temp, stop_con, logger,
-                                phase=f"prune{pr_it}")
-                pr_it += 1
-
-        path = self.save_checkpoint(f"epoch_{int(self.state.epoch)}")
-        if self.folder and save_plots:
-            from dvae_tpu.utils.plots import save_training_artifacts
-            labels = self._predict_labels(x_all, temp)
-            save_training_artifacts(self.folder, logger.history,
-                                    labels=labels, K=cfg.n_categories)
+                save_training_artifacts(self.folder, logger.history,
+                                        labels=labels, K=cfg.n_categories)
+        self._preempt = None
         logger.finish()
         return path
 
@@ -443,6 +494,13 @@ class CplMixVAE:
             if stop_con and float(cons[-1]) >= stop_con:
                 mprint(f"early stop: consensus {cons[-1]:.3f} >= {stop_con}")
                 self.save_checkpoint(f"epoch_{epoch}")
+                break
+
+            # preemption (SIGTERM): checkpoint and stop this phase; the
+            # caller skips the remaining phases too (PreemptionGuard)
+            if self._preempted():
+                self.save_checkpoint(f"preempt_epoch_{epoch}")
+                mprint(f"preempted: checkpointed at epoch {epoch}")
                 break
 
     # -- evaluation ---------------------------------------------------------

@@ -295,3 +295,49 @@ def test_eval_step_fused_matches_unfused(data, tx):
         np.testing.assert_allclose(np.asarray(aux0.loss_rec),
                                    np.asarray(auxf.loss_rec), rtol=2e-4)
         np.testing.assert_array_equal(np.asarray(lab0), np.asarray(labf))
+
+
+def test_preemption_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
+    """SIGTERM mid-training (spot-VM preemption) → the trainer finishes the
+    in-flight chunk, writes a preempt checkpoint, skips the remaining
+    phases, and returns; resume picks the checkpoint up."""
+    import glob
+    import signal
+
+    import dvae_tpu.train.cpl_mixvae as tm
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    tr, _ = stratified_split_indices(ds.cluster_label, 0.9, 546)
+    cpl = tm.CplMixVAE(saving_folder=str(tmp_path))
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    cpl.init_model(**kw)
+
+    calls = {"n": 0}
+    real_mem = tm.device_memory_mb
+
+    def mem_then_sigterm():
+        calls["n"] += 1
+        if calls["n"] == 2:  # during the 2nd chunk's host window
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_mem()
+
+    monkeypatch.setattr(tm, "device_memory_mb", mem_then_sigterm)
+    # 40 epochs requested; preempted after chunk 2 (epoch 4).  Pruning
+    # phase requested too — must be skipped under preemption.
+    path = cpl.train(ds.log1p[tr], n_epoch=40, n_epoch_p=4, max_prun_it=2,
+                     min_con=0.99, save_plots=False)
+    assert os.path.exists(path)
+    assert int(np.asarray(cpl.state.epoch)) == 4  # stopped early
+    pre = glob.glob(os.path.join(str(tmp_path), "*preempt_epoch_4*"))
+    assert pre, "no preemption checkpoint written"
+    # the previous handler was restored on exit from the guard
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    # resume: discovery finds the latest (final epoch_4) checkpoint
+    from dvae_tpu.utils.checkpoint import latest_checkpoint
+    found = latest_checkpoint(str(tmp_path))
+    assert found is not None
+    cpl2 = tm.CplMixVAE(saving_folder=str(tmp_path))
+    cpl2.init_model(**kw)
+    assert cpl2.load_model(found) == 4
