@@ -30,7 +30,8 @@ import time
 
 
 def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
-        folder: str = "", seed: int = 3, verbose: bool = True) -> dict:
+        folder: str = "", seed: int = 3, verbose: bool = True,
+        mode: str = "MSE") -> dict:
     import numpy as np
 
     from dvae_tpu.data.anndata_io import synthetic_dataset
@@ -45,7 +46,7 @@ def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
     cpl = CplMixVAE(saving_folder=folder, seed=seed)
     cpl.init_model(n_categories=92, input_dim=5032, n_arm=2, lam=5.0,
                    batch_size=5000, epochs_per_jit=500, bf16=True,
-                   rng_impl="rbg", shuffle_block=8)
+                   rng_impl="rbg", shuffle_block=8, mode=mode)
     cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
               n_epoch_p=n_epoch_p if prune_iters else 0,
               max_prun_it=prune_iters, early_stop_consensus=0.75,
@@ -80,6 +81,11 @@ if __name__ == "__main__":
     ap.add_argument("--prune-iters", type=int, default=0)
     ap.add_argument("--folder", type=str, default="")
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--mode", type=str, default="MSE",
+                    choices=["MSE", "ZINB"],
+                    help="reconstruction mode (ZINB: the three-head "
+                         "zero-inflated NB loss, reference "
+                         "nn_model.py:642-676)")
     args = ap.parse_args()
     run(n_epoch=args.epochs, prune_iters=args.prune_iters,
-        folder=args.folder, seed=args.seed)
+        folder=args.folder, seed=args.seed, mode=args.mode)
