@@ -424,14 +424,14 @@ def make_partitioned_zinb(arm_axes, batch_axes, eps: float = 1e-6):
     def op(h, w_r, b_r, w_p, b_p, w_z, b_z, x):
         f_cp, _ = _ensure(x.ndim == 2)
         return f_cp(h, w_r, b_r, w_p, b_p, w_z, b_z,
-                    jnp.expm1(x.astype(jnp.float32)))
+                    zinb_pallas._counts(x))
 
     def op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x):
         """Fused loss+unscaled-gradients in one pass (the per-arm-scalar
         cotangent reduces the backward to scaling) — same wiring as
         zinb_pallas._op_fwd, through the partitioned primitive."""
         _, fb_cp = _ensure(x.ndim == 2)
-        k = jnp.expm1(x.astype(jnp.float32))
+        k = zinb_pallas._counts(x)
         heads = (w_r, b_r, w_p, b_p, w_z, b_z)
         loss, dh, dwr, dbr, dwp, dbp, dwz, dbz = fb_cp(h, *heads, k)
         tok = lambda t: jnp.zeros((0,), t.dtype)

@@ -73,6 +73,24 @@ _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 _P4 = (1.0, 6.0, 11.0, 6.0, 0.0)     # x⁴ + 6x³ + 11x² + 6x
 _P4D = (4.0, 18.0, 22.0, 6.0)        # d/dx
 
+# The Horner product overflows f32 at x ≳ 4.3e9 (x⁴ > 3.4e38) → log(inf)
+# and inf/inf poisoned the whole loss on counts that large (measured: the
+# production ZINB study NaN'ed on a synthetic gene with k ≈ 5e9).  Two
+# cheap clamps make the kernel total on all f32 inputs: p4 saturates just
+# under f32 max (absolute lgamma error ≤ 4·ln(x)−88.7 for x > 4.3e9 —
+# ~21 on loss terms of ~1e13, and the digamma shift ratio collapses
+# toward its true ~4/x ≈ 0 — both negligible), and counts k = expm1(x)
+# clamp at 1e12 (f32 spaces integers 2^17 apart there; no assay counts
+# 10^12 molecules).  Exact shifted-Stirling behavior is unchanged for
+# every x below 4.3e9.
+_P4_CLAMP = 3.0e38
+_COUNT_CLAMP = 1.0e12
+
+
+def _counts(x):
+    """expm1 of log1p data → NB counts, clamped to the kernel's domain."""
+    return jnp.minimum(jnp.expm1(x.astype(jnp.float32)), _COUNT_CLAMP)
+
 
 def _params():
     return compiler_params(_VMEM_LIMIT)
@@ -136,8 +154,9 @@ def lgamma(x, div=_div):
     inv = div(1.0, u)
     inv2 = inv * inv
     series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
+    p4 = jnp.minimum(_horner(_P4, x), _P4_CLAMP)  # see _P4_CLAMP
     return ((u - 0.5) * jnp.log(u) - u + _HALF_LOG_2PI + series
-            - jnp.log(_horner(_P4, x)))
+            - jnp.log(p4))
 
 
 def digamma(x, div=_div):
@@ -150,8 +169,9 @@ def digamma(x, div=_div):
     inv = div(1.0, u)
     inv2 = inv * inv
     series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    p4 = jnp.minimum(_horner(_P4, x), _P4_CLAMP)  # see _P4_CLAMP
     return (jnp.log(u) - 0.5 * inv - series
-            - div(_horner(_P4D, x), _horner(_P4, x)))
+            - div(_horner(_P4D, x), p4))
 
 
 def _tile_heads(h, w_r, b_r, w_p, b_p, w_z, b_z):
@@ -373,7 +393,7 @@ def _lg_dg(x, div):
     u = x + 4.0
     inv = div(1.0, u)
     inv2 = inv * inv
-    p4 = _horner(_P4, x)
+    p4 = jnp.minimum(_horner(_P4, x), _P4_CLAMP)  # see _P4_CLAMP
     logu = jnp.log(u)
     lg_series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
     dg_series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
@@ -518,7 +538,7 @@ def fused_zinb(h, w_r, b_r, w_p, b_p, w_z, b_z, x, eps: float = 1e-6):
     Returns (A,) f32; divide by B·D for the reference's elementwise mean.
     """
     heads = ((w_r, b_r), (w_p, b_p), (w_z, b_z))
-    return _fwd(h, heads, jnp.expm1(x.astype(jnp.float32)), eps)
+    return _fwd(h, heads, _counts(x), eps)
 
 
 def _op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x, eps):
@@ -529,8 +549,7 @@ def _op_fwd(h, w_r, b_r, w_p, b_p, w_z, b_z, x, eps):
     (10.1 → 8.3 ms at the production ZINB shape).  A value-only call
     (eval) runs the primal body's cheaper forward kernel instead."""
     heads = ((w_r, b_r), (w_p, b_p), (w_z, b_z))
-    k = jnp.expm1(x.astype(jnp.float32))
-    loss, dh, gr, gp, gz = _fwdbwd_call(h, heads, k, eps)
+    loss, dh, gr, gp, gz = _fwdbwd_call(h, heads, _counts(x), eps)
     # 0-size dtype tokens: cotangents must match the PRIMAL dtypes; the
     # 0-size x-SHAPED token carries shape+dtype for the zero x-cotangent
     tok = lambda t: jnp.zeros((0,), t.dtype)

@@ -572,3 +572,44 @@ class TestFusedDecoder:
                                             args[12], x, 0.1, True)
         np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(m), np.asarray(m2))
+
+
+class TestZINBLargeCounts:
+    """Regression: the shifted-Stirling p4 product overflows f32 at
+    x ≳ 4.3e9; clamps keep the kernel total (the production ZINB study
+    NaN'ed on a synthetic gene with counts ≈ 5e9 before the fix)."""
+
+    def test_lgamma_finite_and_accurate_past_p4_overflow(self):
+        from dvae_tpu.ops.zinb_pallas import digamma, lgamma
+        sp = pytest.importorskip("scipy.special")
+        xs = np.array([1e9, 4e9, 6e9, 1e10, 1e12], np.float32)
+        got = np.asarray(lgamma(jnp.asarray(xs)))
+        want = sp.gammaln(xs.astype(np.float64))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        dg = np.asarray(digamma(jnp.asarray(xs)))
+        assert np.isfinite(dg).all()
+        # at the count-clamp boundary (1e12) the saturated p4 leaves a
+        # ~5e-4 relative artifact on the digamma shift ratio — documented
+        # in _P4_CLAMP; everywhere real it is exact to f32 rounding
+        np.testing.assert_allclose(dg, sp.digamma(xs.astype(np.float64)),
+                                   rtol=1e-3)
+
+    def test_fused_zinb_huge_counts_loss_and_grads_finite(self):
+        from dvae_tpu.ops.zinb_pallas import fused_zinb, zinb_heads_reference
+        r = np.random.default_rng(5)
+        A, B, F, D = 2, 16, 8, 24
+        h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
+        w = lambda i: jnp.asarray(
+            0.1 * r.normal(size=(A, F, D)).astype(np.float32))
+        b = jnp.zeros((A, D), jnp.float32)
+        x = jnp.full((B, D), 23.0, jnp.float32)  # counts ≈ 9.7e9
+        args = (h, w(1), b, w(2), b, w(3), b, x)
+        loss = np.asarray(fused_zinb(*args))
+        oracle = np.asarray(zinb_heads_reference(*args))
+        assert np.isfinite(loss).all()
+        np.testing.assert_allclose(loss, oracle, rtol=1e-5)
+        grads = jax.grad(lambda *a: fused_zinb(*a).sum(),
+                         argnums=tuple(range(7)))(*args)
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
