@@ -11,7 +11,9 @@ against the planted ground truth, plus arm-arm agreement.
 
 Measured (v5e-1, 2026-08): ~0.004 s/epoch; the consensus peak (~0.69)
 lands near epoch 18k (~2 min); AMI vs planted labels 0.946 for both arms
-at the peak checkpoint.  Note the *consensus* metric (mean diagonal over
+at the peak checkpoint.  ``--mode ZINB`` (the three-head zero-inflated-NB
+loss, reference nn_model.py:642-676) reaches AMI 0.926/0.924 (arm-arm
+0.917) at its epoch-18k consensus peak — 18 min wall for 25k epochs.  Note the *consensus* metric (mean diagonal over
 all C categories, reference _utils.py:127) has a structural ceiling of
 n_used_categories / C — overlapping planted types merge, so AMI is the
 cleaner recovery score.  An optional pruning phase (reference
