@@ -115,6 +115,30 @@ def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",
     return steps * B / dt / n_local
 
 
+def _infer_throughput(cfg, x_all, n_batches=40):
+    """Serving-path cells/sec: the jitted eval step (make_eval_step, the
+    summarize_inference hot loop — reference cpl_mixvae.py:1450-1619) at
+    the production shape, training compute dtype (bf16)."""
+    from dvae_tpu.config import TrainConfig
+    from dvae_tpu.train.step import (init_train_state, make_eval_step,
+                                     make_optimizer)
+
+    tcfg = TrainConfig(batch_size=B, bf16=True, rng_impl="rbg")
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx, rng_impl="rbg")
+    ev = make_eval_step(cfg, tcfg)
+    xb = x_all[:B]
+    for _ in range(2):
+        aux, lab, _ = ev(state, xb, None, 1.0)
+        np.asarray(lab)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        aux, lab, _ = ev(state, xb, None, 1.0)
+    np.asarray(lab)
+    dt = time.perf_counter() - t0
+    return n_batches * B / dt / max(jax.local_device_count(), 1)
+
+
 def _augment_fn(input_dim: int):
     """Random-weight frozen augmenter (forward cost equals a trained one's).
     Weights in bf16 — the bench trains in bf16, and f32 weights against
@@ -157,6 +181,7 @@ def main() -> None:
     aug = _throughput(cfg, x_all, augment=_augment_fn(cfg.input_dim),
                       n_chunks=3)
     zinb = _throughput(cfg.replace(mode="ZINB"), x_all, n_chunks=3)
+    infer = _infer_throughput(cfg, x_all)
 
     print(json.dumps({
         "metric": "train_throughput_A5_smartseq",
@@ -166,6 +191,7 @@ def main() -> None:
         "extra": {
             "train_throughput_A5_smartseq_aug": round(aug, 1),
             "train_throughput_A5_zinb": round(zinb, 1),
+            "infer_throughput_A5": round(infer, 1),
             "aug_vs_baseline": round(aug / BASELINE_CELLS_PER_SEC, 3),
             "zinb_vs_baseline": round(zinb / BASELINE_CELLS_PER_SEC, 3),
         },

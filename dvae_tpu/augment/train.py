@@ -93,12 +93,10 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
     cdt = jnp.bfloat16 if bf16 else None
 
     def _c(tree):
-        """Cast the floating leaves of a param tree to the compute dtype."""
-        if cdt is None:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda p: p.astype(cdt)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+        """Cast the floating leaves of a param tree to the compute dtype
+        (single source: augmenter.cast_augmenter_params)."""
+        from dvae_tpu.augment.augmenter import cast_augmenter_params
+        return cast_augmenter_params(tree, cdt)
 
     def _cx(x):
         return x if cdt is None else x.astype(cdt)
@@ -218,8 +216,8 @@ def train_augmenter(x_train: np.ndarray,
 
     Returns (params, bn, cfg, history).  Epochs run as one jitted
     ``lax.scan`` over on-device shuffled batches.  ``bf16``: run the
-    matmuls in bf16 with f32 loss math and master weights (the step is
-    MXU-bound — see make_gan_step).
+    matmuls in bf16 with f32 loss math and master weights (a modest win —
+    the step is HBM-bandwidth-bound; see make_gan_step).
     """
     D = x_train.shape[1]
     a_cfg = a_cfg or AugmenterConfig(input_dim=D)

@@ -33,9 +33,12 @@ interchangeable.
 
 Multi-device: each batch is committed with the mesh's batch
 ``NamedSharding`` (one ``device_put`` scatters the rows across the local
-data/fsdp devices).  Multi-process meshes assemble the global batch from
-per-process local rows via ``jax.make_array_from_process_local_data`` —
-the same path the DCN integration test exercises (tests/_dcn_worker.py).
+data/fsdp devices).  Multi-process meshes follow the DCN worker's
+convention (tests/_dcn_worker.py): every process holds the FULL host
+dataset and ``batch_size`` is GLOBAL — the shuffle is seed-deterministic,
+so all processes compute the identical batch plan, and each commits only
+its process's row span of each batch through
+``jax.make_array_from_process_local_data``.
 """
 
 from __future__ import annotations
@@ -84,7 +87,14 @@ class BatchStreamer:
         self.shuffle = shuffle
         self.sharding = sharding
         self.prefetch = max(int(prefetch), 1)
-        self._multiprocess = jax.process_count() > 1
+        # multi-process: x is the FULL dataset on every process and
+        # batch_size is GLOBAL; this process contributes rows
+        # [rank·B/P, (rank+1)·B/P) of each (identically shuffled) batch
+        self._n_proc = jax.process_count()
+        if self._n_proc > 1 and batch_size % self._n_proc:
+            raise ValueError(f"global batch_size {batch_size} must divide "
+                             f"evenly over {self._n_proc} processes")
+        self._rank = jax.process_index()
 
     @property
     def steps_per_epoch(self) -> int:
@@ -93,11 +103,20 @@ class BatchStreamer:
     def __len__(self) -> int:
         return self.steps_per_epoch
 
-    def _commit(self, h: np.ndarray) -> jax.Array:
+    def _local_span(self, sel: np.ndarray) -> np.ndarray:
+        """This process's row indices of a global batch selection."""
+        if self._n_proc == 1:
+            return sel
+        span = self.batch_size // self._n_proc
+        return sel[self._rank * span: (self._rank + 1) * span]
+
+    def _commit(self, h: np.ndarray,
+                global_rows: Optional[int] = None) -> jax.Array:
         if self.sharding is None:
             return jax.device_put(h)
-        if self._multiprocess:
-            return jax.make_array_from_process_local_data(self.sharding, h)
+        if self._n_proc > 1:
+            return jax.make_array_from_process_local_data(
+                self.sharding, h, (global_rows,) + h.shape[1:])
         return jax.device_put(h, self.sharding)
 
     def epoch(self, epoch_idx: int) -> Iterator[StreamBatch]:
@@ -115,10 +134,10 @@ class BatchStreamer:
         pending: deque[StreamBatch] = deque()
 
         def issue(i: int) -> None:
-            sel = order[i]
-            xb = self._commit(self.x[sel])
+            sel = self._local_span(order[i])
+            xb = self._commit(self.x[sel], self.batch_size)
             pb = (None if self.prior is None
-                  else self._commit(self.prior[sel]))
+                  else self._commit(self.prior[sel], self.batch_size))
             pending.append(StreamBatch(xb, pb))
 
         depth = min(self.prefetch, steps)
@@ -188,11 +207,19 @@ def make_streaming_runner(cfg, tcfg, tx, n_train: int, augment=None,
         rows = []
         for e in range(n_chunk):
             ms_steps, label_steps = [], []
-            for batch in streamer.epoch(base_epoch + e):
+            for i, batch in enumerate(streamer.epoch(base_epoch + e)):
                 state, m, labels = step_fn(state, batch.x, batch.prior,
                                            temp)
                 ms_steps.append(m)
                 label_steps.append(labels)
+                if i >= prefetch:
+                    # backpressure: force completion of the step issued
+                    # ``prefetch`` iterations ago, so dispatched-but-
+                    # unexecuted 50 MB batch buffers cannot pile up in
+                    # HBM beyond the prefetch window (np.asarray, not
+                    # block_until_ready — the latter does not block
+                    # through a tunneled device)
+                    np.asarray(ms_steps[i - prefetch].total)
             ms = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *ms_steps)
             rows.append(summarize(ms, jnp.stack(label_steps)))

@@ -94,7 +94,8 @@ class PreemptionGuard:
 
     def __exit__(self, *exc):
         for sig, prev in self._prev.items():
-            signal.signal(sig, prev)
+            if prev is not None:  # None = a non-Python (C-level) handler
+                signal.signal(sig, prev)
         return False
 
 
@@ -126,6 +127,8 @@ class CplMixVAE:
         self.seed = seed
         self.use_wandb = use_wandb
         self.aug_apply = None          # (key, x, n_arm) -> (A,B,D)
+        self._aug_loaded = None        # (params, bn, cfg) of the augmenter
+        self._aug_bf16_apply = None    # cached bf16-weights closure
         self._preempt = None           # PreemptionGuard while train() runs
         self.aug_file = aug_file
         if aug_file:
@@ -141,11 +144,17 @@ class CplMixVAE:
 
     def _load_augmenter(self, aug_file: str) -> None:
         """Load a frozen pre-trained augmenter (reference ``mk_augmenter``,
-        cpl_mixvae.py:128-149).  The compute-dtype cast happens lazily in
-        ``_augment_fn`` (tcfg is unknown at construction time)."""
-        from dvae_tpu.augment.augmenter import load_augmenter_apply
-        self._aug_file = aug_file
-        self.aug_apply = load_augmenter_apply(aug_file)
+        cpl_mixvae.py:128-149).  The (params, bn, cfg) triple is stashed so
+        the compute-dtype cast in ``_augment_fn`` (tcfg is unknown at
+        construction time) reuses the in-memory weights instead of
+        re-reading the file."""
+        from dvae_tpu.augment.augmenter import augment_arms, load_augmenter
+        self._aug_loaded = load_augmenter(aug_file)
+        params, bn, acfg = self._aug_loaded
+
+        def fn(key, x, n_arm, scale=0.1):
+            return augment_arms(params, bn, acfg, key, x, n_arm, scale)
+        self.aug_apply = fn
 
     def init_model(self, n_categories: int = 92, state_dim: int = 2,
                    input_dim: int = 5032, fc_dim: int = 100,
@@ -292,12 +301,22 @@ class CplMixVAE:
             return None
         noise = self.tcfg.aug_noise if self.tcfg else 0.1
         aug = self.aug_apply
-        if self.tcfg is not None and self.tcfg.bf16:
-            # rebuild the frozen closure with bf16 weights: f32 weights
+        if (self.tcfg is not None and self.tcfg.bf16
+                and self._aug_loaded is not None):
+            # frozen closure with bf16 weights (cached): f32 weights
             # against bf16 activations would promote every augmenter
             # matmul to the 3-pass f32 MXU rate
-            from dvae_tpu.augment.augmenter import load_augmenter_apply
-            aug = load_augmenter_apply(self._aug_file, dtype=jnp.bfloat16)
+            if self._aug_bf16_apply is None:
+                from dvae_tpu.augment.augmenter import (
+                    augment_arms, cast_augmenter_params)
+                params, bn, acfg = self._aug_loaded
+                p16 = cast_augmenter_params(params, jnp.bfloat16)
+
+                def aug16(key, x, n_arm, scale=0.1):
+                    return augment_arms(p16, bn, acfg, key, x, n_arm,
+                                        scale)
+                self._aug_bf16_apply = aug16
+            aug = self._aug_bf16_apply
 
         def fn(key, x, n_arm):
             return aug(key, x, n_arm, noise)

@@ -13,7 +13,9 @@ setups) and is deliberately excluded — ``eval_model`` already batches it
 into one transfer per field.
 
 Measured anchors (v5e-1, A=5/B=5000/D=5032): the jitted eval step runs at
-11.3 ms/batch → 0.44M cells/s device-side; the end-to-end number printed
+3.35 ms/batch → ~1.5M cells/s device-side (it shares the training path's
+fused loss kernels and compute dtype — see make_eval_step); the
+end-to-end number printed
 here also pays one host round trip per batch for the labels, so through a
 high-latency dev tunnel it reads far lower (and noisier) than on real
 hardware, where the RTT is microseconds.

@@ -85,8 +85,26 @@ def main() -> None:
     _, ems = run(state, x, None, 1.0)
     loss = float(np.asarray(ems.total).ravel()[-1])
 
+    # --- multi-process streaming: full host dataset per process, GLOBAL
+    # batch size, each rank commits its row span of the identically
+    # shuffled batch (data/stream.py contract) ---
+    from dvae_tpu.data.stream import BatchStreamer
+    bs = NamedSharding(mesh, P(("data", "fsdp"), None))
+    streamer = BatchStreamer(full, 32, seed=9, sharding=bs)
+    batches = list(streamer.epoch(0))
+    assert len(batches) == 2
+    assert batches[0].x.shape == (32, d)  # GLOBAL batch shape
+    # assembled global batch equals the seed-deterministic selection
+    order = np.random.default_rng((9, 0)).permutation(n)[:32]
+    got = np.asarray(
+        jax.jit(lambda t: t,
+                out_shardings=NamedSharding(mesh, P()))(batches[0].x))
+    np.testing.assert_allclose(got, full[order], rtol=0, atol=0)
+    stream_batch_sum = float(got.sum())
+
     print(json.dumps({"pid": pid, "nprocs": nprocs,
                       "gmean": float(np.asarray(gmean)),
+                      "stream_batch_sum": stream_batch_sum,
                       "loss": loss}))
     sys.stdout.flush()
 

@@ -83,6 +83,18 @@ def test_cross_process_mean_agrees(dcn_results):
         np.testing.assert_allclose(r["gmean"], full.mean(), rtol=1e-6)
 
 
+def test_multiprocess_streaming_batch_assembly(dcn_results):
+    """BatchStreamer across 2 processes: each rank committed only its row
+    span, yet both see the identical, correctly assembled GLOBAL batch
+    (the worker already asserted element equality against the
+    seed-deterministic selection; here we pin rank agreement)."""
+    full = np.arange(64 * 32, dtype=np.float32).reshape(64, 32) / (64 * 32)
+    order = np.random.default_rng((9, 0)).permutation(64)[:32]
+    want = float(full[order].sum())
+    for r in dcn_results:
+        np.testing.assert_allclose(r["stream_batch_sum"], want, rtol=1e-6)
+
+
 def test_distributed_loss_matches_single_process_oracle(dcn_results):
     """The 2-process run over (data=2, arm=1, fsdp=4) must equal the
     single-process 8-device run of the same mesh shape: identical seeds,
