@@ -78,7 +78,11 @@ class VAEConfig:
     # --- TPU-build extensions (not present in the reference) ---
     reparam_noise: ReparamNoise = ReparamNoise.GAUSSIAN
     dtype: str = "float32"          # compute dtype for activations
-    use_pallas: bool = False        # use fused Pallas kernels for hot ops
+    use_pallas: bool = False        # fused gumbel-softmax sampling kernel —
+                                    # measured SLOWER than XLA + the rbg
+                                    # hardware RNG at the production shape
+                                    # (3.14 vs 2.66 ms/step, v5e-1
+                                    # 2026-08-17); keep off
     recon_bce_metric: bool = True   # include the zero-gradient binarized-BCE
                                     # term in the recon loss VALUE (reference
                                     # nn_model.py:544-545); costs ~14% step
@@ -169,6 +173,12 @@ class TrainConfig:
     rng_impl: str = "threefry2x32"  # "rbg" uses the TPU hardware RNG for all
                                     # dropout/gumbel/reparam draws (faster,
                                     # different bitstream, same distributions)
+    halt_on_nan: bool = True        # stop a phase when the epoch loss goes
+                                    # non-finite (Adam never recovers from
+                                    # NaN; the checkpoint trail preserves
+                                    # the last good state for debugging).
+                                    # False = reference behavior: keep
+                                    # stepping on NaN.
     stream: bool = False            # host→device streaming batches instead
                                     # of committing the dataset to HBM —
                                     # for datasets larger than device

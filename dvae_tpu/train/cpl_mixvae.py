@@ -496,6 +496,18 @@ class CplMixVAE:
             mprint(f"[{phase}] epoch {epoch}: loss={total[-1]:.3f} "
                    f"consensus={cons[-1]:.3f} ({dt / n_chunk:.3f}s/epoch)")
 
+            # non-finite loss: Adam moments are already poisoned and no
+            # later epoch recovers — stop the phase instead of burning
+            # the remaining budget (the ZINB lgamma-overflow incident
+            # trained 25k NaN epochs before this guard existed).  The
+            # best_/epoch_ checkpoint trail preserves the last good state.
+            if tcfg.halt_on_nan and not np.isfinite(total[-1]):
+                mprint(f"HALT: non-finite loss at epoch {epoch} "
+                       f"(total={total[-1]}); last good checkpoint is the "
+                       f"newest best_/epoch_ file. Set halt_on_nan=False "
+                       f"for the reference's keep-stepping behavior.")
+                break
+
             if x_val is not None and crossed(tcfg.eval_every):
                 val = self.validate(x_val, temp)
                 logger.log({f"val/{k}": v for k, v in val.items()},

@@ -341,3 +341,21 @@ def test_preemption_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
     cpl2 = tm.CplMixVAE(saving_folder=str(tmp_path))
     cpl2.init_model(**kw)
     assert cpl2.load_model(found) == 4
+
+
+def test_halt_on_nan_stops_phase(tmp_path, capsys):
+    """A non-finite loss stops the phase at the chunk boundary instead of
+    burning the remaining epoch budget (halt_on_nan, default on)."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    # poison one weight: every forward from now on is NaN
+    p = jax.tree_util.tree_map(lambda x: x, cpl.state.params)
+    p["fc1"]["w"] = p["fc1"]["w"].at[0, 0, 0].set(jnp.nan)
+    cpl.state = cpl.state._replace(params=p)
+    cpl.train(ds.log1p, n_epoch=40, save_plots=False)
+    assert int(np.asarray(cpl.state.epoch)) == 2  # stopped after chunk 1
+    assert "HALT: non-finite loss" in capsys.readouterr().out
