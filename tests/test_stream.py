@@ -146,6 +146,22 @@ class TestTrainerIntegration:
         assert path
         assert int(np.asarray(cpl.state.epoch)) >= 1
 
+    def test_train_stream_with_ref_prior(self, tmp_path):
+        """stream=True + cfg.ref_prior: the prior table stays on host and
+        streams row-aligned with x (train()'s numpy prior branch)."""
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        rng = np.random.default_rng(2)
+        x = rng.random((N, D), np.float32)
+        c_p = rng.dirichlet(np.ones(C), N).astype(np.float32)
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, stream=True, fused=False,
+                       ref_prior=True)
+        cpl.train(x, n_epoch=2, c_p=c_p,
+                  train_idx=np.arange(N), save_plots=False)
+        assert int(np.asarray(cpl.state.epoch)) == 2
+
     def test_auto_stream_when_dataset_exceeds_hbm(self, tmp_path,
                                                   monkeypatch):
         """The resident path must fall back to streaming instead of OOMing
