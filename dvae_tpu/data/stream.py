@@ -62,11 +62,18 @@ class BatchStreamer:
 
     Args:
       x: (N, D) host array, already in the storage dtype (cast once up
-        front — casting per batch would double the host work per step).
+        front — casting per batch would double the host work per step) —
+        or a scipy sparse matrix (CSR preferred; CSC is converted once).
+        Sparse keeps the HOST footprint at nnz-scale — single-cell count
+        matrices are 80-95% zeros, so an atlas that cannot even be
+        densified in host RAM still streams: each batch densifies only
+        its (B, D) slice.
       batch_size: rows per batch; ``drop_last`` semantics (the reference
         train loader, dataloader.py:123-132).
       prior: optional (N, C) ref-prior table streamed row-aligned with x.
       seed: shuffle seed; epoch ``e`` uses ``default_rng((seed, e))``.
+      dtype: per-batch cast target (used for sparse inputs, whose data
+        stays f32 on host); None = ship batches in x's dtype.
       sharding: optional ``jax.sharding.Sharding`` for the committed batch
         (a batch ``NamedSharding`` under a multi-device mesh).
       prefetch: how many batches may be in flight beyond the current one.
@@ -74,12 +81,16 @@ class BatchStreamer:
         times are bursty.
     """
 
-    def __init__(self, x: np.ndarray, batch_size: int, *,
+    def __init__(self, x, batch_size: int, *,
                  prior: Optional[np.ndarray] = None, seed: int = 0,
-                 shuffle: bool = True, sharding=None, prefetch: int = 2):
+                 shuffle: bool = True, dtype=None, sharding=None,
+                 prefetch: int = 2):
         if batch_size > x.shape[0]:
             raise ValueError(
                 f"batch_size {batch_size} > dataset size {x.shape[0]}")
+        if hasattr(x, "tocsr") and getattr(x, "format", "csr") != "csr":
+            x = x.tocsr()  # row gathers on CSC/COO are pathological
+        self.dtype = None if dtype is None else np.dtype(dtype)
         self.x = x
         self.prior = prior
         self.batch_size = batch_size
@@ -110,6 +121,14 @@ class BatchStreamer:
         span = self.batch_size // self._n_proc
         return sel[self._rank * span: (self._rank + 1) * span]
 
+    def _gather(self, src, sel: np.ndarray, cast: bool = True) -> np.ndarray:
+        h = src[sel]
+        if hasattr(h, "toarray"):
+            h = h.toarray()
+        if cast and self.dtype is not None and h.dtype != self.dtype:
+            h = h.astype(self.dtype)
+        return h
+
     def _commit(self, h: np.ndarray,
                 global_rows: Optional[int] = None) -> jax.Array:
         if self.sharding is None:
@@ -135,9 +154,11 @@ class BatchStreamer:
 
         def issue(i: int) -> None:
             sel = self._local_span(order[i])
-            xb = self._commit(self.x[sel], self.batch_size)
+            xb = self._commit(self._gather(self.x, sel), self.batch_size)
             pb = (None if self.prior is None
-                  else self._commit(self.prior[sel], self.batch_size))
+                  else self._commit(self._gather(self.prior, sel,
+                                                 cast=False),
+                                    self.batch_size))
             pending.append(StreamBatch(xb, pb))
 
         depth = min(self.prefetch, steps)
@@ -203,6 +224,7 @@ def make_streaming_runner(cfg, tcfg, tx, n_train: int, augment=None,
         base_epoch = int(jax.device_get(state.epoch))
         streamer = BatchStreamer(
             x_host, B, prior=prior_host, seed=tcfg.seed,
+            dtype=jnp.bfloat16 if tcfg.bf16 else jnp.float32,
             sharding=batch_ns, prefetch=prefetch)
         rows = []
         for e in range(n_chunk):

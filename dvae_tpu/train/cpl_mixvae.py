@@ -111,7 +111,9 @@ def _dataset_exceeds_hbm(x: np.ndarray, store_dtype, mesh) -> bool:
         return False
     if not limit:
         return False
-    nbytes = x.size * np.dtype(store_dtype).itemsize
+    # shape product, not .size: for a scipy sparse matrix .size is nnz,
+    # and what lands in HBM is the DENSE matrix
+    nbytes = int(np.prod(x.shape)) * np.dtype(store_dtype).itemsize
     return nbytes > _HBM_DATASET_FRACTION * limit
 
 
@@ -364,8 +366,13 @@ class CplMixVAE:
             # dataset stays on the HOST (datasets larger than HBM): cast
             # once to the storage dtype, batches double-buffer to device
             # per step (data/stream.py — the reference's DataLoader
-            # semantics, dataloader.py:123-132)
-            x_all = np.asarray(x_train, np.dtype(store_dtype))
+            # semantics, dataloader.py:123-132).  A scipy sparse matrix
+            # stays sparse (nnz-scale host RAM); the streamer densifies
+            # and casts each (B, D) batch slice.
+            if hasattr(x_train, "toarray"):
+                x_all = x_train
+            else:
+                x_all = np.asarray(x_train, np.dtype(store_dtype))
             prior_all = None
             if cfg.ref_prior and c_p is not None:
                 idx = (np.arange(n_train) if train_idx is None
@@ -380,6 +387,8 @@ class CplMixVAE:
             # jnp.asarray's on-device convert commits column-major on v5e
             # and every runner call then re-layouts the whole dataset
             # (~0.6 ms)
+            if hasattr(x_train, "toarray"):  # resident path is dense
+                x_train = x_train.toarray()
             x_all = put_dataset(x_train, store_dtype, sharding)
             prior_all = None
             if cfg.ref_prior and c_p is not None:
@@ -549,6 +558,8 @@ class CplMixVAE:
         outs = []
         for i in range(0, n, batch_size):
             xb = x_all[i: i + batch_size]
+            if hasattr(xb, "toarray"):  # sparse host dataset (stream mode)
+                xb = xb.toarray()
             _, labels, _ = self._eval_step(self.state, xb, None, temp)
             outs.append(np.asarray(labels))
         return np.concatenate(outs, axis=1)

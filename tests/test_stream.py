@@ -198,3 +198,53 @@ class TestTrainerIntegration:
         monkeypatch.setattr(tm.jax, "local_devices",
                             lambda: [FakeDev(None)])
         assert not tm._dataset_exceeds_hbm(x, np.float32, None)
+
+
+class TestSparseStreaming:
+    """scipy-sparse host datasets: nnz-scale host RAM, per-batch densify
+    (single-cell matrices are 80-95% zeros — an atlas that cannot even be
+    densified in host RAM still streams)."""
+
+    def _sparse(self):
+        sp = pytest.importorskip("scipy.sparse")
+        rng = np.random.default_rng(4)
+        dense = rng.random((N, D), np.float32) * (rng.random((N, D)) > 0.8)
+        return sp.csr_matrix(dense), dense
+
+    def test_batches_match_dense(self):
+        xs, xd = self._sparse()
+        a = [np.asarray(b.x) for b in BatchStreamer(xs, 16, seed=3).epoch(0)]
+        bdense = [np.asarray(b.x)
+                  for b in BatchStreamer(xd, 16, seed=3).epoch(0)]
+        for u, v in zip(a, bdense):
+            np.testing.assert_array_equal(u, v)
+
+    def test_csc_converted_and_dtype_cast(self):
+        sp = pytest.importorskip("scipy.sparse")
+        xs, xd = self._sparse()
+        s = BatchStreamer(sp.csc_matrix(xs), 16, seed=3,
+                          dtype=jnp.bfloat16)
+        b = next(iter(s.epoch(0)))
+        assert b.x.dtype == jnp.bfloat16
+        assert s.x.format == "csr"
+
+    def test_train_stream_sparse_end_to_end(self, tmp_path):
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        xs, _ = self._sparse()
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, stream=True, fused=False)
+        cpl.train(xs, n_epoch=2, save_plots=False)
+        assert int(np.asarray(cpl.state.epoch)) == 2
+
+    def test_resident_path_densifies_sparse(self, tmp_path):
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        xs, _ = self._sparse()
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, fused=False)
+        cpl.train(xs, n_epoch=2, save_plots=False)
+        assert not cpl.tcfg.stream
+        assert int(np.asarray(cpl.state.epoch)) == 2
