@@ -615,7 +615,10 @@ class CplMixVAE:
             self._eval_step = make_eval_step(self.cfg, self.tcfg,
                                              augment=self._augment_fn(),
                                              mesh=self.mesh)
-        xj = jnp.asarray(x, self._eval_dtype())
+        # scipy-sparse input stays sparse on host; each batch slice
+        # densifies separately (the dataset may not fit dense anywhere)
+        sparse = hasattr(x, "toarray")
+        xj = x if sparse else jnp.asarray(x, self._eval_dtype())
         n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer whole fields in
         # few large copies: every np.asarray is a host round trip (7 per
@@ -640,8 +643,10 @@ class CplMixVAE:
             pending = 0
 
         for i in range(0, n, batch_size):
-            aux, lab, outs = self._eval_step(self.state, xj[i: i + batch_size],
-                                             None, temp)
+            xb = xj[i: i + batch_size]
+            if sparse:
+                xb = jnp.asarray(xb.toarray(), self._eval_dtype())
+            aux, lab, outs = self._eval_step(self.state, xb, None, temp)
             for k in ("c", "s_mean", "s_logvar", "x_low"):
                 v = getattr(outs, k)
                 fields[k]["dev"].append(v)

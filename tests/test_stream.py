@@ -237,6 +237,11 @@ class TestSparseStreaming:
                        epochs_per_jit=2, stream=True, fused=False)
         cpl.train(xs, n_epoch=2, save_plots=False)
         assert int(np.asarray(cpl.state.epoch)) == 2
+        # batched inference straight off the sparse matrix (per-batch
+        # densify inside eval_model)
+        res = cpl.eval_model(xs, batch_size=16)
+        assert res["pred_label"].shape == (2, N)
+        assert np.isfinite(res["total_loss"])
 
     def test_resident_path_densifies_sparse(self, tmp_path):
         from dvae_tpu.train.cpl_mixvae import CplMixVAE
