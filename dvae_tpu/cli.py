@@ -82,18 +82,30 @@ def cmd_train(args) -> int:
     from dvae_tpu.data.pipeline import stratified_split_indices
     from dvae_tpu.parallel.runtime import initialize_distributed
     from dvae_tpu.train.cpl_mixvae import CplMixVAE
-    from dvae_tpu.utils.checkpoint import make_run_dir
+    from dvae_tpu.utils.checkpoint import (latest_checkpoint,
+                                           latest_run_dir, make_run_dir)
 
     # multi-host (DCN) bootstrap — no-op single-process (the reference's
     # rendezvous env block, mmidas/_dist_utils.py:12-48)
     initialize_distributed(args.coordinator, args.num_processes,
                            args.process_id)
     ds = _load_dataset(args)
-    folder = make_run_dir(
-        args.saving_folder or "results/",
+    run_prefix = (
         f"K{args.n_categories}_S{args.state_dim}_AUG{bool(args.aug_file)}"
         f"_LR{args.lr}_A{args.n_arm}_B{args.batch_size}"
         f"_E{args.n_epoch}_Ep{args.n_epoch_p}")
+    if args.resume:
+        # reuse the NEWEST existing run dir and continue from its latest
+        # checkpoint (the preemption/elastic loop: a killed job restarts
+        # with the same command + --resume)
+        folder = latest_run_dir(args.saving_folder or "results/",
+                                run_prefix)
+        if folder is None:
+            print("--resume: no existing run folder; starting fresh")
+            folder = make_run_dir(args.saving_folder or "results/",
+                                  run_prefix)
+    else:
+        folder = make_run_dir(args.saving_folder or "results/", run_prefix)
     print(f"run folder: {folder}")
 
     tr, te = stratified_split_indices(ds.cluster_label, 0.9, args.seed)
@@ -113,8 +125,15 @@ def cmd_train(args) -> int:
         mesh=mesh, bf16=args.bf16, optimizer=args.optimizer,
         fused={"auto": None, "on": True, "off": False}[args.fused],
         shuffle_block=args.shuffle_block, stream=args.stream)
+    done = 0
+    if args.resume:
+        ckpt = latest_checkpoint(folder)
+        if ckpt:
+            done = cpl.load_model(ckpt)
+            print(f"resumed from {ckpt} (epoch {done})")
     path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
-                     n_epoch=args.n_epoch, n_epoch_p=args.n_epoch_p,
+                     n_epoch=max(args.n_epoch - done, 0),
+                     n_epoch_p=args.n_epoch_p,
                      c_p=ds.c_p, train_idx=tr, min_con=args.min_con,
                      max_prun_it=args.max_prun_it, temp=args.temp)
     print(f"final checkpoint: {path}")
@@ -228,6 +247,10 @@ def main(argv=None) -> int:
     pt.add_argument("--shuffle_block", type=int, default=1,
                     help="epoch-shuffle granularity in rows (1 = exact "
                          "per-row reshuffle, reference semantics)")
+    pt.add_argument("--resume", action="store_true",
+                    help="reuse the newest matching _RUN{n} folder and "
+                         "continue from its latest checkpoint (the "
+                         "preemption/elastic restart loop)")
     pt.add_argument("--stream", action="store_true",
                     help="keep the dataset on the host and double-buffer "
                          "batches to the device per step (for datasets "

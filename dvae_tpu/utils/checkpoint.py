@@ -72,6 +72,20 @@ def parse_epoch(filename: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def latest_run_dir(base: str, prefix: str = "") -> Optional[str]:
+    """Newest existing ``{base}{prefix}_RUN{n}`` folder (the --resume
+    counterpart of ``make_run_dir``), or None when none exist."""
+    import re
+    runs = glob.glob(f"{base}{prefix}_RUN*")
+
+    def num(p: str) -> int:
+        m = re.search(r"_RUN(\d+)$", p)
+        return int(m.group(1)) if m else -1
+
+    runs = [r for r in runs if num(r) >= 0]
+    return max(runs, key=num) if runs else None
+
+
 def latest_checkpoint(folder: str, pattern: str = "*_epoch_*") -> Optional[str]:
     """Checkpoint discovery: glob + max epoch (reference
     mmidas/model.py:211-229)."""

@@ -65,3 +65,23 @@ def test_missing_checkpoint_errors(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     rc = main(["evaluate", *_TINY, "--saving_folder", str(tmp_path)])
     assert rc == 1
+
+
+def test_train_cli_resume(tmp_path, monkeypatch):
+    """--resume reuses the newest matching run dir and continues from its
+    latest checkpoint (the preemption/elastic restart loop)."""
+    monkeypatch.chdir(tmp_path)
+    base = ["train", *_TINY, "--epochs_per_jit", "2", "--batch_size", "40",
+            "--saving_folder", str(tmp_path) + "/"]
+    rc = main([*base, "--n_epoch", "2"])
+    assert rc == 0
+    # same command (same n_epoch => same folder prefix) + --resume: should
+    # NOT create _RUN1, and the final checkpoint carries epoch 2 (0 left)
+    rc = main([*base, "--n_epoch", "2", "--resume"])
+    assert rc == 0
+    assert not glob.glob(str(tmp_path) + "/*RUN1")
+    assert glob.glob(str(tmp_path) + "/*RUN0/*epoch_2*.ckpt")
+    # without --resume the same command starts a fresh _RUN1
+    rc = main([*base, "--n_epoch", "2"])
+    assert rc == 0
+    assert glob.glob(str(tmp_path) + "/*RUN1")
