@@ -58,6 +58,8 @@ tunnel's dispatch round trips cost that day.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -67,6 +69,37 @@ import numpy as np
 BASELINE_CELLS_PER_SEC = 25_000.0  # estimated reference A100 throughput
 N = 20_000
 B = 5000
+
+
+def wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 300.0,
+                     poll_s: float = 60.0) -> bool:
+    """Wait for the JAX backend to come up, probing in subprocesses.
+
+    The tunneled TPU backend flaps UNAVAILABLE for minutes at a time
+    (and a claim interrupted mid-flight wedges the chip for ~15-25 min).
+    Backend-init failures are cached per-process, so each probe runs a
+    tiny end-to-end op (init + execute + device->host) in a fresh
+    subprocess; the parent only touches the backend after a probe
+    succeeds.  Returns True when the backend answered, False when
+    ``max_wait_s`` elapsed (callers should proceed and let the real
+    error surface).
+    """
+    deadline = time.monotonic() + max_wait_s
+    code = ("import jax, numpy as np; "
+            "print(int(np.asarray(jax.numpy.ones((8,)).sum())))")
+    while True:
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout_s)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench: JAX backend unavailable, retrying in {poll_s:.0f}s",
+              file=sys.stderr)
+        time.sleep(poll_s)
 
 
 def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",
@@ -159,6 +192,7 @@ def _augment_fn(input_dim: int):
 
 
 def main() -> None:
+    wait_for_backend()
     from dvae_tpu.config import VAEConfig
 
     # production defaults (C=92, D=5032, F=100) + the fused recon-loss and
