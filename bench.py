@@ -88,18 +88,22 @@ def wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 300.0,
     code = ("import jax, numpy as np; "
             "print(int(np.asarray(jax.numpy.ones((8,)).sum())))")
     while True:
+        wait = poll_s
         try:
             p = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, timeout=probe_timeout_s)
             if p.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            # the probe HUNG (not fast-failed) and was killed — if it had
+            # claimed the chip, the kill wedges it for ~15-25 min; back
+            # off hard so repeated probes don't keep re-wedging it
+            wait = max(poll_s, 450.0)
         if time.monotonic() >= deadline:
             return False
-        print(f"bench: JAX backend unavailable, retrying in {poll_s:.0f}s",
+        print(f"bench: JAX backend unavailable, retrying in {wait:.0f}s",
               file=sys.stderr)
-        time.sleep(poll_s)
+        time.sleep(wait)
 
 
 def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",

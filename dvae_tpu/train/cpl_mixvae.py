@@ -264,6 +264,10 @@ class CplMixVAE:
                 jax.tree_util.tree_leaves(restored["opt_state"])),
             mask=restored["mask"], key=self.state.key,
             epoch=jnp.asarray(meta.get("epoch", 0), jnp.int32))
+        # phase-aware progress (consumed by the next train() call): lets a
+        # resumed run skip completed main epochs and continue the pruning
+        # budget instead of restarting it
+        self._resume_progress = dict(meta.get("progress", {}) or {})
         if self.mesh is not None:
             # restored arrays land uncommitted on the default device —
             # re-apply the strategy placement so a resumed multi-device
@@ -275,7 +279,10 @@ class CplMixVAE:
                 params=jax.device_put(self.state.params, shs[0]),
                 bn=jax.device_put(self.state.bn, shs[1]),
                 opt_state=jax.device_put(self.state.opt_state, shs[2]))
-        return int(meta.get("epoch", -1))
+        # report MAIN-phase epochs completed (callers subtract this from
+        # the main budget; total state.epoch also counts pruning epochs)
+        return int(self._resume_progress.get("main_epochs",
+                                             meta.get("epoch", -1)))
 
     def save_checkpoint(self, tag: str) -> str:
         path = os.path.join(self.folder or ".",
@@ -286,6 +293,12 @@ class CplMixVAE:
         return save_checkpoint(
             path, ckpt,
             {"epoch": int(self.state.epoch),
+             # phase-aware progress: state.epoch alone conflates main and
+             # pruning epochs, so a --resume after a mid-prune kill would
+             # mis-count the remaining main budget and restart the prune
+             # budget from zero
+             "progress": {"main_epochs": int(getattr(self, "_main_done", 0)),
+                          "pr_it": int(getattr(self, "_pr_it", 0))},
              "cfg": self.cfg.__dict__ if self.cfg else {},
              # plain-dict tcfg (enum → value) so a fresh instance can
              # rebuild the full config tree from metadata alone
@@ -343,6 +356,13 @@ class CplMixVAE:
         assert self.state is not None, "call init_model first"
         cfg, tcfg = self.cfg, self.tcfg
         temp = self.temp if temp is None else temp
+        # resume bookkeeping (set by load_model, consumed once): completed
+        # main-phase epochs and prune iterations survive a kill+restart
+        prog = getattr(self, "_resume_progress", None) or {}
+        self._main_done = int(prog.get("main_epochs", 0))
+        self._pr_it = int(prog.get("pr_it", 0))
+        self._resume_progress = {}
+        self._halted = False
         stop_con = (tcfg.good_enuf_consensus if early_stop_consensus is None
                     else early_stop_consensus)
         logger = MetricLogger(
@@ -370,7 +390,11 @@ class CplMixVAE:
             # stays sparse (nnz-scale host RAM); the streamer densifies
             # and casts each (B, D) batch slice.
             if hasattr(x_train, "toarray"):
-                x_all = x_train
+                # normalize to CSR at ingestion: COO/BSR/DIA are not
+                # row-sliceable and CSC row gathers are pathological —
+                # _predict_labels/save_plots slice x_all directly, not
+                # just the streamer's internal copy
+                x_all = x_train.tocsr()
             else:
                 x_all = np.asarray(x_train, np.dtype(store_dtype))
             prior_all = None
@@ -422,9 +446,11 @@ class CplMixVAE:
 
             # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
             #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
-            if n_epoch_p > 0 and max_prun_it > 0 and not self._preempted():
-                pr_it = 0
-                while pr_it < max_prun_it and not self._preempted():
+            if (n_epoch_p > 0 and max_prun_it > 0 and not self._preempted()
+                    and not self._halted):
+                pr_it = self._pr_it  # resume continues the prune budget
+                while (pr_it < max_prun_it and not self._preempted()
+                       and not self._halted):
                     labels = self._predict_labels(x_all, temp)
                     agreement = per_category_agreement(labels,
                                                        cfg.n_categories)
@@ -440,6 +466,7 @@ class CplMixVAE:
                            f"{kill} (agreement {agreement[kill]:.3f}); "
                            f"{int(mask.sum())}/{cfg.n_categories} remain")
                     self.state = self.state._replace(mask=jnp.asarray(mask))
+                    self._pr_it = pr_it + 1  # this kill is now in the mask
                     self.save_checkpoint(
                         f"before_pruning_{pr_it}_A{cfg.n_arm}")
                     self._run_phase(runner, x_all, prior_all, x_val,
@@ -447,8 +474,16 @@ class CplMixVAE:
                                     phase=f"prune{pr_it}")
                     pr_it += 1
 
-            path = self.save_checkpoint(f"epoch_{int(self.state.epoch)}")
-            if self.folder and save_plots and not self._preempted():
+            if self._halted:
+                # do NOT save the NaN-poisoned state — it would become the
+                # newest *_epoch_* file and --resume would restore it; the
+                # halt message points at the last good checkpoint instead
+                path = latest_checkpoint(self.folder or ".") or ""
+            else:
+                path = self.save_checkpoint(
+                    f"epoch_{int(self.state.epoch)}")
+            if (self.folder and save_plots and not self._preempted()
+                    and not self._halted):
                 from dvae_tpu.utils.plots import save_training_artifacts
                 labels = self._predict_labels(x_all, temp)
                 save_training_artifacts(self.folder, logger.history,
@@ -501,6 +536,8 @@ class CplMixVAE:
                 }
                 logger.log(row, step=base + e)
             done += n_chunk
+            if phase == "train":  # phase-aware resume accounting
+                self._main_done = getattr(self, "_main_done", 0) + n_chunk
             epoch = int(self.state.epoch)
             mprint(f"[{phase}] epoch {epoch}: loss={total[-1]:.3f} "
                    f"consensus={cons[-1]:.3f} ({dt / n_chunk:.3f}s/epoch)")
@@ -515,6 +552,9 @@ class CplMixVAE:
                        f"(total={total[-1]}); last good checkpoint is the "
                        f"newest best_/epoch_ file. Set halt_on_nan=False "
                        f"for the reference's keep-stepping behavior.")
+                # poisons the rest of the run: train() skips the pruning
+                # phase, the final checkpoint save, and the plot pass
+                self._halted = True
                 break
 
             if x_val is not None and crossed(tcfg.eval_every):
@@ -559,7 +599,10 @@ class CplMixVAE:
         for i in range(0, n, batch_size):
             xb = x_all[i: i + batch_size]
             if hasattr(xb, "toarray"):  # sparse host dataset (stream mode)
-                xb = xb.toarray()
+                # cast to the eval dtype: a densified f32 batch under bf16
+                # training would retrace the eval step for a second input
+                # signature (a 30-60 s remote compile, for nothing)
+                xb = jnp.asarray(xb.toarray(), self._eval_dtype())
             _, labels, _ = self._eval_step(self.state, xb, None, temp)
             outs.append(np.asarray(labels))
         return np.concatenate(outs, axis=1)
@@ -616,9 +659,11 @@ class CplMixVAE:
                                              augment=self._augment_fn(),
                                              mesh=self.mesh)
         # scipy-sparse input stays sparse on host; each batch slice
-        # densifies separately (the dataset may not fit dense anywhere)
+        # densifies separately (the dataset may not fit dense anywhere).
+        # Normalized to CSR: COO/BSR/DIA are not row-sliceable and CSC
+        # row gathers are pathological.
         sparse = hasattr(x, "toarray")
-        xj = x if sparse else jnp.asarray(x, self._eval_dtype())
+        xj = x.tocsr() if sparse else jnp.asarray(x, self._eval_dtype())
         n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer whole fields in
         # few large copies: every np.asarray is a host round trip (7 per

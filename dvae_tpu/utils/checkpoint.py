@@ -75,7 +75,6 @@ def parse_epoch(filename: str) -> int:
 def latest_run_dir(base: str, prefix: str = "") -> Optional[str]:
     """Newest existing ``{base}{prefix}_RUN{n}`` folder (the --resume
     counterpart of ``make_run_dir``), or None when none exist."""
-    import re
     runs = glob.glob(f"{base}{prefix}_RUN*")
 
     def num(p: str) -> int:

@@ -243,6 +243,29 @@ class TestSparseStreaming:
         assert res["pred_label"].shape == (2, N)
         assert np.isfinite(res["total_loss"])
 
+    def test_coo_train_prune_and_eval(self, tmp_path):
+        """Non-CSR sparse formats normalize to CSR at ingestion: training,
+        the pruning phase's label pass, AND eval_model must all row-slice
+        a COO/CSC input without crashing."""
+        sp = pytest.importorskip("scipy.sparse")
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        xs, _ = self._sparse()
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=2, stream=True, fused=False)
+        # min_con > 1 forces one prune iteration -> _predict_labels slices
+        # x_all; COO is not subscriptable unless ingestion converted it
+        cpl.train(sp.coo_matrix(xs), n_epoch=2, n_epoch_p=2, max_prun_it=1,
+                  min_con=1.01, save_plots=False)
+        assert int(np.asarray(cpl.state.epoch)) == 4
+        assert int(np.asarray(cpl.state.mask).sum()) == C - 1
+        res = cpl.eval_model(sp.coo_matrix(xs), batch_size=16)
+        assert res["pred_label"].shape == (2, N)
+        res2 = cpl.eval_model(sp.csc_matrix(xs), batch_size=16)
+        np.testing.assert_array_equal(res2["pred_label"],
+                                      res["pred_label"])
+
     def test_resident_path_densifies_sparse(self, tmp_path):
         from dvae_tpu.train.cpl_mixvae import CplMixVAE
         xs, _ = self._sparse()

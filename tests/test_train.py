@@ -4,6 +4,7 @@ The reference ships no trainer unit tests at all (its tests/test_train.py is
 a stub — SURVEY.md §4); these cover the jitted step + CplMixVAE surface.
 """
 
+import glob
 import os
 
 import jax
@@ -356,6 +357,45 @@ def test_halt_on_nan_stops_phase(tmp_path, capsys):
     p = jax.tree_util.tree_map(lambda x: x, cpl.state.params)
     p["fc1"]["w"] = p["fc1"]["w"].at[0, 0, 0].set(jnp.nan)
     cpl.state = cpl.state._replace(params=p)
-    cpl.train(ds.log1p, n_epoch=40, save_plots=False)
+    path = cpl.train(ds.log1p, n_epoch=40, n_epoch_p=2, max_prun_it=1,
+                     min_con=1.01, save_plots=True)
     assert int(np.asarray(cpl.state.epoch)) == 2  # stopped after chunk 1
     assert "HALT: non-finite loss" in capsys.readouterr().out
+    # the poisoned state must NOT be saved: no *_epoch_* file exists for
+    # --resume to restore, the pruning phase was skipped (mask untouched),
+    # and no plot pass ran on NaN activations
+    assert path == ""
+    assert not glob.glob(os.path.join(str(tmp_path), "*_epoch_*"))
+    assert int(np.asarray(cpl.state.mask).sum()) == 8
+
+
+def test_resume_progress_survives_pruning(tmp_path):
+    """Phase-aware resume accounting: after a run that finished its main
+    budget and pruned, load_model reports MAIN epochs only (so callers
+    don't over-subtract) and a follow-up train() continues the prune
+    budget instead of restarting it."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    c1 = CplMixVAE(saving_folder=str(tmp_path))
+    c1.init_model(**kw)
+    # min_con > 1 forces pruning every iteration; budget = 1 iteration
+    path = c1.train(ds.log1p, n_epoch=4, n_epoch_p=2, max_prun_it=1,
+                    min_con=1.01, save_plots=False)
+    assert int(np.asarray(c1.state.epoch)) == 6       # 4 main + 2 prune
+    assert int(np.asarray(c1.state.mask).sum()) == 7  # one category killed
+
+    c2 = CplMixVAE(saving_folder=str(tmp_path))
+    c2.init_model(**kw)
+    done = c2.load_model(path)
+    assert done == 4                       # main epochs, not state.epoch=6
+    assert c2._resume_progress["pr_it"] == 1
+    # restart with the same budgets (the --resume workflow): no main
+    # epochs remain and the prune budget is already spent — nothing new
+    # gets pruned
+    c2.train(ds.log1p, n_epoch=max(4 - done, 0), n_epoch_p=2,
+             max_prun_it=1, min_con=1.01, save_plots=False)
+    assert int(np.asarray(c2.state.mask).sum()) == 7
+    assert int(np.asarray(c2.state.epoch)) == 6
