@@ -352,6 +352,11 @@ class CplMixVAE:
         ``x_train``: (N, D) float32. ``c_p``: (N_total, C) ref-prior table
         gathered by ``train_idx`` when cfg.ref_prior (reference
         cpl_mixvae.py:427-432).
+
+        After ``load_model`` (or ``init_model(trained_model=...)``), the
+        checkpoint's phase progress carries over: completed prune
+        iterations count against ``max_prun_it`` (consistent with the
+        restored mask, which already has those categories removed).
         """
         assert self.state is not None, "call init_model first"
         cfg, tcfg = self.cfg, self.tcfg
