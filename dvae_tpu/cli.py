@@ -129,8 +129,13 @@ def cmd_train(args) -> int:
     if args.resume:
         ckpt = latest_checkpoint(folder)
         if ckpt:
-            done = cpl.load_model(ckpt)
-            print(f"resumed from {ckpt} (epoch {done})")
+            epoch = cpl.load_model(ckpt)
+            # subtract MAIN-phase epochs only: state.epoch also counts
+            # pruning epochs, and the prune budget continues separately
+            # via resume_progress["pr_it"] inside train()
+            done = int(cpl.resume_progress.get("main_epochs", epoch))
+            print(f"resumed from {ckpt} (epoch {epoch}, "
+                  f"main epochs done {done})")
     path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
                      n_epoch=max(args.n_epoch - done, 0),
                      n_epoch_p=args.n_epoch_p,

@@ -264,10 +264,13 @@ class CplMixVAE:
                 jax.tree_util.tree_leaves(restored["opt_state"])),
             mask=restored["mask"], key=self.state.key,
             epoch=jnp.asarray(meta.get("epoch", 0), jnp.int32))
-        # phase-aware progress (consumed by the next train() call): lets a
-        # resumed run skip completed main epochs and continue the pruning
-        # budget instead of restarting it
-        self._resume_progress = dict(meta.get("progress", {}) or {})
+        # phase-aware progress (public; consumed by the next train() call):
+        # lets a resumed run skip completed main epochs and continue the
+        # pruning budget instead of restarting it.  Falls back to treating
+        # the stored epoch as all-main for pre-progress checkpoints.
+        self.resume_progress = dict(
+            meta.get("progress", None)
+            or {"main_epochs": int(meta.get("epoch", 0)), "pr_it": 0})
         if self.mesh is not None:
             # restored arrays land uncommitted on the default device —
             # re-apply the strategy placement so a resumed multi-device
@@ -279,10 +282,7 @@ class CplMixVAE:
                 params=jax.device_put(self.state.params, shs[0]),
                 bn=jax.device_put(self.state.bn, shs[1]),
                 opt_state=jax.device_put(self.state.opt_state, shs[2]))
-        # report MAIN-phase epochs completed (callers subtract this from
-        # the main budget; total state.epoch also counts pruning epochs)
-        return int(self._resume_progress.get("main_epochs",
-                                             meta.get("epoch", -1)))
+        return int(meta.get("epoch", -1))
 
     def save_checkpoint(self, tag: str) -> str:
         path = os.path.join(self.folder or ".",
@@ -363,10 +363,10 @@ class CplMixVAE:
         temp = self.temp if temp is None else temp
         # resume bookkeeping (set by load_model, consumed once): completed
         # main-phase epochs and prune iterations survive a kill+restart
-        prog = getattr(self, "_resume_progress", None) or {}
+        prog = getattr(self, "resume_progress", None) or {}
         self._main_done = int(prog.get("main_epochs", 0))
         self._pr_it = int(prog.get("pr_it", 0))
-        self._resume_progress = {}
+        self.resume_progress = {}
         self._halted = False
         stop_con = (tcfg.good_enuf_consensus if early_stop_consensus is None
                     else early_stop_consensus)

@@ -389,9 +389,10 @@ def test_resume_progress_survives_pruning(tmp_path):
 
     c2 = CplMixVAE(saving_folder=str(tmp_path))
     c2.init_model(**kw)
-    done = c2.load_model(path)
-    assert done == 4                       # main epochs, not state.epoch=6
-    assert c2._resume_progress["pr_it"] == 1
+    assert c2.load_model(path) == 6        # total epoch (API contract)
+    done = c2.resume_progress["main_epochs"]
+    assert done == 4                       # main epochs, for budget math
+    assert c2.resume_progress["pr_it"] == 1
     # restart with the same budgets (the --resume workflow): no main
     # epochs remain and the prune budget is already spent — nothing new
     # gets pruned
