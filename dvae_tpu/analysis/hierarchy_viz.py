@@ -1,14 +1,15 @@
 """Taxonomy-aligned visualization of discovered categories.
 
 Equivalent capability to ``mmidas/utils/celltype_hierarchy.py``:
-  * ``cell_nodes_dict`` :10-18 — leaf → ancestor-chain lookup.
+  * ``cell_nodes_dict`` :10-18 — node → ancestor-chain lookup (all nodes
+    up to ``num_cell``, matching the reference's enumeration).
   * ``hierarchy_plot`` :20-75 — dendrogram skeleton with per-category
-    probability bars over the leaves.
+    probability bars over the leaves; returns (ax, fig).
   * ``heatmap_plot`` :77-170 — category × cell-type assignment heatmap laid
-    out in taxonomy order.
-  * ``dent_plot`` :172+ — dendrogram + per-category markers.
+    out in taxonomy order; returns (fig, matrix).
+  * ``dent_plot`` :172+ — dendrogram + per-category markers; returns fig.
 
-All functions return (fig, data) and gate matplotlib behind the call.
+matplotlib is gated behind the call.
 """
 
 from __future__ import annotations
