@@ -97,8 +97,9 @@ def wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 300.0,
         except subprocess.TimeoutExpired:
             # the probe HUNG (not fast-failed) and was killed — if it had
             # claimed the chip, the kill wedges it for ~15-25 min; back
-            # off hard so repeated probes don't keep re-wedging it
-            wait = max(poll_s, 450.0)
+            # off past the wedge window so the next probe doesn't hang on
+            # the held grant and re-wedge the chip when killed in turn
+            wait = max(poll_s, 1200.0)
         if time.monotonic() >= deadline:
             return False
         print(f"bench: JAX backend unavailable, retrying in {wait:.0f}s",

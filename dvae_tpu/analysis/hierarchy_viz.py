@@ -22,7 +22,8 @@ from dvae_tpu.analysis.taxonomy import HTree
 
 
 def cell_nodes_dict(tree: HTree, num_cell: int = 132) -> dict:
-    """Leaf name → ancestor chain (reference :10-18)."""
+    """Node name → ancestor chain for the first ``num_cell`` + 1 nodes,
+    leaves and internal alike (reference :10-18 enumerates all children)."""
     out = {}
     for i, s in enumerate(tree.child):
         if i <= num_cell:

@@ -127,7 +127,10 @@ def cmd_train(args) -> int:
         shuffle_block=args.shuffle_block, stream=args.stream)
     done = 0
     if args.resume:
-        ckpt = latest_checkpoint(folder)
+        from dvae_tpu.utils.checkpoint import newest_checkpoint
+        # epoch-numbered files first; fall back to tag-only checkpoints
+        # (best_*) — e.g. after a NaN halt before the first every-k save
+        ckpt = latest_checkpoint(folder) or newest_checkpoint(folder)
         if ckpt:
             epoch = cpl.load_model(ckpt)
             # subtract MAIN-phase epochs only: state.epoch also counts

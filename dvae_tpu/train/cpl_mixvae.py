@@ -46,7 +46,7 @@ from dvae_tpu.train.step import (TrainState, init_train_state,
                                  make_epoch_runner, make_eval_step,
                                  make_optimizer)
 from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
-                                       save_checkpoint)
+                                       newest_checkpoint, save_checkpoint)
 from dvae_tpu.utils.logging import MetricLogger, device_memory_mb, mprint
 
 
@@ -140,6 +140,9 @@ class CplMixVAE:
         self.state: Optional[TrainState] = None
         self.mesh = None
         self.tx = None
+        # phase-aware progress of a loaded checkpoint (public; populated
+        # by load_model, consumed by the next train() call)
+        self.resume_progress: dict = {}
         del device  # device placement is owned by the mesh/shardings
 
     # -- model lifecycle ----------------------------------------------------
@@ -298,7 +301,11 @@ class CplMixVAE:
              # mis-count the remaining main budget and restart the prune
              # budget from zero
              "progress": {"main_epochs": int(getattr(self, "_main_done", 0)),
-                          "pr_it": int(getattr(self, "_pr_it", 0))},
+                          "pr_it": int(getattr(self, "_pr_it", 0)),
+                          # retraining epochs completed within the current
+                          # (possibly unfinished) prune iteration
+                          "prune_epochs": int(getattr(self, "_prune_done",
+                                                      0))},
              "cfg": self.cfg.__dict__ if self.cfg else {},
              # plain-dict tcfg (enum → value) so a fresh instance can
              # rebuild the full config tree from metadata alone
@@ -366,6 +373,7 @@ class CplMixVAE:
         prog = getattr(self, "resume_progress", None) or {}
         self._main_done = int(prog.get("main_epochs", 0))
         self._pr_it = int(prog.get("pr_it", 0))
+        self._prune_done = int(prog.get("prune_epochs", 0))
         self.resume_progress = {}
         self._halted = False
         stop_con = (tcfg.good_enuf_consensus if early_stop_consensus is None
@@ -454,6 +462,14 @@ class CplMixVAE:
             if (n_epoch_p > 0 and max_prun_it > 0 and not self._preempted()
                     and not self._halted):
                 pr_it = self._pr_it  # resume continues the prune budget
+                # a kill mid-retraining leaves the current iteration with
+                # prune_epochs < n_epoch_p: finish ITS remaining epochs
+                # first (the category was already pruned when pr_it bumped)
+                if 0 < self._prune_done < n_epoch_p and pr_it > 0:
+                    self._run_phase(runner, x_all, prior_all, x_val,
+                                    n_epoch_p - self._prune_done, temp,
+                                    stop_con, logger,
+                                    phase=f"prune{pr_it - 1}")
                 while (pr_it < max_prun_it and not self._preempted()
                        and not self._halted):
                     labels = self._predict_labels(x_all, temp)
@@ -472,6 +488,7 @@ class CplMixVAE:
                            f"{int(mask.sum())}/{cfg.n_categories} remain")
                     self.state = self.state._replace(mask=jnp.asarray(mask))
                     self._pr_it = pr_it + 1  # this kill is now in the mask
+                    self._prune_done = 0     # fresh retraining budget
                     self.save_checkpoint(
                         f"before_pruning_{pr_it}_A{cfg.n_arm}")
                     self._run_phase(runner, x_all, prior_all, x_val,
@@ -482,8 +499,13 @@ class CplMixVAE:
             if self._halted:
                 # do NOT save the NaN-poisoned state — it would become the
                 # newest *_epoch_* file and --resume would restore it; the
-                # halt message points at the last good checkpoint instead
-                path = latest_checkpoint(self.folder or ".") or ""
+                # halt message points at the last good checkpoint instead.
+                # newest_checkpoint also sees best_* files (a halt before
+                # the first every-k save has no *_epoch_* file yet) and
+                # returns None for folder="" (never a CWD stranger).
+                path = (latest_checkpoint(self.folder)
+                        if self.folder else None) \
+                    or newest_checkpoint(self.folder) or ""
             else:
                 path = self.save_checkpoint(
                     f"epoch_{int(self.state.epoch)}")
@@ -541,8 +563,11 @@ class CplMixVAE:
                 }
                 logger.log(row, step=base + e)
             done += n_chunk
-            if phase == "train":  # phase-aware resume accounting
+            # phase-aware resume accounting
+            if phase == "train":
                 self._main_done = getattr(self, "_main_done", 0) + n_chunk
+            elif phase.startswith("prune"):
+                self._prune_done = getattr(self, "_prune_done", 0) + n_chunk
             epoch = int(self.state.epoch)
             mprint(f"[{phase}] epoch {epoch}: loss={total[-1]:.3f} "
                    f"consensus={cons[-1]:.3f} ({dt / n_chunk:.3f}s/epoch)")

@@ -93,6 +93,18 @@ def latest_checkpoint(folder: str, pattern: str = "*_epoch_*") -> Optional[str]:
     return max(files, key=parse_epoch) if files else None
 
 
+def newest_checkpoint(folder: str,
+                      pattern: str = "*.ckpt") -> Optional[str]:
+    """Newest checkpoint by mtime — also finds tag-only checkpoints
+    (``best_*``) that carry no parseable epoch.  Used as the fallback when
+    ``latest_checkpoint`` comes up empty (e.g. a NaN-halt before the first
+    every-k epoch save, where only a ``best_train`` file exists)."""
+    if not folder:
+        return None
+    files = glob.glob(os.path.join(folder, pattern))
+    return max(files, key=os.path.getmtime) if files else None
+
+
 def compare_pytrees(a, b, rtol: float = 0.0, atol: float = 0.0) -> dict:
     """Structural + numerical comparison of two pytrees.
 

@@ -81,7 +81,8 @@ def test_wait_for_backend_backs_off_after_hung_probe(monkeypatch):
     monkeypatch.setattr(bench.subprocess, "run", run)
     monkeypatch.setattr(bench.time, "sleep", slept.append)
     assert bench.wait_for_backend(max_wait_s=3600, poll_s=60.0) is True
-    assert slept == [450.0]
+    # past the ~15-25 min wedge window, not the ordinary poll interval
+    assert slept == [1200.0]
 
 
 def test_ensure_backend_skips_probe_when_initialized(monkeypatch):

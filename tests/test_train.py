@@ -369,6 +369,68 @@ def test_halt_on_nan_stops_phase(tmp_path, capsys):
     assert int(np.asarray(cpl.state.mask).sum()) == 8
 
 
+def test_resume_finishes_interrupted_prune_retraining(tmp_path,
+                                                      monkeypatch):
+    """A kill mid-prune-retraining must not cost the iteration its
+    remaining epochs: resume finishes them (prune_epochs progress) instead
+    of skipping to the end because pr_it already reached the budget."""
+    import signal
+
+    import dvae_tpu.train.cpl_mixvae as tm
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    c1 = tm.CplMixVAE(saving_folder=str(tmp_path))
+    c1.init_model(**kw)
+
+    calls = {"n": 0}
+    real_mem = tm.device_memory_mb
+
+    def mem_then_sigterm():
+        calls["n"] += 1
+        if calls["n"] == 2:  # chunk 2 = the FIRST prune-retraining chunk
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_mem()
+
+    monkeypatch.setattr(tm, "device_memory_mb", mem_then_sigterm)
+    # 2 main epochs (1 chunk) + 4 retraining epochs (2 chunks); preempted
+    # after retraining chunk 1 -> 2 of 4 retraining epochs done
+    c1.train(ds.log1p, n_epoch=2, n_epoch_p=4, max_prun_it=1,
+             min_con=1.01, save_plots=False)
+    assert int(np.asarray(c1.state.epoch)) == 4
+    monkeypatch.setattr(tm, "device_memory_mb", real_mem)
+
+    from dvae_tpu.utils.checkpoint import latest_checkpoint
+    c2 = tm.CplMixVAE(saving_folder=str(tmp_path))
+    c2.init_model(**kw)
+    c2.load_model(latest_checkpoint(str(tmp_path)))
+    assert c2.resume_progress == {"main_epochs": 2, "pr_it": 1,
+                                  "prune_epochs": 2}
+    c2.train(ds.log1p, n_epoch=0, n_epoch_p=4, max_prun_it=1,
+             min_con=1.01, save_plots=False)
+    # the interrupted iteration got its remaining 2 epochs, no new kills
+    assert int(np.asarray(c2.state.epoch)) == 6
+    assert int(np.asarray(c2.state.mask).sum()) == 7
+
+
+def test_newest_checkpoint_sees_tag_only_files(tmp_path):
+    """newest_checkpoint finds best_* files that carry no epoch number
+    (the NaN-halt-before-first-save fallback) and never scans CWD."""
+    import time as _t
+
+    from dvae_tpu.utils.checkpoint import latest_checkpoint, newest_checkpoint
+
+    a = tmp_path / "cpl_mixVAE_model_best_train.ckpt"
+    a.write_bytes(b"x")
+    _t.sleep(0.01)
+    b = tmp_path / "cpl_mixVAE_model_best_prune0.ckpt"
+    b.write_bytes(b"x")
+    assert latest_checkpoint(str(tmp_path)) is None   # no epoch files
+    assert newest_checkpoint(str(tmp_path)) == str(b)
+    assert newest_checkpoint("") is None
+
+
 def test_resume_progress_survives_pruning(tmp_path):
     """Phase-aware resume accounting: after a run that finished its main
     budget and pruned, load_model reports MAIN epochs only (so callers
