@@ -43,8 +43,8 @@ from dvae_tpu.models.losses import mixvae_loss
 from dvae_tpu.parallel.sharding import (make_mesh, put_dataset, replicated,
                                         strategy_shardings)
 from dvae_tpu.train.step import (TrainState, init_train_state,
-                                 make_epoch_runner, make_eval_step,
-                                 make_optimizer)
+                                 make_epoch_runner, make_eval_runner,
+                                 make_eval_step, make_optimizer)
 from dvae_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
                                        newest_checkpoint, save_checkpoint)
 from dvae_tpu.utils.logging import MetricLogger, device_memory_mb, mprint
@@ -449,6 +449,7 @@ class CplMixVAE:
 
         self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
                                          mesh=self.mesh)
+        self._eval_runner = None  # lazily rebuilt against the new cfg/mesh
 
         # SIGTERM (spot-VM preemption, maintenance) → checkpoint at the
         # next chunk boundary and stop cleanly; resume via load_model
@@ -622,11 +623,39 @@ class CplMixVAE:
         return (jnp.bfloat16 if self.tcfg is not None and self.tcfg.bf16
                 else jnp.float32)
 
+    def _ensure_eval_fns(self):
+        """Lazily build the jitted eval step + the scanned eval runner
+        (both depend on cfg/augmenter/mesh; ``train`` resets them)."""
+        if getattr(self, "_eval_step", None) is None:
+            self._eval_step = make_eval_step(self.cfg, self.tcfg,
+                                             augment=self._augment_fn(),
+                                             mesh=self.mesh)
+            self._eval_runner = None
+        if getattr(self, "_eval_runner", None) is None:
+            self._eval_runner = make_eval_runner(self.cfg, self.tcfg,
+                                                 augment=self._augment_fn(),
+                                                 mesh=self.mesh)
+
     def _predict_labels(self, x_all, temp, batch_size: int = 5000):
-        """Eval-mode argmax labels over a dataset → (A, N) numpy."""
+        """Eval-mode argmax labels over a dataset → (A, N) numpy.
+
+        Dense single-device datasets ride the scanned eval runner (K
+        batches per dispatch, one host sync per chunk) — this is the
+        pruning phase's label pass over the whole train set; sparse
+        (stream-mode) datasets stay per-batch with host densify."""
+        self._ensure_eval_fns()
         n = x_all.shape[0]
         outs = []
-        for i in range(0, n, batch_size):
+        i = 0
+        K = min(8, n // batch_size)
+        if not hasattr(x_all, "toarray") and self.mesh is None and K >= 2:
+            while n - i >= K * batch_size:
+                chunk = jnp.asarray(x_all[i: i + K * batch_size]).reshape(
+                    K, batch_size, *x_all.shape[1:])
+                _, f = self._eval_runner(self.state, chunk, temp)
+                outs.append(np.asarray(f.lab))
+                i += K * batch_size
+        for i in range(i, n, batch_size):
             xb = x_all[i: i + batch_size]
             if hasattr(xb, "toarray"):  # sparse host dataset (stream mode)
                 # cast to the eval dtype: a densified f32 batch under bf16
@@ -641,10 +670,7 @@ class CplMixVAE:
                  batch_size: int = 5000) -> dict:
         """Validation losses + consensus (reference val loop,
         cpl_mixvae.py:563-761)."""
-        if not hasattr(self, "_eval_step"):
-            self._eval_step = make_eval_step(self.cfg, self.tcfg,
-                                             augment=self._augment_fn(),
-                                             mesh=self.mesh)
+        self._ensure_eval_fns()
         x = jnp.asarray(x_val, self._eval_dtype())
         n = x.shape[0]
         tot, recs, labels, sizes = [], [], [], []
@@ -684,10 +710,7 @@ class CplMixVAE:
         (A,N,S), argmax labels ``pred_label`` (A,N), reconstruction losses,
         total loss, and the train consensus matrix inputs.
         """
-        if not hasattr(self, "_eval_step") or self._eval_step is None:
-            self._eval_step = make_eval_step(self.cfg, self.tcfg,
-                                             augment=self._augment_fn(),
-                                             mesh=self.mesh)
+        self._ensure_eval_fns()
         # scipy-sparse input stays sparse on host; each batch slice
         # densifies separately (the dataset may not fit dense anywhere).
         # Normalized to CSR: COO/BSR/DIA are not row-sliceable and CSC
@@ -717,7 +740,31 @@ class CplMixVAE:
                     d["dev"].clear()
             pending = 0
 
-        for i in range(0, n, batch_size):
+        # dense single-device datasets scan K batches per dispatch
+        # (make_eval_runner): each per-batch dispatch costs a host round
+        # trip comparable to the step's own device time on a tunneled
+        # chip.  Numerics are identical to the per-batch path (same
+        # state.key every batch).  Sparse stays per-batch (host densify
+        # between batches); multi-chip stays per-batch (chunk slices
+        # would need their own sharding story).
+        i = 0
+        K = min(8, n // batch_size)
+        if not sparse and self.mesh is None and K >= 2:
+            while n - i >= K * batch_size:
+                chunk = xj[i: i + K * batch_size].reshape(
+                    K, batch_size, *xj.shape[1:])
+                aux, f = self._eval_runner(self.state, chunk, temp)
+                for k in ("c", "s_mean", "s_logvar", "x_low", "lab"):
+                    v = getattr(f, k)
+                    fields[k]["dev"].append(v)
+                    pending += v.nbytes
+                recs.append(aux.loss_rec)       # (K, A)
+                totals.append(aux.total)        # (K,)
+                sizes.extend([batch_size] * K)
+                if pending >= _EVAL_FLUSH_BYTES:
+                    drain()
+                i += K * batch_size
+        for i in range(i, n, batch_size):
             xb = xj[i: i + batch_size]
             if sparse:
                 xb = jnp.asarray(xb.toarray(), self._eval_dtype())
@@ -728,8 +775,8 @@ class CplMixVAE:
                 pending += v.nbytes
             fields["lab"]["dev"].append(lab)
             pending += lab.nbytes
-            recs.append(aux.loss_rec)
-            totals.append(aux.total)
+            recs.append(aux.loss_rec[None])     # (1, A)
+            totals.append(aux.total[None])      # (1,)
             sizes.append(min(batch_size, n - i))
             if pending >= _EVAL_FLUSH_BYTES:
                 drain()
@@ -748,8 +795,8 @@ class CplMixVAE:
         # per-batch means weighted by batch size: a trailing partial batch
         # must not get equal weight (same rule as validate())
         w = np.asarray(sizes, np.float64)
-        totals = np.asarray(jnp.stack(totals))
-        recs = np.asarray(jnp.stack(recs))
+        totals = np.asarray(jnp.concatenate(totals))       # (n_batches,)
+        recs = np.asarray(jnp.concatenate(recs, axis=0))   # (n_batches, A)
         return {
             "c_prob": flush("c"),
             "state_mu": flush("s_mean"),

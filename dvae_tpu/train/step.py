@@ -390,6 +390,69 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
 # Eval step
 # ---------------------------------------------------------------------------
 
+class EvalFields(NamedTuple):
+    """The eval outputs ``eval_model`` consumes, stacked arm-major —
+    (A, N, ·) — ready for host concatenation."""
+
+    c: jax.Array         # (A, N, C) tau-sharpened posterior
+    s_mean: jax.Array    # (A, N, S)
+    s_logvar: jax.Array  # (A, N, S)
+    x_low: jax.Array     # (A, N, L)
+    lab: jax.Array       # (A, N) argmax labels
+
+
+def make_eval_runner(cfg: VAEConfig, tcfg: TrainConfig,
+                     augment: Optional[AugmentFn] = None, mesh=None):
+    """Scan the eval step over K batches in ONE device program.
+
+    ``eval_model`` (reference cpl_mixvae.py:1450-1619) dispatches one
+    batch at a time; each dispatch costs a host round trip (~1 ms/batch
+    through a tunneled chip — equal to the 1.05 ms device time of the
+    eval step itself at the production shape).  Fusing K batches into one
+    ``lax.scan`` amortizes that to one dispatch per chunk — the same
+    design as the training epoch runner.
+
+    run(state, x_chunk (K, B, D), temp) →
+        (aux: LossOutputs stacked (K, ...), EvalFields (A, K·B, ·))
+
+    Per-batch numerics are IDENTICAL to looping ``make_eval_step``: the
+    scan carries no state, so every batch sees the same ``state.key``
+    (the per-batch loop passes the same state each call).  Compiles once
+    per distinct (K, B) shape.
+
+    The scan is fully unrolled (``unroll=True``; K ≤ 8 by construction in
+    the callers): on TPU, the fused recon FORWARD kernel — whose only
+    output lives in SMEM (ops/recon_pallas._fwd) — crashes the runtime
+    when the custom call sits inside a rolled ``while`` loop (worker
+    "crashed or restarted", reproduced at the production shape 2026-08-18;
+    the training runner's fused fwd+bwd kernels, which also have VMEM
+    outputs, scan rolled without issue).  Unrolled, the custom calls are
+    straight-line — the exact pattern the per-batch path runs.
+    """
+    ev = make_eval_step(cfg, tcfg, augment=augment, mesh=mesh)
+
+    @jax.jit
+    def run(state: TrainState, x_chunk, temp):
+        def body(_, xb):
+            aux, lab, outs = ev(state, xb, None, temp)
+            return None, (aux, lab, outs.c, outs.s_mean, outs.s_logvar,
+                          outs.x_low)
+
+        _, (aux, lab, c, s_mean, s_logvar, x_low) = jax.lax.scan(
+            body, None, x_chunk, unroll=True)
+
+        def arm_major(v):  # (K, A, B, ...) → (A, K·B, ...)
+            v = jnp.moveaxis(v, 1, 0)
+            return v.reshape(v.shape[0], -1, *v.shape[3:])
+
+        fields = EvalFields(arm_major(c), arm_major(s_mean),
+                            arm_major(s_logvar), arm_major(x_low),
+                            arm_major(lab))
+        return aux, fields
+
+    return run
+
+
 def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
                    augment: Optional[AugmentFn] = None, mesh=None):
     """Validation forward: no grad, eval semantics (hard one-hot, no noise,

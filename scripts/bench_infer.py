@@ -13,12 +13,13 @@ setups) and is deliberately excluded — ``eval_model`` already batches it
 into one transfer per field.
 
 Measured anchors (v5e-1, A=5/B=5000/D=5032): the jitted eval step runs at
-3.35 ms/batch → ~1.5M cells/s device-side (it shares the training path's
-fused loss kernels and compute dtype — see make_eval_step); the
-end-to-end number printed
-here also pays one host round trip per batch for the labels, so through a
-high-latency dev tunnel it reads far lower (and noisier) than on real
-hardware, where the RTT is microseconds.
+1.05 ms/batch device time without the augmenter (3.35 ms with it — the
+augmenter is ~3x the model's FLOPs; both share the training path's fused
+loss kernels and compute dtype, see make_eval_step).  ``_predict_labels``
+scans K≤8 batches per dispatch (make_eval_runner), so the end-to-end
+number here pays one host round trip per chunk, not per batch; through a
+high-latency dev tunnel it still reads below device time (bench.py
+measured 3.3M cells/s no-augmenter at K=8).
 
 Usage: python scripts/bench_infer.py [--arms 5] [--batch 5000]
 Prints one JSON line (same contract as bench.py, different metric name).

@@ -1,0 +1,77 @@
+"""The scanned eval runner (train/step.make_eval_runner) must be
+batch-for-batch identical to looping the eval step — it only changes how
+many batches ride per dispatch (reference hot loop:
+mmidas/cpl_mixvae.py:1450-1619, driven per batch from python there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvae_tpu.config import TrainConfig, VAEConfig
+from dvae_tpu.data.anndata_io import synthetic_dataset
+from dvae_tpu.train.step import (init_train_state, make_eval_runner,
+                                 make_eval_step, make_optimizer)
+
+CFG = VAEConfig(n_categories=6, input_dim=40, fc_dim=16, lowD_dim=8,
+                state_dim=2, n_arm=3, tau=0.1)
+TCFG = TrainConfig(batch_size=16)
+
+
+def test_runner_matches_per_batch_loop():
+    tx = make_optimizer(CFG)
+    state = init_train_state(jax.random.key(0), CFG, tx)
+    ds = synthetic_dataset(n_cells=64, n_genes=40, n_types=6, seed=0)
+    x = jnp.asarray(ds.log1p)
+    K, B = 4, TCFG.batch_size
+
+    ev = make_eval_step(CFG, TCFG)
+    run = make_eval_runner(CFG, TCFG)
+
+    aux_r, f = run(state, x.reshape(K, B, -1), 1.0)
+    assert f.lab.shape == (CFG.n_arm, K * B)
+    assert f.c.shape == (CFG.n_arm, K * B, CFG.n_categories)
+
+    for k in range(K):
+        aux_b, lab_b, outs_b = ev(state, x[k * B: (k + 1) * B], None, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(f.lab[:, k * B: (k + 1) * B]), np.asarray(lab_b))
+        np.testing.assert_allclose(
+            np.asarray(f.c[:, k * B: (k + 1) * B]), np.asarray(outs_b.c),
+            rtol=1e-6, atol=1e-6)
+        for name in ("s_mean", "s_logvar", "x_low"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(f, name)[:, k * B: (k + 1) * B]),
+                np.asarray(getattr(outs_b, name)), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(aux_r.total[k]),
+                                   np.asarray(aux_b.total), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(aux_r.loss_rec[k]),
+                                   np.asarray(aux_b.loss_rec), rtol=1e-6)
+
+
+def test_eval_model_runner_and_tail_paths_agree(tmp_path):
+    """eval_model with a dataset spanning runner chunks + a leftover full
+    batch + a partial tail must equal a pure per-batch pass (forced by a
+    batch_size that disables the runner: fewer than 2 full batches)."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=150, n_genes=40, n_types=6, seed=1)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=6, input_dim=40, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, batch_size=16, epochs_per_jit=1)
+    # n=150, B=16: K=8 runner chunk covers 128, then one full batch of 16
+    # and a 6-row tail go per-batch
+    res = cpl.eval_model(ds.log1p, batch_size=16)
+    assert res["pred_label"].shape == (2, 150)
+
+    # manual per-batch reference at the SAME batch size (the pre-runner
+    # eval_model loop): labels must be bit-identical, posteriors close
+    x = jnp.asarray(ds.log1p, np.float32)
+    labs, cs = [], []
+    for i in range(0, 150, 16):
+        _, lab_b, outs_b = cpl._eval_step(cpl.state, x[i: i + 16], None, 1.0)
+        labs.append(np.asarray(lab_b))
+        cs.append(np.asarray(outs_b.c))
+    np.testing.assert_array_equal(res["pred_label"],
+                                  np.concatenate(labs, axis=1))
+    np.testing.assert_allclose(res["c_prob"], np.concatenate(cs, axis=1),
+                               rtol=1e-6, atol=1e-7)
