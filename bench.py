@@ -149,9 +149,10 @@ def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",
     np.asarray(ems.total)
     dt = time.perf_counter() - t0
 
+    # per chip by construction: the un-meshed runner executes on
+    # jax.devices()[0] only, regardless of how many chips the host has
     steps = n_chunks * tcfg.epochs_per_jit * (N // B)
-    n_local = max(jax.local_device_count(), 1)
-    return steps * B / dt / n_local
+    return steps * B / dt
 
 
 def _infer_throughput(cfg, x_all, n_chunks=10):
@@ -180,7 +181,7 @@ def _infer_throughput(cfg, x_all, n_chunks=10):
         aux, f = run(state, chunk, 1.0)
     np.asarray(f.lab)
     dt = time.perf_counter() - t0
-    return n_chunks * K * B / dt / max(jax.local_device_count(), 1)
+    return n_chunks * K * B / dt  # single-device runner: per chip as-is
 
 
 def _augment_fn(input_dim: int):

@@ -142,7 +142,8 @@ def cmd_train(args) -> int:
     path = cpl.train(ds.log1p[tr], x_val=ds.log1p[te],
                      n_epoch=max(args.n_epoch - done, 0),
                      n_epoch_p=args.n_epoch_p,
-                     c_p=ds.c_p, train_idx=tr, min_con=args.min_con,
+                     c_p=ds.c_p, train_idx=tr, val_idx=te,
+                     min_con=args.min_con,
                      max_prun_it=args.max_prun_it, temp=args.temp)
     print(f"final checkpoint: {path}")
     return 0

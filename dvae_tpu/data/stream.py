@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import functools
 from collections import deque
-from typing import Iterator, NamedTuple, Optional, Tuple
+from typing import Iterator, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

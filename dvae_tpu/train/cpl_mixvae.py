@@ -38,8 +38,6 @@ import numpy as np
 from dvae_tpu.config import MeshConfig, ShardingStrategy, TrainConfig, VAEConfig
 from dvae_tpu.eval.metrics import (consensus_device, consensus_from_labels,
                                    per_category_agreement)
-from dvae_tpu.models import mixvae
-from dvae_tpu.models.losses import mixvae_loss
 from dvae_tpu.parallel.sharding import (make_mesh, put_dataset, replicated,
                                         strategy_shardings)
 from dvae_tpu.train.step import (TrainState, init_train_state,
@@ -99,7 +97,7 @@ class PreemptionGuard:
         return False
 
 
-def _dataset_exceeds_hbm(x: np.ndarray, store_dtype, mesh) -> bool:
+def _dataset_exceeds_hbm(x: np.ndarray, store_dtype) -> bool:
     """True when committing ``x`` (replicated per device, as the resident
     epoch runner does) would occupy more than ``_HBM_DATASET_FRACTION`` of
     a device's memory.  Backends without ``memory_stats`` (CPU, some
@@ -348,6 +346,7 @@ class CplMixVAE:
               n_epoch: int = 100, n_epoch_p: int = 0,
               c_p: Optional[np.ndarray] = None,
               train_idx: Optional[np.ndarray] = None,
+              val_idx: Optional[np.ndarray] = None,
               min_con: float = 0.99, max_prun_it: int = 0,
               temp: Optional[float] = None,
               early_stop_consensus: Optional[float] = None,
@@ -358,7 +357,10 @@ class CplMixVAE:
 
         ``x_train``: (N, D) float32. ``c_p``: (N_total, C) ref-prior table
         gathered by ``train_idx`` when cfg.ref_prior (reference
-        cpl_mixvae.py:427-432).
+        cpl_mixvae.py:427-432); ``val_idx`` gathers the validation rows'
+        prior so the val loss runs under the same ref-prior semantics as
+        training (the reference's val loop gathers c_p[n] per batch,
+        cpl_mixvae.py:621-625).
 
         After ``load_model`` (or ``init_model(trained_model=...)``), the
         checkpoint's phase progress carries over: completed prune
@@ -389,8 +391,7 @@ class CplMixVAE:
         # bf16 mode also stores the dataset in bf16: halves the HBM
         # footprint AND the per-step gather traffic
         store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
-        if not tcfg.stream and _dataset_exceeds_hbm(
-                x_train, store_dtype, self.mesh):
+        if not tcfg.stream and _dataset_exceeds_hbm(x_train, store_dtype):
             mprint("dataset does not fit in device memory alongside the "
                    "training state — falling back to host→device "
                    "streaming (TrainConfig.stream)")
@@ -451,12 +452,30 @@ class CplMixVAE:
                                          mesh=self.mesh)
         self._eval_runner = None  # lazily rebuilt against the new cfg/mesh
 
+        # commit the validation set to device ONCE — validate() otherwise
+        # re-uploads it on every eval_every chunk (hundreds of MB through a
+        # slow tunnel, for data that never changes); its jnp.asarray then
+        # no-ops.  The ref-prior rows for the val set ride along so the val
+        # loss runs the same semantics as training (reference val loop
+        # gathers c_p[n] per batch, cpl_mixvae.py:621-625).
+        prior_val = None
+        if x_val is not None and not hasattr(x_val, "toarray"):
+            x_val = jnp.asarray(np.asarray(x_val), self._eval_dtype())
+        if x_val is not None and cfg.ref_prior and c_p is not None:
+            if val_idx is not None:
+                prior_val = jnp.asarray(np.asarray(c_p[val_idx], np.float32))
+            else:
+                mprint("ref_prior: no val_idx given — validation runs "
+                       "WITHOUT the prior (val loss omits the prior-"
+                       "coupling terms; pass val_idx to fix)")
+
         # SIGTERM (spot-VM preemption, maintenance) → checkpoint at the
         # next chunk boundary and stop cleanly; resume via load_model
         self._preempt = PreemptionGuard()
         with self._preempt:
             self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
-                            stop_con, logger, phase="train")
+                            stop_con, logger, phase="train",
+                            prior_val=prior_val)
 
             # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
             #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
@@ -465,12 +484,18 @@ class CplMixVAE:
                 pr_it = self._pr_it  # resume continues the prune budget
                 # a kill mid-retraining leaves the current iteration with
                 # prune_epochs < n_epoch_p: finish ITS remaining epochs
-                # first (the category was already pruned when pr_it bumped)
-                if 0 < self._prune_done < n_epoch_p and pr_it > 0:
+                # first (the category was already pruned when pr_it bumped).
+                # prune_epochs == 0 with pr_it > 0 is the kill-right-after-
+                # the-before_pruning-checkpoint state — the iteration's
+                # ENTIRE retraining is still owed (prune_epochs only ever
+                # reads 0 there: each completed chunk accumulates it, and a
+                # finished iteration leaves it at n_epoch_p)
+                if self._prune_done < n_epoch_p and pr_it > 0:
                     self._run_phase(runner, x_all, prior_all, x_val,
                                     n_epoch_p - self._prune_done, temp,
                                     stop_con, logger,
-                                    phase=f"prune{pr_it - 1}")
+                                    phase=f"prune{pr_it - 1}",
+                                    prior_val=prior_val)
                 while (pr_it < max_prun_it and not self._preempted()
                        and not self._halted):
                     labels = self._predict_labels(x_all, temp)
@@ -494,7 +519,8 @@ class CplMixVAE:
                         f"before_pruning_{pr_it}_A{cfg.n_arm}")
                     self._run_phase(runner, x_all, prior_all, x_val,
                                     n_epoch_p, temp, stop_con, logger,
-                                    phase=f"prune{pr_it}")
+                                    phase=f"prune{pr_it}",
+                                    prior_val=prior_val)
                     pr_it += 1
 
             if self._halted:
@@ -521,7 +547,7 @@ class CplMixVAE:
         return path
 
     def _run_phase(self, runner, x_all, prior_all, x_val, n_epoch, temp,
-                   stop_con, logger, phase: str) -> None:
+                   stop_con, logger, phase: str, prior_val=None) -> None:
         """``runner``: chunk-size → jitted epoch-runner factory."""
         cfg, tcfg = self.cfg, self.tcfg
         E = tcfg.epochs_per_jit
@@ -589,7 +615,7 @@ class CplMixVAE:
                 break
 
             if x_val is not None and crossed(tcfg.eval_every):
-                val = self.validate(x_val, temp)
+                val = self.validate(x_val, temp, c_p=prior_val)
                 logger.log({f"val/{k}": v for k, v in val.items()},
                            step=epoch)
                 mprint(f"[val] loss={val['loss']:.3f} "
@@ -636,55 +662,86 @@ class CplMixVAE:
                                                  augment=self._augment_fn(),
                                                  mesh=self.mesh)
 
-    def _predict_labels(self, x_all, temp, batch_size: int = 5000):
-        """Eval-mode argmax labels over a dataset → (A, N) numpy.
+    def _eval_batches(self, x_all, batch_size: int, c_p=None):
+        """The ONE batch-driving protocol for every eval surface: yield
+        ``("chunk", x (K,B,D), prior (K,B,C)|None)`` K-batch device chunks
+        for the scanned eval runner, then ``("batch", x (b,D), prior)``
+        per-batch leftovers for the eval step.
 
-        Dense single-device datasets ride the scanned eval runner (K
-        batches per dispatch, one host sync per chunk) — this is the
-        pruning phase's label pass over the whole train set; sparse
-        (stream-mode) datasets stay per-batch with host densify."""
-        self._ensure_eval_fns()
+        Dense single-device datasets ride the runner (each per-batch
+        dispatch costs a host round trip comparable to the step's own
+        ~1 ms device time on a tunneled chip; the runner amortizes it per
+        chunk — see make_eval_runner, incl. why its scan must unroll).
+        Sparse (stream-mode) datasets stay per-batch with host densify;
+        multi-chip meshes stay per-batch (chunk slices would need their
+        own sharding story)."""
+        sparse = hasattr(x_all, "toarray")
         n = x_all.shape[0]
-        outs = []
         i = 0
         K = min(8, n // batch_size)
-        if not hasattr(x_all, "toarray") and self.mesh is None and K >= 2:
+        if not sparse and self.mesh is None and K >= 2:
             while n - i >= K * batch_size:
                 chunk = jnp.asarray(x_all[i: i + K * batch_size]).reshape(
                     K, batch_size, *x_all.shape[1:])
-                _, f = self._eval_runner(self.state, chunk, temp)
-                outs.append(np.asarray(f.lab))
+                pc = (None if c_p is None else
+                      jnp.asarray(c_p[i: i + K * batch_size],
+                                  jnp.float32).reshape(K, batch_size, -1))
+                yield "chunk", chunk, pc
                 i += K * batch_size
         for i in range(i, n, batch_size):
             xb = x_all[i: i + batch_size]
-            if hasattr(xb, "toarray"):  # sparse host dataset (stream mode)
+            if sparse:
                 # cast to the eval dtype: a densified f32 batch under bf16
                 # training would retrace the eval step for a second input
                 # signature (a 30-60 s remote compile, for nothing)
                 xb = jnp.asarray(xb.toarray(), self._eval_dtype())
-            _, labels, _ = self._eval_step(self.state, xb, None, temp)
-            outs.append(np.asarray(labels))
+            pb = (None if c_p is None else
+                  jnp.asarray(c_p[i: i + batch_size], jnp.float32))
+            yield "batch", xb, pb
+
+    def _predict_labels(self, x_all, temp, batch_size: int = 5000):
+        """Eval-mode argmax labels over a dataset → (A, N) numpy (the
+        pruning phase's label pass over the whole train set).  Labels are
+        argmaxed from the categorical posterior, which does not consume
+        the ref prior — no c_p needed."""
+        self._ensure_eval_fns()
+        outs = []
+        for kind, xb, _ in self._eval_batches(x_all, batch_size):
+            if kind == "chunk":
+                _, f = self._eval_runner(self.state, xb, temp)
+                outs.append(np.asarray(f.lab))
+            else:
+                _, labels, _ = self._eval_step(self.state, xb, None, temp)
+                outs.append(np.asarray(labels))
         return np.concatenate(outs, axis=1)
 
     def validate(self, x_val: np.ndarray, temp: float = 1.0,
-                 batch_size: int = 5000) -> dict:
+                 batch_size: int = 5000, c_p=None) -> dict:
         """Validation losses + consensus (reference val loop,
-        cpl_mixvae.py:563-761)."""
+        cpl_mixvae.py:563-761).  ``c_p``: the validation rows' ref-prior
+        table under cfg.ref_prior (reference gathers c_p[n] per batch,
+        cpl_mixvae.py:621-625) — without it the val loss omits the
+        prior-coupling terms and is not comparable to the train loss."""
         self._ensure_eval_fns()
         x = jnp.asarray(x_val, self._eval_dtype())
-        n = x.shape[0]
         tot, recs, labels, sizes = [], [], [], []
-        for i in range(0, n, batch_size):
-            aux, lab, _ = self._eval_step(self.state, x[i: i + batch_size],
-                                          None, temp)
+        for kind, xb, pb in self._eval_batches(x, batch_size, c_p):
             # keep device arrays; one transfer per field below (a float()/
             # np.asarray per batch is a ~30 ms tunnel round trip each)
-            tot.append(aux.total)
-            recs.append(aux.loss_rec)
-            labels.append(lab)
-            sizes.append(min(batch_size, n - i))
-        tot = [float(t) for t in np.asarray(jnp.stack(tot))]
-        recs = list(np.asarray(jnp.stack(recs)))
+            if kind == "chunk":
+                aux, f = self._eval_runner(self.state, xb, temp, pb)
+                tot.append(aux.total)           # (K,)
+                recs.append(aux.loss_rec)       # (K, A)
+                labels.append(f.lab)
+                sizes.extend([batch_size] * xb.shape[0])
+            else:
+                aux, lab, _ = self._eval_step(self.state, xb, pb, temp)
+                tot.append(aux.total[None])
+                recs.append(aux.loss_rec[None])
+                labels.append(lab)
+                sizes.append(xb.shape[0])
+        tot = [float(t) for t in np.asarray(jnp.concatenate(tot))]
+        recs = list(np.asarray(jnp.concatenate(recs, axis=0)))
         labels = np.asarray(jnp.concatenate(labels, axis=1))
         cons = consensus_from_labels(labels, self.cfg.n_categories)
         # active-only variant: mean diagonal over supported categories —
@@ -701,7 +758,7 @@ class CplMixVAE:
                    for a in range(self.cfg.n_arm)}}
 
     def eval_model(self, x: np.ndarray, temp: float = 1.0,
-                   batch_size: int = 5000) -> dict:
+                   batch_size: int = 5000, c_p=None) -> dict:
         """Batched no-grad inference over a dataset (reference
         ``eval_model``, cpl_mixvae.py:1450-1619).
 
@@ -709,6 +766,11 @@ class CplMixVAE:
         probabilities ``c_prob`` (A,N,C), samples ``state_mu``/``state_var``
         (A,N,S), argmax labels ``pred_label`` (A,N), reconstruction losses,
         total loss, and the train consensus matrix inputs.
+
+        ``c_p``: (N, C) ref-prior rows aligned with ``x`` under
+        cfg.ref_prior (reference eval_model's c_p arg, cpl_mixvae.py:1457):
+        the state head consumes the prior instead of the categorical
+        sample, and the loss includes the prior-coupling terms.
         """
         self._ensure_eval_fns()
         # scipy-sparse input stays sparse on host; each batch slice
@@ -717,7 +779,6 @@ class CplMixVAE:
         # row gathers are pathological.
         sparse = hasattr(x, "toarray")
         xj = x.tocsr() if sparse else jnp.asarray(x, self._eval_dtype())
-        n = xj.shape[0]
         # accumulate per-batch DEVICE arrays and transfer whole fields in
         # few large copies: every np.asarray is a host round trip (7 per
         # batch in the old form), and dispatch stays async so batches
@@ -740,44 +801,31 @@ class CplMixVAE:
                     d["dev"].clear()
             pending = 0
 
-        # dense single-device datasets scan K batches per dispatch
-        # (make_eval_runner): each per-batch dispatch costs a host round
-        # trip comparable to the step's own device time on a tunneled
-        # chip.  Numerics are identical to the per-batch path (same
-        # state.key every batch).  Sparse stays per-batch (host densify
-        # between batches); multi-chip stays per-batch (chunk slices
-        # would need their own sharding story).
-        i = 0
-        K = min(8, n // batch_size)
-        if not sparse and self.mesh is None and K >= 2:
-            while n - i >= K * batch_size:
-                chunk = xj[i: i + K * batch_size].reshape(
-                    K, batch_size, *xj.shape[1:])
-                aux, f = self._eval_runner(self.state, chunk, temp)
+        # batches driven by the shared protocol (_eval_batches): K-batch
+        # runner chunks for dense single-device datasets, per-batch
+        # leftovers/sparse/multi-chip.  Numerics are identical either way
+        # (same state.key every batch).
+        for kind, xb, pb in self._eval_batches(xj, batch_size, c_p):
+            if kind == "chunk":
+                aux, f = self._eval_runner(self.state, xb, temp, pb)
                 for k in ("c", "s_mean", "s_logvar", "x_low", "lab"):
                     v = getattr(f, k)
                     fields[k]["dev"].append(v)
                     pending += v.nbytes
                 recs.append(aux.loss_rec)       # (K, A)
                 totals.append(aux.total)        # (K,)
-                sizes.extend([batch_size] * K)
-                if pending >= _EVAL_FLUSH_BYTES:
-                    drain()
-                i += K * batch_size
-        for i in range(i, n, batch_size):
-            xb = xj[i: i + batch_size]
-            if sparse:
-                xb = jnp.asarray(xb.toarray(), self._eval_dtype())
-            aux, lab, outs = self._eval_step(self.state, xb, None, temp)
-            for k in ("c", "s_mean", "s_logvar", "x_low"):
-                v = getattr(outs, k)
-                fields[k]["dev"].append(v)
-                pending += v.nbytes
-            fields["lab"]["dev"].append(lab)
-            pending += lab.nbytes
-            recs.append(aux.loss_rec[None])     # (1, A)
-            totals.append(aux.total[None])      # (1,)
-            sizes.append(min(batch_size, n - i))
+                sizes.extend([batch_size] * xb.shape[0])
+            else:
+                aux, lab, outs = self._eval_step(self.state, xb, pb, temp)
+                for k in ("c", "s_mean", "s_logvar", "x_low"):
+                    v = getattr(outs, k)
+                    fields[k]["dev"].append(v)
+                    pending += v.nbytes
+                fields["lab"]["dev"].append(lab)
+                pending += lab.nbytes
+                recs.append(aux.loss_rec[None])     # (1, A)
+                totals.append(aux.total[None])      # (1,)
+                sizes.append(xb.shape[0])
             if pending >= _EVAL_FLUSH_BYTES:
                 drain()
 

@@ -311,10 +311,10 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
         raise ValueError(f"shuffle_block {sb} must divide batch_size {B}")
     n_blocks = n_train // sb  # a <sb-row tail is dropped from the shuffle
     # (strictly milder than the reference's drop_last, which drops up to
-    # B-1 rows per epoch, dataloader.py:123-132)
-    if n_used // sb > n_blocks:
-        raise ValueError(f"shuffle_block {sb} leaves too few blocks "
-                         f"({n_blocks}) for {n_used} used rows")
+    # B-1 rows per epoch, dataloader.py:123-132).  Invariant: the shuffle
+    # always has enough blocks — n_used = steps·B ≤ n_train and sb | B
+    # give n_used//sb ≤ n_train//sb = n_blocks by floor monotonicity.
+    assert n_used // sb <= n_blocks
 
     def one_epoch(state: TrainState, x_all, prior_all, temp, i_local):
         key, k_perm = jax.random.split(state.key)
@@ -412,7 +412,7 @@ def make_eval_runner(cfg: VAEConfig, tcfg: TrainConfig,
     ``lax.scan`` amortizes that to one dispatch per chunk — the same
     design as the training epoch runner.
 
-    run(state, x_chunk (K, B, D), temp) →
+    run(state, x_chunk (K, B, D), temp, prior_chunk (K, B, C)|None) →
         (aux: LossOutputs stacked (K, ...), EvalFields (A, K·B, ·))
 
     Per-batch numerics are IDENTICAL to looping ``make_eval_step``: the
@@ -432,14 +432,17 @@ def make_eval_runner(cfg: VAEConfig, tcfg: TrainConfig,
     ev = make_eval_step(cfg, tcfg, augment=augment, mesh=mesh)
 
     @jax.jit
-    def run(state: TrainState, x_chunk, temp):
-        def body(_, xb):
-            aux, lab, outs = ev(state, xb, None, temp)
+    def run(state: TrainState, x_chunk, temp, prior_chunk=None):
+        def body(_, inp):
+            xb, pb = inp if prior_chunk is not None else (inp, None)
+            aux, lab, outs = ev(state, xb, pb, temp)
             return None, (aux, lab, outs.c, outs.s_mean, outs.s_logvar,
                           outs.x_low)
 
+        xs_in = ((x_chunk, prior_chunk) if prior_chunk is not None
+                 else x_chunk)
         _, (aux, lab, c, s_mean, s_logvar, x_low) = jax.lax.scan(
-            body, None, x_chunk, unroll=True)
+            body, None, xs_in, unroll=True)
 
         def arm_major(v):  # (K, A, B, ...) → (A, K·B, ...)
             v = jnp.moveaxis(v, 1, 0)

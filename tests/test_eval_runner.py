@@ -75,3 +75,43 @@ def test_eval_model_runner_and_tail_paths_agree(tmp_path):
                                   np.concatenate(labs, axis=1))
     np.testing.assert_allclose(res["c_prob"], np.concatenate(cs, axis=1),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_ref_prior_flows_through_eval_surfaces(tmp_path):
+    """Under cfg.ref_prior the validation/eval loss must include the
+    prior-coupling terms and the state head must consume the prior
+    (reference val loop gathers c_p[n] per batch, cpl_mixvae.py:621-625;
+    eval_model's c_p arg :1457) — and the runner-chunk path must agree
+    with the per-batch path when a prior rides along."""
+    from dvae_tpu.data.anndata_io import synthetic_dataset
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=96, n_genes=40, n_types=6, seed=3)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=6, input_dim=40, fc_dim=16, lowD_dim=8,
+                   n_arm=2, tau=0.1, ref_prior=True, batch_size=16,
+                   epochs_per_jit=1)
+    cpl.train(ds.log1p, n_epoch=1, c_p=ds.c_p, save_plots=False)
+
+    # prior changes the loss (coupling terms + state-head input)
+    v_with = cpl.validate(ds.log1p, c_p=ds.c_p, batch_size=16)
+    v_without = cpl.validate(ds.log1p, batch_size=16)
+    assert v_with["loss"] != v_without["loss"]
+
+    res = cpl.eval_model(ds.log1p, batch_size=16, c_p=ds.c_p)
+    # runner chunks (K=6 covers all 96 rows) vs pure per-batch: same prior
+    # rows per batch -> identical states/labels
+    x = jnp.asarray(ds.log1p, np.float32)
+    mus, labs = [], []
+    for i in range(0, 96, 16):
+        pb = jnp.asarray(ds.c_p[i: i + 16], jnp.float32)
+        _, lab_b, outs_b = cpl._eval_step(cpl.state, x[i: i + 16], pb, 1.0)
+        mus.append(np.asarray(outs_b.s_mean))
+        labs.append(np.asarray(lab_b))
+    np.testing.assert_array_equal(res["pred_label"],
+                                  np.concatenate(labs, axis=1))
+    np.testing.assert_allclose(res["state_mu"], np.concatenate(mus, axis=1),
+                               rtol=1e-6, atol=1e-7)
+    # without the prior the state head consumes c_smp instead -> different
+    res_np = cpl.eval_model(ds.log1p, batch_size=16)
+    assert not np.allclose(res["state_mu"], res_np["state_mu"])

@@ -462,3 +462,39 @@ def test_resume_progress_survives_pruning(tmp_path):
              max_prun_it=1, min_con=1.01, save_plots=False)
     assert int(np.asarray(c2.state.mask).sum()) == 7
     assert int(np.asarray(c2.state.epoch)) == 6
+
+
+def test_resume_right_after_prune_checkpoint_retrains(tmp_path):
+    """A kill between the ``before_pruning_{k}`` checkpoint and the first
+    retraining chunk leaves pr_it=k+1 with prune_epochs=0 — resume must
+    run iteration k's ENTIRE retraining (it is owed in full), not skip to
+    pruning a second category with an untrained mask."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=160, n_genes=48, n_types=8, seed=1)
+    kw = dict(n_categories=8, input_dim=48, fc_dim=16, lowD_dim=8,
+              n_arm=2, tau=0.1, batch_size=32, epochs_per_jit=2)
+    c1 = CplMixVAE(saving_folder=str(tmp_path))
+    c1.init_model(**kw)
+    c1.train(ds.log1p, n_epoch=4, n_epoch_p=2, max_prun_it=1,
+             min_con=1.01, save_plots=False)
+
+    # the state the kill would leave behind: the before_pruning checkpoint
+    # (saved right after the kill-category mask update, before any
+    # retraining) records pr_it=1, prune_epochs=0, epoch=4
+    ckpts = glob.glob(os.path.join(str(tmp_path), "**",
+                                   "*before_pruning_0*"), recursive=True)
+    assert ckpts, "before_pruning checkpoint not found"
+    c2 = CplMixVAE(saving_folder=str(tmp_path))
+    c2.init_model(**kw)
+    assert c2.load_model(ckpts[0]) == 4
+    assert c2.resume_progress["pr_it"] == 1
+    assert c2.resume_progress["prune_epochs"] == 0
+    assert int(np.asarray(c2.state.epoch)) == 4
+
+    c2.train(ds.log1p, n_epoch=0, n_epoch_p=2, max_prun_it=1,
+             min_con=1.01, save_plots=False)
+    # iteration 0's retraining ran in full (4 main + 2 prune epochs) and
+    # the spent prune budget (pr_it=1 == max_prun_it) pruned nothing new
+    assert int(np.asarray(c2.state.epoch)) == 6
+    assert int(np.asarray(c2.state.mask).sum()) == 7
