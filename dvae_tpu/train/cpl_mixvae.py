@@ -97,11 +97,18 @@ class PreemptionGuard:
         return False
 
 
-def _dataset_exceeds_hbm(x: np.ndarray, store_dtype) -> bool:
-    """True when committing ``x`` (replicated per device, as the resident
-    epoch runner does) would occupy more than ``_HBM_DATASET_FRACTION`` of
-    a device's memory.  Backends without ``memory_stats`` (CPU, some
-    emulators) report no limit → never trips."""
+def _dataset_exceeds_hbm(x: np.ndarray, store_dtype, mesh=None) -> bool:
+    """True when committing ``x`` would occupy more than
+    ``_HBM_DATASET_FRACTION`` of a device's memory.
+
+    The resident epoch runner replicates the dataset on every device (batch
+    gathers use global row indices, so a row-sharded dataset would turn each
+    gather into an all-gather) — the per-device footprint is the FULL dataset
+    even under a ``mesh``.  The mesh argument states the placement being
+    guarded and keeps the signature honest if a sharded-dataset path ever
+    lands.  Backends without ``memory_stats`` (CPU, some emulators) report
+    no limit → never trips."""
+    del mesh  # replicated placement: per-device footprint is mesh-independent
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
@@ -391,7 +398,8 @@ class CplMixVAE:
         # bf16 mode also stores the dataset in bf16: halves the HBM
         # footprint AND the per-step gather traffic
         store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
-        if not tcfg.stream and _dataset_exceeds_hbm(x_train, store_dtype):
+        if not tcfg.stream and _dataset_exceeds_hbm(x_train, store_dtype,
+                                                    self.mesh):
             mprint("dataset does not fit in device memory alongside the "
                    "training state — falling back to host→device "
                    "streaming (TrainConfig.stream)")
