@@ -257,6 +257,19 @@ class HTree:
             fig.savefig(save_path, dpi=300, bbox_inches="tight")
         return fig
 
+    def plotnodes(self, nodelist, fig=None):
+        """Overlay red square markers on the named nodes of an existing
+        tree figure (reference ``HTree.plotnodes``, taxonomy.py:202-205,
+        analysis_cells_tree.py:335-338)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ax = fig.gca() if fig is not None else plt.gca()
+        ind = np.isin(self.child, nodelist)
+        ax.plot(self.x[ind], self.y[ind], "s", color="r")
+        return fig
+
 
 def do_merges(labels: np.ndarray, list_changes: Sequence = (),
               n_merges: int = 0, verbose: bool = False) -> np.ndarray:

@@ -39,6 +39,40 @@ def classify(probs: np.ndarray) -> np.ndarray:
     return np.argmax(probs, axis=-1)
 
 
+def time_function(f, *a, **kw) -> float:
+    """Seconds taken by ``f(*a, **kw)`` (reference ``_utils.time_function``,
+    mmidas/_utils.py:43-50).  For device code, remember to synchronize
+    inside ``f`` (np.asarray the result) or the dispatch returns early."""
+    import time
+    tic = time.perf_counter()
+    f(*a, **kw)
+    return time.perf_counter() - tic
+
+
+def unstable(func):
+    """Mark an API as unstable: warns FutureWarning on every call
+    (reference ``_utils.unstable``, mmidas/_utils.py:53-61)."""
+    import functools
+    import warnings
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        warnings.warn(f"{func.__name__}() is unstable",
+                      category=FutureWarning, stacklevel=2)
+        return func(*args, **kwargs)
+
+    return wrapper
+
+
+def mk_masks(bias: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(active indices, pruned indices) of a bias/mask vector — categories
+    with zero bias are the pruned ones (reference ``_utils.mk_masks``,
+    mmidas/_utils.py:74-75; consumed by the pruning workflow to recover
+    which categories a loaded checkpoint had pruned)."""
+    bias = np.asarray(bias)
+    return np.where(bias != 0)[0], np.where(bias == 0)[0]
+
+
 def compute_confmat(labels1: np.ndarray, labels2: np.ndarray,
                     K: int | None = None) -> np.ndarray:
     """K×K co-occurrence matrix of two label vectors.

@@ -28,6 +28,28 @@ def mk_config(**kw) -> VAEConfig:
     return VAEConfig(**kw)
 
 
+def is_normalized(xs, atol: float = 1e-6):
+    """Whether each last-axis slice sums to 1 (reference ``is_normalized``,
+    model.py:48-55 — exact ``== 1`` there; a float tolerance here because
+    softmax outputs are never bit-exactly 1)."""
+    xs = jnp.asarray(xs)
+    return jnp.abs(jnp.sum(xs, axis=-1) - 1.0) <= atol
+
+
+def clr(prob):
+    """Centered log-ratio transform of a probability simplex over the last
+    axis: ``log(p) - mean(log(p))`` (reference ``clr``, model.py:57-58 — a
+    TODO stub that only asserts its input is a normalized simplex; the
+    transform it names is implemented here).  Inputs are validated the same
+    way the stub did."""
+    prob = jnp.asarray(prob)
+    if not bool(jnp.all((prob >= 0) & (prob <= 1))) or not bool(
+            jnp.all(is_normalized(prob))):
+        raise ValueError("clr expects rows on the probability simplex")
+    logp = jnp.log(prob)
+    return logp - jnp.mean(logp, axis=-1, keepdims=True)
+
+
 def mk_run(folder: str) -> dict:
     """Discover a run directory's latest checkpoint + metadata
     (reference mk_run/get_weights, model.py:211-229)."""

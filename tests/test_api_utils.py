@@ -147,3 +147,21 @@ class TestOrbaxCheckpoint:
         tree2, meta = load_checkpoint(p)  # format auto-detected
         assert meta["epoch"] == 3
         np.testing.assert_allclose(tree2["b"]["c"], np.ones((2, 3)))
+
+
+def test_is_normalized_and_clr():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+    from dvae_tpu.models.api import clr, is_normalized
+
+    p = jnp.asarray(np.full((3, 4), 0.25, np.float32))
+    assert bool(jnp.all(is_normalized(p)))
+    assert not bool(jnp.any(is_normalized(p * 2.0)))
+    out = clr(p)
+    # uniform simplex -> zero clr; rows always sum to ~0
+    assert float(jnp.max(jnp.abs(out))) < 1e-6
+    q = jnp.asarray([[0.7, 0.2, 0.1]])
+    assert abs(float(jnp.sum(clr(q)))) < 1e-5
+    with _pytest.raises(ValueError):
+        clr(jnp.asarray([[0.9, 0.3]]))  # not on the simplex

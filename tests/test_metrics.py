@@ -101,3 +101,29 @@ def test_consensus_active_only_removes_structural_ceiling():
                                                active_only=True)))
     assert full == pytest.approx(k / K)
     assert active == pytest.approx(1.0)
+
+
+def test_mk_masks_splits_active_and_pruned():
+    bias = np.array([0.5, 0.0, -1.2, 0.0, 3.0])
+    active, pruned = __import__("dvae_tpu.eval.metrics",
+                                fromlist=["mk_masks"]).mk_masks(bias)
+    assert list(active) == [0, 2, 4]
+    assert list(pruned) == [1, 3]
+
+
+def test_time_function_returns_elapsed_seconds():
+    from dvae_tpu.eval.metrics import time_function
+    import time
+    dt = time_function(time.sleep, 0.01)
+    assert dt >= 0.01
+
+
+def test_unstable_warns_futurewarning():
+    from dvae_tpu.eval.metrics import unstable
+
+    @unstable
+    def f(x):
+        return x + 1
+
+    with pytest.warns(FutureWarning, match="unstable"):
+        assert f(1) == 2

@@ -174,3 +174,12 @@ def test_dend_json_roundtrip(tmp_path):
     assert set(tree.get_descendants("root", leafonly=True)) == {"a", "b", "c"}
     assert set(tree.get_descendants("n1")) == {"a", "b"}
     assert tree.col[list(tree.child).index("a")] == "#ff0000"
+
+
+def test_plotnodes_marks_named_nodes(tree, tmp_path):
+    tree.update_layout()
+    fig = tree.plot()
+    fig = tree.plotnodes(["a", "n1"], fig=fig)
+    # the overlay adds one extra line artist with 2 marker points
+    pts = fig.gca().lines[-1]
+    assert len(pts.get_xdata()) == 2
