@@ -326,20 +326,29 @@ def load_augmenter(path: str):
     return params, bn, cfg
 
 
-def load_augmenter_apply(path: str, dtype=None):
-    """Frozen closure for the trainer: (key, x, n_arm, scale) → (A, B, D).
+def make_augment_apply(params, bn, cfg, dtype=None):
+    """Frozen closure over in-memory augmenter weights:
+    (key, x, n_arm, scale) → (A, B, D).
 
     ``dtype``: cast the frozen weights once (bf16 under mixed-precision
     training — with f32 weights a bf16 activation promotes every augmenter
     matmul to the 3-pass f32 MXU rate).  BN running stats stay f32
     (``_bn`` computes in the stat dtype and returns the activation dtype).
+    The ONE place the cast/closure rule lives — the trainer's f32 and bf16
+    paths and ``load_augmenter_apply`` all delegate here.
     """
-    params, bn, cfg = load_augmenter(path)
     params = cast_augmenter_params(params, dtype)
 
     def fn(key, x, n_arm, scale=0.1):
         return augment_arms(params, bn, cfg, key, x, n_arm, scale)
     return fn
+
+
+def load_augmenter_apply(path: str, dtype=None):
+    """``make_augment_apply`` over a checkpoint file (reference
+    ``mk_augmenter``, cpl_mixvae.py:128-149)."""
+    params, bn, cfg = load_augmenter(path)
+    return make_augment_apply(params, bn, cfg, dtype)
 
 
 def cast_augmenter_params(params, dtype=None):

@@ -99,13 +99,28 @@ class BatchStreamer:
         self.sharding = sharding
         self.prefetch = max(int(prefetch), 1)
         # multi-process: x is the FULL dataset on every process and
-        # batch_size is GLOBAL; this process contributes rows
-        # [rank·B/P, (rank+1)·B/P) of each (identically shuffled) batch
+        # batch_size is GLOBAL.  When the sharding partitions the row axis,
+        # this process contributes rows [rank·B/P, (rank+1)·B/P) of each
+        # (identically shuffled) batch; when the batch is replicated over
+        # the mesh (arm-only sharding, P()), every process contributes the
+        # FULL batch — make_array_from_process_local_data expects the whole
+        # array per process for a replicated dim.  A plain device_put of a
+        # per-process span would hand each replica DIFFERENT data and the
+        # SPMD program would silently diverge, so a multi-process run
+        # without a sharding is a configuration error, not a fallback.
         self._n_proc = jax.process_count()
-        if self._n_proc > 1 and batch_size % self._n_proc:
+        self._rank = jax.process_index()
+        if self._n_proc > 1 and sharding is None:
+            raise ValueError(
+                "multi-process streaming needs a sharding for the committed "
+                "batch (row-sharded or replicated over a process-spanning "
+                "mesh); committing per-process arrays would diverge")
+        spec = getattr(sharding, "spec", None)
+        self._rows_sharded = bool(spec) and spec[0] not in (None, ())
+        if (self._n_proc > 1 and self._rows_sharded
+                and batch_size % self._n_proc):
             raise ValueError(f"global batch_size {batch_size} must divide "
                              f"evenly over {self._n_proc} processes")
-        self._rank = jax.process_index()
 
     @property
     def steps_per_epoch(self) -> int:
@@ -115,8 +130,11 @@ class BatchStreamer:
         return self.steps_per_epoch
 
     def _local_span(self, sel: np.ndarray) -> np.ndarray:
-        """This process's row indices of a global batch selection."""
-        if self._n_proc == 1:
+        """This process's row indices of a global batch selection.
+
+        Only a row-sharded batch splits across processes; a replicated
+        batch needs the full selection on every process (see __init__)."""
+        if self._n_proc == 1 or not self._rows_sharded:
             return sel
         span = self.batch_size // self._n_proc
         return sel[self._rank * span: (self._rank + 1) * span]
@@ -197,6 +215,14 @@ def make_streaming_runner(cfg, tcfg, tx, n_train: int, augment=None,
     step_fn = jax.jit(make_train_step(cfg, tcfg, tx, augment, mesh),
                       donate_argnums=(0,))
     batch_ns = _batch_ns(mesh, B)
+    if batch_ns is None and mesh is not None:
+        # mesh present but the batch can't ride its data axes (arm-only
+        # mesh, or B not divisible): commit batches REPLICATED over the
+        # mesh — a global array every process can construct, instead of a
+        # single-device put that multi-process jit would reject (and that
+        # would diverge if each process held a different span)
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_ns = NamedSharding(mesh, PartitionSpec())
 
     @jax.jit
     def summarize(ms, labels):

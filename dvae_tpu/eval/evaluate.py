@@ -133,16 +133,21 @@ def mutinfo(probs: np.ndarray, targets: np.ndarray,
     F = len(np.unique(t_int))
     N = len(prediction)
 
-    # 2x2 contingency counts for every (f, c) pair from one matmul:
+    # 2x2 contingency counts for every (f, c) pair:
     #   u_f = targets[:, f] != 0 (the reference passes the raw column as
-    #   labels),  v_c = (prediction == c)
-    tcols = (np.asarray(targets[:, :F]) != 0)
-    onehot_p = np.zeros((N, C))
-    onehot_p[np.arange(N), prediction] = 1.0
-    n11 = tcols.astype(np.float64).T @ onehot_p            # (F, C)
-    tf = tcols.sum(axis=0).astype(np.int64)                # (F,)
+    #   labels),  v_c = (prediction == c).
+    # One masked bincount per reference type — O(F·N) time, O(N) scratch —
+    # instead of a dense (N, C) one-hot + (F,N)x(N,C) GEMM, which at
+    # atlas scale (N=1e6, C=92) allocates ~736 MB and does O(N·F·C) work
+    # for integer counts obtainable directly.
+    fcols = np.asarray(targets[:, :F])
+    n11 = np.empty((F, C), np.int64)
+    tf = np.empty(F, np.int64)
+    for f in range(F):
+        mask = fcols[:, f] != 0
+        tf[f] = int(mask.sum())
+        n11[f] = np.bincount(prediction[mask], minlength=C)
     pc = np.bincount(prediction, minlength=C).astype(np.int64)  # (C,)
-    n11 = np.rint(n11).astype(np.int64)
     n10 = tf[:, None] - n11
     n01 = pc[None, :] - n11
     n00 = N - tf[:, None] - pc[None, :] + n11

@@ -92,8 +92,15 @@ class PreemptionGuard:
 
     def __exit__(self, *exc):
         for sig, prev in self._prev.items():
-            if prev is not None:  # None = a non-Python (C-level) handler
+            if prev is not None:
                 signal.signal(sig, prev)
+            else:
+                # signal.signal returned None on entry: the previous handler
+                # was installed at the C level and cannot be re-installed
+                # from Python.  Restoring SIG_DFL at least keeps the process
+                # terminable — leaving OUR handler in place would swallow
+                # every later SIGTERM into a guard nobody polls.
+                signal.signal(sig, signal.SIG_DFL)
         return False
 
 
@@ -158,13 +165,10 @@ class CplMixVAE:
         the compute-dtype cast in ``_augment_fn`` (tcfg is unknown at
         construction time) reuses the in-memory weights instead of
         re-reading the file."""
-        from dvae_tpu.augment.augmenter import augment_arms, load_augmenter
+        from dvae_tpu.augment.augmenter import (load_augmenter,
+                                                make_augment_apply)
         self._aug_loaded = load_augmenter(aug_file)
-        params, bn, acfg = self._aug_loaded
-
-        def fn(key, x, n_arm, scale=0.1):
-            return augment_arms(params, bn, acfg, key, x, n_arm, scale)
-        self.aug_apply = fn
+        self.aug_apply = make_augment_apply(*self._aug_loaded)
 
     def init_model(self, n_categories: int = 92, state_dim: int = 2,
                    input_dim: int = 5032, fc_dim: int = 100,
@@ -258,8 +262,19 @@ class CplMixVAE:
             self.cfg = VAEConfig(**cfg_d)
             self.tcfg = TrainConfig(**tcfg_d)
             self.temp = self.cfg.temp
-            self.mesh = make_mesh(self.tcfg.mesh) \
-                if self.tcfg.mesh.n_devices > 1 else None
+            # a multi-chip-trained checkpoint must stay loadable on a
+            # smaller host (the reference eval workflow runs on CPU,
+            # evaluation.py:19): inference needs no mesh, so fall back to
+            # single-device placement instead of refusing to load
+            want = self.tcfg.mesh
+            if want.n_devices > 1 and want.n_devices > len(jax.devices()):
+                mprint(f"checkpoint was trained on a {want.n_devices}-device "
+                       f"mesh; this host has {len(jax.devices())} — loading "
+                       "unsharded (fine for eval; re-init for training)")
+                self.tcfg = self.tcfg.replace(mesh=MeshConfig())
+                self.mesh = None
+            else:
+                self.mesh = make_mesh(want) if want.n_devices > 1 else None
             self.tx = make_optimizer(self.cfg, self.tcfg.optimizer)
             self.state = init_train_state(
                 jax.random.key(self.seed), self.cfg, self.tx,
@@ -330,19 +345,12 @@ class CplMixVAE:
         aug = self.aug_apply
         if (self.tcfg is not None and self.tcfg.bf16
                 and self._aug_loaded is not None):
-            # frozen closure with bf16 weights (cached): f32 weights
-            # against bf16 activations would promote every augmenter
-            # matmul to the 3-pass f32 MXU rate
+            # frozen closure with bf16 weights (cached; cast/closure rule
+            # lives in make_augment_apply)
             if self._aug_bf16_apply is None:
-                from dvae_tpu.augment.augmenter import (
-                    augment_arms, cast_augmenter_params)
-                params, bn, acfg = self._aug_loaded
-                p16 = cast_augmenter_params(params, jnp.bfloat16)
-
-                def aug16(key, x, n_arm, scale=0.1):
-                    return augment_arms(p16, bn, acfg, key, x, n_arm,
-                                        scale)
-                self._aug_bf16_apply = aug16
+                from dvae_tpu.augment.augmenter import make_augment_apply
+                self._aug_bf16_apply = make_augment_apply(
+                    *self._aug_loaded, dtype=jnp.bfloat16)
             aug = self._aug_bf16_apply
 
         def fn(key, x, n_arm):
@@ -731,7 +739,15 @@ class CplMixVAE:
         cpl_mixvae.py:621-625) — without it the val loss omits the
         prior-coupling terms and is not comparable to the train loss."""
         self._ensure_eval_fns()
-        x = jnp.asarray(x_val, self._eval_dtype())
+        # scipy-sparse validation sets stay sparse on host — _eval_batches
+        # densifies each (B, D) slice; a blanket jnp.asarray raises on
+        # sparse input (and train() deliberately leaves a sparse x_val
+        # unconverted for exactly this path)
+        if hasattr(x_val, "toarray"):
+            x = x_val.tocsr() if getattr(x_val, "format", "csr") != "csr" \
+                else x_val
+        else:
+            x = jnp.asarray(x_val, self._eval_dtype())
         tot, recs, labels, sizes = [], [], [], []
         for kind, xb, pb in self._eval_batches(x, batch_size, c_p):
             # keep device arrays; one transfer per field below (a float()/

@@ -276,3 +276,72 @@ class TestSparseStreaming:
         cpl.train(xs, n_epoch=2, save_plots=False)
         assert not cpl.tcfg.stream
         assert int(np.asarray(cpl.state.epoch)) == 2
+
+
+class TestReviewRegressions:
+    def test_sparse_validation_set(self, tmp_path):
+        """A sparse x_val must flow through validate()'s per-batch densify
+        instead of crashing on a blanket jnp.asarray (review finding)."""
+        sp = pytest.importorskip("scipy.sparse")
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        rng = np.random.default_rng(4)
+        dense = rng.random((N, D), np.float32) * (rng.random((N, D)) > 0.8)
+        xs = sp.csr_matrix(dense)
+        cpl = CplMixVAE(saving_folder=str(tmp_path), seed=1)
+        cpl.init_model(n_categories=C, state_dim=2, input_dim=D,
+                       fc_dim=16, lowD_dim=8, n_arm=2, batch_size=16,
+                       epochs_per_jit=1, stream=True, fused=False)
+        cpl.train(xs[:48], x_val=xs[48:], n_epoch=2, save_plots=False)
+        val = cpl.validate(xs[48:], batch_size=16)
+        assert np.isfinite(val["loss"])
+        # CSC validation input normalizes to CSR row slicing too
+        val2 = cpl.validate(sp.csc_matrix(dense[48:]), batch_size=16)
+        assert val2["loss"] == pytest.approx(val["loss"], rel=1e-5)
+
+    def test_multiprocess_without_sharding_raises(self, monkeypatch):
+        import dvae_tpu.data.stream as dstream
+        monkeypatch.setattr(dstream.jax, "process_count", lambda: 2)
+        monkeypatch.setattr(dstream.jax, "process_index", lambda: 0)
+        x = np.zeros((64, 8), np.float32)
+        with pytest.raises(ValueError, match="sharding"):
+            BatchStreamer(x, 16)
+
+    def test_replicated_sharding_keeps_full_batch(self, monkeypatch):
+        """With a replicated (non-row-sharded) sharding, every process must
+        contribute the FULL batch; only a row-sharded spec splits rows."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        import dvae_tpu.data.stream as dstream
+        mesh = Mesh(np.array(jax.devices()[:2]), ("arm",))
+        x = np.arange(64 * 4, dtype=np.float32).reshape(64, 4)
+        monkeypatch.setattr(dstream.jax, "process_count", lambda: 2)
+        monkeypatch.setattr(dstream.jax, "process_index", lambda: 1)
+        s_rep = BatchStreamer(x, 16, sharding=NamedSharding(mesh, P()))
+        assert not s_rep._rows_sharded
+        assert len(s_rep._local_span(np.arange(16))) == 16
+        s_row = BatchStreamer(
+            x, 16, sharding=NamedSharding(mesh, P(("arm",), None)))
+        assert s_row._rows_sharded
+        np.testing.assert_array_equal(s_row._local_span(np.arange(16)),
+                                      np.arange(8, 16))
+
+    def test_streaming_runner_replicates_on_arm_only_mesh(self):
+        """mesh present but batch not shardable over data axes: batches must
+        commit replicated over the mesh, not single-device."""
+        import jax
+        from dvae_tpu.config import MeshConfig, TrainConfig, VAEConfig
+        from dvae_tpu.data.stream import make_streaming_runner
+        from dvae_tpu.parallel.sharding import make_mesh
+        from dvae_tpu.train.step import init_train_state, make_optimizer
+        cfg = VAEConfig(n_categories=C, input_dim=D, fc_dim=16, lowD_dim=8,
+                        n_arm=2, tau=0.1, fused_recon=False,
+                        fused_encoder=False)
+        tcfg = TrainConfig(batch_size=16, epochs_per_jit=1,
+                           mesh=MeshConfig(arm=2))
+        mesh = make_mesh(MeshConfig(arm=2), devices=jax.devices()[:2])
+        tx = make_optimizer(cfg)
+        state = init_train_state(jax.random.key(0), cfg, tx)
+        run = make_streaming_runner(cfg, tcfg, tx, n_train=N, mesh=mesh)(1)
+        x = make_data()
+        state2, ems = run(state, x, None, 1.0)
+        assert np.isfinite(np.asarray(ems.total)).all()

@@ -498,3 +498,51 @@ def test_resume_right_after_prune_checkpoint_retrains(tmp_path):
     # the spent prune budget (pr_it=1 == max_prun_it) pruned nothing new
     assert int(np.asarray(c2.state.epoch)) == 6
     assert int(np.asarray(c2.state.mask).sum()) == 7
+
+
+def test_standalone_load_of_bigger_mesh_checkpoint(tmp_path):
+    """A checkpoint whose tcfg.mesh wants more devices than this host has
+    must load UNSHARDED (eval needs no mesh) instead of raising in
+    make_mesh (review finding: multi-chip-trained runs were un-evaluable
+    on a single chip)."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=96, n_genes=32, n_types=4, seed=3)
+    cpl = CplMixVAE(saving_folder=str(tmp_path))
+    cpl.init_model(n_categories=4, input_dim=32, fc_dim=12, lowD_dim=6,
+                   n_arm=2, tau=0.1, batch_size=24, epochs_per_jit=1)
+    path = cpl.train(ds.log1p, n_epoch=1)
+    ref = cpl.eval_model(ds.log1p)
+
+    # rewrite the checkpoint metadata to claim a 16-device training mesh
+    import pickle
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    blob["metadata"]["tcfg"]["mesh"] = {"data": 4, "arm": 2, "fsdp": 2}
+    big = str(tmp_path / "big_mesh.ckpt")
+    with open(big, "wb") as f:
+        pickle.dump(blob, f)
+
+    fresh = CplMixVAE(saving_folder=str(tmp_path))
+    assert fresh.load_model(big) == 1
+    assert fresh.mesh is None                      # fell back, no raise
+    res = fresh.eval_model(ds.log1p)
+    np.testing.assert_allclose(res["c_prob"], ref["c_prob"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_preemption_guard_restores_default_over_c_handler():
+    """When the pre-existing SIGTERM handler was C-level (signal.signal
+    returned None), __exit__ must restore SIG_DFL — leaving the guard's
+    handler installed would swallow every later SIGTERM (review finding)."""
+    import signal
+    from dvae_tpu.train.cpl_mixvae import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        g = PreemptionGuard()
+        with g:
+            g._prev[signal.SIGTERM] = None  # simulate a C-level previous
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+    finally:
+        signal.signal(signal.SIGTERM, prev)
