@@ -1,0 +1,177 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Every other test checks this framework against transcribed oracles; this
+file checks it against the reference itself: it imports the real torch
+``mixVAE_model`` from the reference tree, transfers its weights into the
+stacked-arm pytree via ``utils/torch_import``, and asserts that the
+deterministic forward outputs (eval mode: dropout off, BN running stats,
+noiseless hard gumbel — reference mmidas/nn_model.py:297-368) and the full
+9-tuple loss (nn_model.py:495-598, including the binarized-BCE log-clamp
+quirk) agree to f32 tolerance.
+
+Skipped when the reference tree is not available.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("DVAE_REFERENCE", "/root/reference")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "mmidas")),
+    reason="reference tree not available")
+
+A, B, C, D, FC, LOWD, S = 2, 16, 10, 64, 16, 8, 2
+TAU = 0.1
+
+
+@pytest.fixture(scope="module")
+def ref_side():
+    """(torch model in eval mode, its forward outputs, the input batch)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch as th
+    from mmidas.nn_model import mixVAE_model
+
+    th.manual_seed(0)
+    model = mixVAE_model(
+        input_dim=D, fc_dim=FC, n_categories=C, state_dim=S, lowD_dim=LOWD,
+        x_drop=0.5, s_drop=0.2, n_arm=A, lam=1, lam_pc=1, tau=TAU,
+        beta=1.0, hard=False, variational=True, device="cpu", eps=1e-8,
+        momentum=0.01, ref_prior=False, loss_mode="MSE")
+    # burn a few train-mode forwards so BN running stats are non-trivial
+    model.train()
+    with th.no_grad():
+        for i in range(3):
+            xb = th.rand(B, D, generator=th.Generator().manual_seed(i))
+            model(xb.expand(A, -1, -1), 1.0, [])
+    model.eval()
+
+    x = th.rand(B, D, generator=th.Generator().manual_seed(99))
+    with th.no_grad():
+        outs = model(x.expand(A, -1, -1), 1.0, [], eval=True)
+    return model, outs, x.numpy()
+
+
+@pytest.fixture(scope="module")
+def ours_side(ref_side):
+    """(cfg, imported stacked params/bn, our eval forward outputs)."""
+    import jax
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.models import mixvae
+    from dvae_tpu.utils.torch_import import mixvae_from_state_dict
+
+    model, _, x = ref_side
+    params, bn, mask, inferred = mixvae_from_state_dict(
+        {k: v for k, v in model.state_dict().items()})
+    assert inferred["n_arm"] == A and inferred["n_categories"] == C
+    cfg = VAEConfig(n_categories=C, input_dim=D, fc_dim=FC, lowD_dim=LOWD,
+                    state_dim=S, n_arm=A, tau=TAU, eps=1e-8,
+                    fused_recon=False, fused_encoder=False)
+    params = jax.tree_util.tree_map(lambda v: np.asarray(v), params)
+    xs = np.repeat(x[None], A, axis=0)
+    outs, _ = mixvae.apply(params, bn, cfg, xs, jax.random.key(0),
+                           temp=1.0, train=False)
+    return cfg, params, bn, outs
+
+
+def _close(ours, ref_t, name, rtol=2e-4, atol=2e-5):
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_t.detach().numpy(), rtol=rtol, atol=atol,
+        err_msg=f"{name} diverges from the reference implementation")
+
+
+class TestForwardParity:
+    def test_deterministic_fields_match(self, ref_side, ours_side):
+        """x_low, softmax probs, tau-sharpened posterior, hard sample,
+        state mean/logvar — every noise-free forward output matches the
+        reference's eval-mode forward on the same imported weights."""
+        _, ref, _ = ref_side
+        (x_recs, _, _, x_lows, cs, s_smps, c_smps,
+         s_means, s_logvars, c_probs) = ref
+        _, _, _, ours = ours_side
+        for a in range(A):
+            _close(ours.x_low[a], x_lows[a], f"x_low[{a}]")
+            _close(ours.c[a], cs[a], f"c[{a}]")
+            _close(ours.c_smp[a], c_smps[a], f"c_smp[{a}]")
+            _close(ours.s_mean[a], s_means[a], f"s_mean[{a}]")
+            _close(ours.s_logvar[a], s_logvars[a], f"s_logvar[{a}]")
+
+    def test_decoder_matches_on_same_state_sample(self, ref_side, ours_side):
+        """Driving BOTH decoders with the same (c_smp, s=s_mean) removes
+        the reparameterization noise: reconstructions must agree."""
+        import jax
+        import torch as th
+        from dvae_tpu.models.mixvae import _decode_arm
+
+        model, ref, _ = ref_side
+        cfg, params, _, ours = ours_side
+        c_smps, s_means = ref[6], ref[7]
+        for a in range(A):
+            with th.no_grad():
+                ref_rec = model.decoder(c_smps[a], s_means[a], a)
+            p_a = jax.tree_util.tree_map(lambda v: v[a], params)
+            our_rec, _, _ = _decode_arm(p_a, np.asarray(ours.c_smp[a]),
+                                        np.asarray(ours.s_mean[a]),
+                                        jax.random.key(0), cfg, train=False)
+            _close(our_rec, ref_rec, f"x_rec[{a}]", rtol=5e-4, atol=5e-4)
+
+
+class TestLossParity:
+    def test_nine_tuple_matches(self, ref_side, ours_side):
+        """Same tensors into both loss functions: total, per-arm rec
+        (incl. the binarized-BCE log-clamp), coupling, entropy, simplex
+        distance, L2 distance, and per-arm KL all agree."""
+        import jax
+        import torch as th
+        from dvae_tpu.models.losses import mixvae_loss
+        from dvae_tpu.models.mixvae import MixVAEOutputs, _decode_arm
+
+        model, ref, x = ref_side
+        cfg, params, _, ours = ours_side
+        c_smps, s_means, s_logvars, cs = ref[6], ref[7], ref[8], ref[4]
+        # deterministic reconstructions: decode s_mean on both sides
+        ref_recs = []
+        with th.no_grad():
+            for a in range(A):
+                ref_recs.append(model.decoder(c_smps[a], s_means[a], a))
+        our_recs = []
+        for a in range(A):
+            p_a = jax.tree_util.tree_map(lambda v: v[a], params)
+            our_recs.append(_decode_arm(
+                p_a, np.asarray(ours.c_smp[a]), np.asarray(ours.s_mean[a]),
+                jax.random.key(0), cfg, train=False)[0])
+
+        xs_t = [th.as_tensor(x) for _ in range(A)]
+        ref_loss = model.loss(ref_recs, [], [], xs_t,
+                              s_means, s_logvars, cs, c_smps)
+        (r_total, r_recs, r_joint, r_ent, r_cdist, r_cl2, r_kls, _,
+         _) = ref_loss
+
+        zeros = np.zeros((A, B, D), np.float32)
+        outs = MixVAEOutputs(
+            x_rec=np.stack([np.asarray(r) for r in our_recs]),
+            p_x=zeros, r_x=zeros,
+            x_low=np.asarray(ours.x_low), c=np.asarray(ours.c),
+            s_smp=np.asarray(ours.s_mean), c_smp=np.asarray(ours.c_smp),
+            s_mean=np.asarray(ours.s_mean),
+            s_logvar=np.asarray(ours.s_logvar),
+            c_prob=np.asarray(ours.c_prob))
+        xs = np.repeat(x[None], A, axis=0)
+        got = mixvae_loss(cfg, outs, xs)
+
+        assert float(got.total) == pytest.approx(float(r_total), rel=2e-4)
+        _close(got.loss_rec, r_recs, "loss_rec", rtol=2e-4, atol=1e-4)
+        assert float(got.loss_joint) == pytest.approx(float(r_joint),
+                                                      rel=2e-4)
+        assert float(got.neg_entropy) == pytest.approx(float(r_ent),
+                                                       rel=2e-4)
+        assert float(got.c_dist) == pytest.approx(float(r_cdist), rel=2e-4)
+        assert float(got.c_l2_dist) == pytest.approx(float(r_cl2), rel=2e-4)
+        ref_kl = np.array([float(k) for k in r_kls])
+        np.testing.assert_allclose(np.asarray(got.kl), ref_kl,
+                                   rtol=2e-4, atol=1e-5)
