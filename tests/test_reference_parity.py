@@ -175,3 +175,58 @@ class TestLossParity:
         ref_kl = np.array([float(k) for k in r_kls])
         np.testing.assert_allclose(np.asarray(got.kl), ref_kl,
                                    rtol=2e-4, atol=1e-5)
+
+
+class TestAugmenterParity:
+    def test_smartseq_forward_matches_with_noise_off(self, tmp_path,
+                                                     monkeypatch):
+        """The real reference Augmenter_smartseq (batched arm-major forward
+        with its permute-BatchNorm trick, udagan.py:284-309) vs our
+        trunk-once augment_arms on imported weights.  Noise is removed on
+        both sides (scale=0 kills the z path; the reparameterization draw
+        is patched to its mean), making the forward deterministic."""
+        import jax
+        import jax.numpy as jnp
+        import torch as th
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        import mmidas.augmentation.udagan as udagan
+
+        NZ, Z, Dg, H, Bn, Aa = 6, 4, 60, 20, 32, 3
+        th.manual_seed(1)
+        net = udagan.Augmenter_smartseq(noise_dim=NZ, latent_dim=Z,
+                                        input_dim=Dg, n_dim=H)
+        # burn real BN running stats, then freeze (the in-loop augmenter is
+        # .eval(), reference cpl_mixvae.py:184)
+        net.train()
+        with th.no_grad():
+            for i in range(3):
+                net(th.rand(Bn, Dg,
+                            generator=th.Generator().manual_seed(i)), False)
+        net.eval()
+
+        ckpt = {"netA": net.state_dict(), "netD": {}, "optimA": {},
+                "optimD": {}, "parameters": {"num_n": NZ, "num_z": Z,
+                                             "n_features": Dg, "n_dim": H}}
+        pth = str(tmp_path / "aug.pth")
+        th.save(ckpt, pth)
+
+        from dvae_tpu.augment.augmenter import augment_arms, load_augmenter
+        from dvae_tpu.utils.torch_import import import_augmenter_checkpoint
+        params, bn, acfg = load_augmenter(import_augmenter_checkpoint(pth))
+
+        x = th.rand(Bn, Dg, generator=th.Generator().manual_seed(77))
+        monkeypatch.setattr(udagan, "reparam_trick",
+                            lambda mu, std, device: mu)
+        with th.no_grad():
+            _, ref_out = net(x.expand(Aa, -1, -1), True, 0.0)
+
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+        ours = augment_arms(params, bn, acfg, jax.random.key(0),
+                            jnp.asarray(x.numpy()), n_arm=Aa, scale=0.0)
+        np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg="augmenter forward diverges from "
+                                           "the reference implementation")
