@@ -230,3 +230,24 @@ class TestAugmenterParity:
                                    rtol=2e-4, atol=2e-4,
                                    err_msg="augmenter forward diverges from "
                                            "the reference implementation")
+
+
+def test_zinb_loss_matches_reference():
+    """Our zinb_loss vs the reference's own free function
+    (mmidas/nn_model.py:642-676) on identical tensors."""
+    import torch as th
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from mmidas.nn_model import zinb_loss as ref_zinb
+    from dvae_tpu.models.losses import zinb_loss as our_zinb
+
+    rng = np.random.default_rng(5)
+    shape = (8, 40)
+    x = np.log1p(rng.poisson(3.0, shape)).astype(np.float32)   # log1p counts
+    rec = rng.random(shape, np.float32) * 4 + 0.5              # NB rate head
+    p = rng.random(shape, np.float32) * 0.8 + 0.05
+    z = rng.random(shape, np.float32) * 0.8 + 0.05
+    ref = float(ref_zinb(th.as_tensor(rec), th.as_tensor(p),
+                         th.as_tensor(z), th.as_tensor(x)))
+    got = float(our_zinb(rec, p, z, x))
+    assert got == pytest.approx(ref, rel=1e-5)
