@@ -251,3 +251,52 @@ def test_zinb_loss_matches_reference():
                          th.as_tensor(z), th.as_tensor(x)))
     got = float(our_zinb(rec, p, z, x))
     assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_gumbel_and_uniform_reparam_match_with_shared_noise(ref_side,
+                                                            monkeypatch):
+    """The RNG-dependent paths, driven with IDENTICAL uniform noise on both
+    sides: gumbel-softmax sampling (log(-log(U+eps)+eps) construction,
+    reference nn_model.py:430-455), the ST-hard forward value, and the
+    uniform-noise reparameterization quirk (torch.rand_like at :427,
+    ReparamNoise.UNIFORM here)."""
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    from dvae_tpu.models import sampling
+
+    model, _, _ = ref_side
+    rng = np.random.default_rng(11)
+    U = rng.random((B, C)).astype(np.float32)
+    phi = np.exp(rng.random((B, C), np.float32))
+    phi = (phi / phi.sum(-1, keepdims=True)).astype(np.float32)
+    phi_t = th.as_tensor(phi)
+
+    monkeypatch.setattr(th, "rand",
+                        lambda *s, **kw: th.as_tensor(U.reshape(s if len(s) > 1
+                                                                else s[0])))
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape, dtype=jnp.float32:
+                        jnp.asarray(U.reshape(shape), dtype))
+
+    ref_soft = model.gumbel_softmax_sample(phi_t, 0.7).numpy()
+    our_soft = np.asarray(sampling.gumbel_softmax_sample(
+        jax.random.key(0), phi, 0.7, model.eps))
+    np.testing.assert_allclose(our_soft, ref_soft, rtol=2e-4, atol=2e-5)
+
+    ref_hard = model.gumbel_softmax(phi_t, 1, C, 0.7, hard=True)
+    our_hard = np.asarray(sampling.gumbel_softmax(
+        jax.random.key(0), phi, 0.7, model.eps, hard=True))
+    np.testing.assert_allclose(our_hard.reshape(-1, C),
+                               ref_hard.detach().numpy(), rtol=2e-4,
+                               atol=2e-5)
+
+    mu = rng.random((B, C), np.float32)
+    logvar = (rng.random((B, C), np.float32) - 0.5).astype(np.float32)
+    monkeypatch.setattr(th, "rand_like",
+                        lambda t, **kw: th.as_tensor(U.reshape(t.shape)))
+    ref_s = model.reparameterize(th.as_tensor(mu),
+                                 th.as_tensor(logvar)).numpy()
+    our_s = np.asarray(sampling.reparameterize(
+        jax.random.key(0), mu, logvar, noise=sampling.ReparamNoise.UNIFORM))
+    np.testing.assert_allclose(our_s, ref_s, rtol=2e-4, atol=2e-5)
