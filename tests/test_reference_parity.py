@@ -300,3 +300,62 @@ def test_gumbel_and_uniform_reparam_match_with_shared_noise(ref_side,
     our_s = np.asarray(sampling.reparameterize(
         jax.random.key(0), mu, logvar, noise=sampling.ReparamNoise.UNIFORM))
     np.testing.assert_allclose(our_s, ref_s, rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    """The reference's real ``_utils`` module (confmat/consensus kit).
+
+    Its import chain pulls anndata/toml through dataloader/tools/_evals —
+    none of which the consensus kit itself uses — so those three modules
+    are stubbed before import."""
+    import types
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name, attrs in [("mmidas.utils.dataloader",
+                         ["load_data", "get_loaders"]),
+                        ("mmidas._evals", ["evals2"]),
+                        ("mmidas.utils.tools", ["get_paths"])]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for a in attrs:
+                setattr(m, a, None)
+            sys.modules[name] = m
+    import mmidas._utils as u
+    return u
+
+
+class TestConsensusKitParity:
+    """eval/metrics.py vs the reference's real _utils implementations."""
+
+    def test_confmat_normalize_mean_reassign_ecdf(self, ref_utils):
+        from dvae_tpu.eval import metrics as m
+
+        rng = np.random.default_rng(3)
+        K, N = 9, 500
+        l1 = rng.integers(0, K, N)
+        l2 = rng.integers(0, K, N)
+        ref_cm = ref_utils.compute_confmat(l1, l2, K)
+        our_cm = m.compute_confmat(l1, l2, K)
+        np.testing.assert_array_equal(our_cm, ref_cm)
+
+        np.testing.assert_allclose(m.confmat_normalize(our_cm),
+                                   ref_utils.confmat_normalize(ref_cm.copy()))
+        assert m.confmat_mean(m.confmat_normalize(our_cm)) == pytest.approx(
+            ref_utils.confmat_mean(ref_utils.confmat_normalize(ref_cm.copy())))
+
+        x = rng.random((6, 6))
+        np.testing.assert_array_equal(m.reassign(x), ref_utils.reassign(x))
+
+        labels = rng.integers(0, 5, 200)
+        np.testing.assert_allclose(m.ecdf(labels), ref_utils.ecdf(labels))
+
+    def test_classify_and_parse_epoch(self, ref_utils):
+        from dvae_tpu.eval import metrics as m
+
+        rng = np.random.default_rng(4)
+        probs = rng.random((50, 7))
+        np.testing.assert_array_equal(m.classify(probs),
+                                      ref_utils.classify(probs))
+        s = "cpl_mixVAE_model_epoch_4200.pth"
+        assert m.parse_epoch(s) == ref_utils.parse_epoch(s)
