@@ -10,6 +10,13 @@ noiseless hard gumbel — reference mmidas/nn_model.py:297-368) and the full
 quirk) agree to f32 tolerance.
 
 Skipped when the reference tree is not available.
+
+Not covered here: the taxonomy/HTree stack — the reference's own
+implementation does not run under modern deps (pandas 3 copy-on-write
+breaks its read-only-view mutations at taxonomy.py:67, and numpy 2 removed
+the ``np.NaN`` it uses at taxonomy.py:506), so it cannot be executed for
+comparison; tests/test_taxonomy.py pins that stack against hand-built
+synthetic trees instead.
 """
 
 from __future__ import annotations
