@@ -37,6 +37,15 @@ GABA_MARKERS_2 = (
     "Sirt4")
 
 
+def additional_gene() -> list[str]:
+    """The curated extra-marker panel from ``mmidas/utils/local_config.py``
+    ``additional_gene`` :3-24 — the union of the glutamatergic and GABAergic
+    panels as one flat gene-name list (order and duplicates preserved as in
+    the reference)."""
+    return list(GLUTAMATERGIC_MARKERS) + list(GABA_MARKERS_1) \
+        + list(GABA_MARKERS_2)
+
+
 def get_genes(gene_id: Sequence[str], n_genes: int = 0) -> np.ndarray:
     """Column indices combining the first ``n_genes`` genes with the marker
     panels (reference get_genes semantics, vectorized lookup)."""

@@ -153,3 +153,46 @@ def test_frozen_augmenter_bf16_cast_matches_f32():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=0.1, atol=0.15)
+
+
+def test_marker_gene_panels_match_reference_lists():
+    """get_genes index selection matches the reference's loop-based lookup
+    (augmentation/dataloader.py:6-51) and additional_gene reproduces the
+    local_config.py:3-24 extra_genes list verbatim."""
+    import ast
+    import pathlib
+    import re
+
+    from dvae_tpu.augment.genes import (GABA_MARKERS_1, GABA_MARKERS_2,
+                                        GLUTAMATERGIC_MARKERS,
+                                        additional_gene, get_genes)
+
+    ref_file = pathlib.Path("/root/reference/mmidas/utils/local_config.py")
+    if ref_file.exists():
+        m = re.search(r"extra_genes = (\[.*?\])\n\n", ref_file.read_text(),
+                      re.S)
+        assert additional_gene() == ast.literal_eval(m.group(1))
+    else:
+        assert len(additional_gene()) == 117
+
+    gene_id = ["GeneX", "Sst", "Cux2", "GeneY", "Sirt4", "Lamp5", "GeneZ"]
+    # naive per-panel loop lookup (the reference's semantics)
+    marker_idx = []
+    for panel in (GLUTAMATERGIC_MARKERS, GABA_MARKERS_1, GABA_MARKERS_2):
+        for g in panel:
+            marker_idx += [i for i, item in enumerate(gene_id) if g == item]
+    want = np.unique(np.concatenate([np.arange(3), np.array(marker_idx)]))
+    np.testing.assert_array_equal(get_genes(gene_id, n_genes=3), want)
+    # n_genes=0 -> every column
+    np.testing.assert_array_equal(get_genes(gene_id, 0),
+                                  np.arange(len(gene_id)))
+
+
+def test_get_data_yields_paired_binarized_batches():
+    from dvae_tpu.augment.genes import get_data
+
+    x = rng.random((25, 6)).astype(np.float32)
+    batches = list(get_data(x, batch_size=10, training=False))
+    assert len(batches) == 2  # drop_last
+    for xb, bb in batches:
+        np.testing.assert_array_equal(bb, (xb > 1e-1).astype(np.float32))
