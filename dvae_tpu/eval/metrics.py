@@ -240,3 +240,27 @@ def consensus_device(labels, K: int, active_only: bool = False):
     if n_pairs == 0:
         return jnp.asarray(1.0)
     return jnp.mean(per_pair[iu])
+
+
+def set_seeds(s: int) -> None:
+    """Seed every host-side RNG the framework touches (reference
+    ``_utils.set_seeds`` :34-40: torch/cuda/numpy/random/PYTHONHASHSEED).
+
+    JAX device RNG is keyed explicitly (``jax.random.key``) so only the
+    host-side generators need global seeding here; pass ``s`` to
+    ``TrainConfig.seed`` for the device side.
+    """
+    import os
+    import random
+
+    np.random.seed(s)
+    random.seed(s)
+    os.environ["PYTHONHASHSEED"] = str(s)
+
+
+def mapv(f, assocs):
+    """Map ``f`` over the values of (k, v) pairs (reference ``_utils.mapv``
+    :30-31)."""
+    from itertools import starmap
+
+    return starmap(lambda k, v: (k, f(v)), assocs)

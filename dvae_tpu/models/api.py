@@ -159,3 +159,37 @@ def single_vae_apply(cfg: VAEConfig, params_one_arm, bn_one_arm, x,
     outs, new_bn = mixvae.apply(params, bn, cfg1, xs, key, train=train)
     squeeze = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
     return mixvae.MixVAEOutputs(*[o[0] for o in outs]), squeeze(new_bn)
+
+
+def view_weights(folder: str) -> dict:
+    """Shape/dtype summary of a run's latest checkpoint parameters
+    (reference ``view_weights``, model.py:231-234 — which returns the raw
+    state dict; here a {path: (shape, dtype)} map plus the pytree, which is
+    what the helper is actually used for: eyeballing what was saved)."""
+    params, _, _, meta = get_weights(folder)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    summary = {jax.tree_util.keystr(k): (tuple(v.shape), str(v.dtype))
+               for k, v in flat}
+    return {"summary": summary, "params": params, "metadata": meta}
+
+
+def sample_normal(key=None) -> float:
+    """One standard-normal draw via Box–Muller (reference ``sample_normal``,
+    model.py:177-178 — its pure-python RNG backend).  Keyed here instead of
+    global-state ``random.random()``."""
+    import math
+    import random as _random
+
+    if key is not None:
+        u1, u2 = jax.random.uniform(key, (2,))
+        return float(math.sqrt(-2 * math.log(float(u1)))
+                     * math.cos(2 * math.pi * float(u2)))
+    return (math.sqrt(-2 * math.log(_random.random()))
+            * math.cos(2 * math.pi * _random.random()))
+
+
+def reparam(mean, logvar, key):
+    """Gaussian reparameterization draw (reference ``reparam``,
+    model.py:209-210): ``mean + N(0,1)·exp(logvar/2)``."""
+    mean = jnp.asarray(mean)
+    return mean + jax.random.normal(key, mean.shape) * jnp.exp(0.5 * jnp.asarray(logvar))

@@ -66,6 +66,57 @@ def log_mixture_nb(x: jax.Array, mu_1: jax.Array, mu_2: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# NB parameterization conversions (reference distributions.py:171-220)
+# ---------------------------------------------------------------------------
+
+def _convert_mean_disp_to_counts_logits(mu, theta, eps: float = 1e-6):
+    """(mu, theta) → (total_count, logits) NB parameterization
+    (reference :171-194)."""
+    if (mu is None) != (theta is None):
+        raise ValueError(
+            "If using the mu/theta NB parameterization, both parameters "
+            "must be specified")
+    logits = jnp.log(mu + eps) - jnp.log(theta + eps)
+    return theta, logits
+
+
+def _convert_counts_logits_to_mean_disp(total_count, logits):
+    """(total_count, logits) → (mu, theta) NB parameterization
+    (reference :197-213)."""
+    theta = total_count
+    mu = jnp.exp(logits) * theta
+    return mu, theta
+
+
+@dataclass(frozen=True)
+class Gamma:
+    """Gamma(concentration, rate) — the latent mixing distribution of the
+    NB's gamma-Poisson representation (reference ``_gamma`` :216-221,
+    torch.distributions.Gamma; rate = 1/scale)."""
+
+    concentration: jax.Array
+    rate: jax.Array
+
+    @property
+    def mean(self):
+        return self.concentration / self.rate
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+            jnp.shape(self.concentration), jnp.shape(self.rate))
+        return jax.random.gamma(key, self.concentration, shape) / self.rate
+
+    def log_prob(self, x):
+        c, r = self.concentration, self.rate
+        return (c * jnp.log(r) + (c - 1) * jnp.log(x) - r * x - _lgamma(c))
+
+
+def _gamma(theta, mu) -> Gamma:
+    """The NB(mu, theta) mixing Gamma (reference :216-221)."""
+    return Gamma(concentration=theta, rate=theta / mu)
+
+
+# ---------------------------------------------------------------------------
 # Distribution objects (sample / mean / variance / log_prob)
 # ---------------------------------------------------------------------------
 

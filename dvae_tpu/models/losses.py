@@ -130,6 +130,27 @@ def neg_entropy(c: jax.Array, logc: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum(c * logc, axis=-1), axis=-1)
 
 
+def arm_combs(A: int) -> float:
+    """Number of unordered arm pairs, min 1 (reference nn_model.py:48-50)."""
+    return max(A * (A - 1) / 2, 1)
+
+
+def l2_dist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared L2 distance along the last axis (reference nn_model.py:53-54)."""
+    return jnp.sum((a - b) ** 2, axis=-1)
+
+
+def simplex_dist(a, b) -> jax.Array:
+    """Precision-scaled simplex distance between two arms' categorical
+    posteriors (reference nn_model.py:57-62): each argument is a
+    ``(log c, inv_sd)`` pair; the distance is ``l2_dist`` of the products.
+    ``coupling_distance`` computes the same quantity for all pairs at once
+    via the Gram matrix — this is the named per-pair form."""
+    loga, inv_vara = a
+    logb, inv_varb = b
+    return l2_dist(loga * inv_vara, logb * inv_varb)
+
+
 def _pair_sums_from_gram(v: jax.Array) -> jax.Array:
     """Σ_{a<b} mean_B ‖v_a − v_b‖² for v of shape (A, B, C), via one Gram matmul.
 

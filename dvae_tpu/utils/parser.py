@@ -62,3 +62,26 @@ def many(p1: Parser) -> Parser:
             v, s = r
             out.append(v)
     return p
+
+
+class ParserError(Exception):
+    """Raised by ``parse`` on failure (reference parser.py:7-9 — the
+    reference's combinators throw; ours return None internally and surface
+    the exception only at the ``parse`` entry point)."""
+
+    def __init__(self, msg: str, content: str):
+        super().__init__(f"{msg}: {content}")
+
+
+def any_char() -> Parser:
+    """Consume any single character (reference ``anyChar`` :27-31)."""
+    return sat(lambda _: True)
+
+
+def parse(p: Parser, s: str) -> Tuple[object, str]:
+    """Run ``p`` on ``s``; return (value, rest) or raise ``ParserError``
+    (reference ``parse`` :12-14)."""
+    r = p(s)
+    if r is None:
+        raise ParserError("Parse failure", s)
+    return r

@@ -165,3 +165,64 @@ def test_is_normalized_and_clr():
     assert abs(float(jnp.sum(clr(q)))) < 1e-5
     with _pytest.raises(ValueError):
         clr(jnp.asarray([[0.9, 0.3]]))  # not on the simplex
+
+
+def test_parser_exception_surface():
+    """parse/any_char/ParserError (reference parser.py:7-31) on top of the
+    Option-style combinators."""
+    from dvae_tpu.utils.parser import (ParserError, any_char, any_digit,
+                                       compose, parse)
+    import pytest
+
+    assert parse(any_char(), "xy") == ("x", "y")
+    assert parse(compose(any_digit(), any_char()), "7q!") == (("7", "q"), "!")
+    with pytest.raises(ParserError):
+        parse(any_digit(), "abc")
+    with pytest.raises(ParserError):
+        parse(any_char(), "")
+
+
+def test_set_seeds_and_mapv():
+    from dvae_tpu.eval.metrics import mapv, set_seeds
+
+    set_seeds(123)
+    a = np.random.rand(4)
+    set_seeds(123)
+    b = np.random.rand(4)
+    np.testing.assert_array_equal(a, b)
+    assert dict(mapv(lambda v: v * 2, {"a": 1, "b": 5}.items())) == \
+        {"a": 2, "b": 10}
+
+
+def test_reparam_and_sample_normal_moments():
+    from dvae_tpu.models.api import reparam, sample_normal
+
+    k = jax.random.key(0)
+    draws = reparam(jnp.zeros(20000), jnp.zeros(20000), k)
+    assert abs(float(draws.mean())) < 0.05
+    assert abs(float(draws.std()) - 1.0) < 0.05
+    # shifted/scaled
+    d2 = reparam(jnp.full(20000, 3.0), jnp.full(20000, np.log(4.0)), k)
+    assert abs(float(d2.mean()) - 3.0) < 0.1
+    assert abs(float(d2.std()) - 2.0) < 0.1
+    ks = [sample_normal(jax.random.key(i)) for i in range(200)]
+    assert abs(np.mean(ks)) < 0.25 and 0.6 < np.std(ks) < 1.4
+
+
+def test_view_weights_summary(tmp_path):
+    import os
+    os.environ.setdefault("XLA_FLAGS", "")
+    from dvae_tpu.data.anndata_io import synthetic_dataset
+    from dvae_tpu.models.api import view_weights
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=60, n_genes=24, n_types=4, seed=0)
+    cpl = CplMixVAE(str(tmp_path))
+    cpl.init_model(n_categories=4, input_dim=24, fc_dim=8, lowD_dim=4,
+                   n_arm=2, tau=0.1, batch_size=30, epochs_per_jit=1)
+    cpl.train(ds.log1p, n_epoch=1, save_plots=False)
+    vw = view_weights(str(tmp_path))
+    assert vw["summary"] and all(
+        isinstance(s, tuple) for s, _ in vw["summary"].values())
+    key = next(iter(k for k in vw["summary"] if "fc1" in k))
+    assert vw["summary"][key][0][0] == 2  # stacked-arm leading axis

@@ -229,3 +229,53 @@ class TestTools:
         cfg = get_paths("cfg.toml", "ds")
         assert cfg["ds"]["anndata_file"] == "x.h5ad"
         assert str(cfg["ds"]["data_path"]) == "data"  # existing → Path
+
+
+class TestNBParameterizationConversions:
+    def test_roundtrip_and_gamma_moments(self):
+        """mu/theta <-> counts/logits conversions invert each other and
+        _gamma reproduces the NB mean via its mixing Gamma
+        (reference distributions.py:171-221)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dvae_tpu.models.distributions import (
+            NegativeBinomial, _convert_counts_logits_to_mean_disp,
+            _convert_mean_disp_to_counts_logits, _gamma)
+
+        mu = jnp.asarray([0.5, 3.0, 40.0])
+        theta = jnp.asarray([1.0, 2.0, 8.0])
+        tc, logits = _convert_mean_disp_to_counts_logits(mu, theta, eps=0.0)
+        mu2, theta2 = _convert_counts_logits_to_mean_disp(tc, logits)
+        np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(theta2), np.asarray(theta))
+
+        g = _gamma(theta, mu)
+        np.testing.assert_allclose(np.asarray(g.mean), np.asarray(mu),
+                                   rtol=1e-6)
+        # large-sample gamma-Poisson mean ~ NB mean
+        s = g.sample(jax.random.key(0), (4000,))
+        np.testing.assert_allclose(s.mean(0), np.asarray(mu), rtol=0.1)
+        nb = NegativeBinomial(mu, theta)
+        np.testing.assert_allclose(np.asarray(nb.mean), np.asarray(mu))
+
+    def test_mismatched_parameterization_raises(self):
+        import jax.numpy as jnp
+
+        from dvae_tpu.models.distributions import \
+            _convert_mean_disp_to_counts_logits
+
+        with pytest.raises(ValueError):
+            _convert_mean_disp_to_counts_logits(None, jnp.ones(3))
+
+    def test_gamma_log_prob_matches_scipy(self):
+        import jax.numpy as jnp
+
+        from dvae_tpu.models.distributions import Gamma
+        from scipy import stats
+
+        g = Gamma(jnp.asarray(2.5), jnp.asarray(0.7))
+        x = np.asarray([0.3, 1.0, 4.2])
+        want = stats.gamma.logpdf(x, a=2.5, scale=1 / 0.7)
+        np.testing.assert_allclose(np.asarray(g.log_prob(jnp.asarray(x))),
+                                   want, rtol=1e-5)

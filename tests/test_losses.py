@@ -260,3 +260,34 @@ def test_coupling_distance_survives_dead_categories():
     n = float(coupling_distance_naive(c, 1e-8))
     assert n > 100.0  # the regime is nontrivial
     np.testing.assert_allclose(v, n, rtol=2e-3)
+
+
+def test_named_pairwise_helpers_match_gram_forms():
+    """l2_dist/simplex_dist/arm_combs (reference nn_model.py:48-62) agree
+    with the Gram-matrix pair sums used in the production loss."""
+    import itertools
+
+    from dvae_tpu.models.losses import (arm_combs, coupling_distance, inv_sd,
+                                        l2_dist, l2_pair_sum_naive,
+                                        simplex_dist)
+
+    assert arm_combs(1) == 1 and arm_combs(2) == 1 and arm_combs(5) == 10
+
+    rng_ = np.random.default_rng(3)
+    A, B, C = 4, 16, 6
+    c = jax.nn.softmax(jnp.asarray(rng_.normal(size=(A, B, C)),
+                                   jnp.float32), axis=-1)
+    eps = 1e-8
+    logc = jnp.log(c + eps)
+    prec = inv_sd(c, eps)
+    # per-pair batch-mean of the named form, summed == Gram coupling distance
+    total = sum(
+        float(jnp.mean(simplex_dist((logc[a], prec[a]), (logc[b], prec[b]))))
+        for a, b in itertools.combinations(range(A), 2))
+    np.testing.assert_allclose(total, float(coupling_distance(c, eps)),
+                               rtol=2e-4)
+    # l2_dist batch-means summed over pairs == l2 pair-sum oracle
+    total_l2 = sum(float(jnp.mean(l2_dist(c[a], c[b])))
+                   for a, b in itertools.combinations(range(A), 2))
+    np.testing.assert_allclose(total_l2, float(l2_pair_sum_naive(c)),
+                               rtol=1e-5)
