@@ -264,3 +264,14 @@ def mapv(f, assocs):
     from itertools import starmap
 
     return starmap(lambda k, v: (k, f(v)), assocs)
+
+
+def compose(*fs):
+    """Right-to-left variadic function composition (reference
+    ``_utils.compose`` :23-27, incl. the inner ``compose2``)."""
+    from functools import reduce
+
+    def compose2(f, g):
+        return lambda *a, **kw: f(g(*a, **kw))
+
+    return reduce(compose2, fs)

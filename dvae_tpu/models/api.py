@@ -175,14 +175,15 @@ def view_weights(folder: str) -> dict:
 
 def sample_normal(key=None) -> float:
     """One standard-normal draw via Box–Muller (reference ``sample_normal``,
-    model.py:177-178 — its pure-python RNG backend).  Keyed here instead of
+    model.py:28-29 — its pure-python RNG backend).  Keyed here instead of
     global-state ``random.random()``."""
     import math
     import random as _random
 
     if key is not None:
         u1, u2 = jax.random.uniform(key, (2,))
-        return float(math.sqrt(-2 * math.log(float(u1)))
+        # uniform samples [0, 1); Box-Muller needs u1 in (0, 1]
+        return float(math.sqrt(-2 * math.log(1.0 - float(u1)))
                      * math.cos(2 * math.pi * float(u2)))
     return (math.sqrt(-2 * math.log(_random.random()))
             * math.cos(2 * math.pi * _random.random()))
@@ -190,6 +191,6 @@ def sample_normal(key=None) -> float:
 
 def reparam(mean, logvar, key):
     """Gaussian reparameterization draw (reference ``reparam``,
-    model.py:209-210): ``mean + N(0,1)·exp(logvar/2)``."""
+    model.py:60-61): ``mean + N(0,1)·exp(logvar/2)``."""
     mean = jnp.asarray(mean)
     return mean + jax.random.normal(key, mean.shape) * jnp.exp(0.5 * jnp.asarray(logvar))

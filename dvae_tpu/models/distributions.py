@@ -108,7 +108,9 @@ class Gamma:
 
     def log_prob(self, x):
         c, r = self.concentration, self.rate
-        return (c * jnp.log(r) + (c - 1) * jnp.log(x) - r * x - _lgamma(c))
+        # xlogy keeps the exponential case (c == 1) finite at x == 0
+        return (c * jnp.log(r) + jax.scipy.special.xlogy(c - 1, x)
+                - r * x - _lgamma(c))
 
 
 def _gamma(theta, mu) -> Gamma:

@@ -226,3 +226,10 @@ def test_view_weights_summary(tmp_path):
         isinstance(s, tuple) for s, _ in vw["summary"].values())
     key = next(iter(k for k in vw["summary"] if "fc1" in k))
     assert vw["summary"][key][0][0] == 2  # stacked-arm leading axis
+
+
+def test_compose_right_to_left():
+    from dvae_tpu.eval.metrics import compose
+
+    f = compose(lambda x: x + 1, lambda x: x * 3, lambda x: x - 2)
+    assert f(5) == (5 - 2) * 3 + 1

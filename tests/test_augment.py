@@ -171,6 +171,7 @@ def test_marker_gene_panels_match_reference_lists():
     if ref_file.exists():
         m = re.search(r"extra_genes = (\[.*?\])\n\n", ref_file.read_text(),
                       re.S)
+        assert m is not None, "reference extra_genes list not found"
         assert additional_gene() == ast.literal_eval(m.group(1))
     else:
         assert len(additional_gene()) == 117

@@ -279,3 +279,9 @@ class TestNBParameterizationConversions:
         want = stats.gamma.logpdf(x, a=2.5, scale=1 / 0.7)
         np.testing.assert_allclose(np.asarray(g.log_prob(jnp.asarray(x))),
                                    want, rtol=1e-5)
+        # exponential case stays finite at the x == 0 boundary
+        g1 = Gamma(jnp.asarray(1.0), jnp.asarray(0.7))
+        np.testing.assert_allclose(float(g1.log_prob(jnp.asarray(0.0))),
+                                   stats.gamma.logpdf(0.0, a=1.0,
+                                                      scale=1 / 0.7),
+                                   rtol=1e-5)

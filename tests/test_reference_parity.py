@@ -73,8 +73,7 @@ def ours_side(ref_side):
     from dvae_tpu.utils.torch_import import mixvae_from_state_dict
 
     model, _, x = ref_side
-    params, bn, mask, inferred = mixvae_from_state_dict(
-        {k: v for k, v in model.state_dict().items()})
+    params, bn, mask, inferred = mixvae_from_state_dict(model.state_dict())
     assert inferred["n_arm"] == A and inferred["n_categories"] == C
     cfg = VAEConfig(n_categories=C, input_dim=D, fc_dim=FC, lowD_dim=LOWD,
                     state_dim=S, n_arm=A, tau=TAU, eps=1e-8,
