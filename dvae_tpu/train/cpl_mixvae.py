@@ -155,6 +155,8 @@ class CplMixVAE:
         # phase-aware progress of a loaded checkpoint (public; populated
         # by load_model, consumed by the next train() call)
         self.resume_progress: dict = {}
+        # multi-model registry filled by append() (reference self.models)
+        self.models: list[dict] = []
         del device  # device placement is owned by the mesh/shardings
 
     # -- model lifecycle ----------------------------------------------------
@@ -236,6 +238,30 @@ class CplMixVAE:
                 opt_state=jax.device_put(self.state.opt_state, shs[2]))
         if trained_model:
             self.load_model(trained_model)
+
+    def append(self, **kwargs) -> dict:
+        """Build an additional (cfg, tcfg, state, optimizer) entry and
+        append it to ``self.models`` (reference ``append``,
+        cpl_mixvae.py:288-315 — a multi-model registry for holding several
+        configured/loaded models side by side; part of the class surface
+        though unused by the reference's entry points).
+
+        Accepts the same kwargs as ``init_model`` (including
+        ``trained_model=`` to load weights into the new entry).  The
+        trainer's own ``cfg``/``state``/... are left untouched."""
+        saved = (self.cfg, self.tcfg, self.state, self.mesh, self.tx,
+                 getattr(self, "temp", None), self.resume_progress)
+        try:
+            self.init_model(**kwargs)
+            entry = {"cfg": self.cfg, "tcfg": self.tcfg,
+                     "state": self.state, "mesh": self.mesh, "tx": self.tx}
+            self.models.append(entry)
+            return entry
+        finally:
+            (self.cfg, self.tcfg, self.state, self.mesh, self.tx,
+             temp, self.resume_progress) = saved
+            if temp is not None:
+                self.temp = temp
 
     def load_model(self, filename: str) -> int:
         """Restore model+optimizer state (reference ``load_model``,

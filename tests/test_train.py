@@ -546,3 +546,33 @@ def test_preemption_guard_restores_default_over_c_handler():
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
     finally:
         signal.signal(signal.SIGTERM, prev)
+
+
+def test_append_multi_model_registry(tmp_path):
+    """append() (reference cpl_mixvae.py:288-315) builds extra model entries
+    without disturbing the trainer's own state, and trained_model= loads
+    checkpoint weights into the new entry."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=60, n_genes=24, n_types=4, seed=0)
+    kw = dict(n_categories=4, input_dim=24, fc_dim=8, lowD_dim=4, n_arm=2,
+              tau=0.1, batch_size=30, epochs_per_jit=1)
+    cpl = CplMixVAE(str(tmp_path))
+    cpl.init_model(**kw)
+    path = cpl.train(ds.log1p, n_epoch=1, save_plots=False)
+    own_state = cpl.state
+
+    entry3 = cpl.append(**{**kw, "n_arm": 3})
+    loaded = cpl.append(**kw, trained_model=path)
+
+    assert cpl.state is own_state          # trainer state untouched
+    assert len(cpl.models) == 2
+    assert entry3["cfg"].n_arm == 3
+    assert entry3["state"].params["fc1"]["w"].shape[0] == 3
+    # trained_model entry carries the checkpointed weights
+    np.testing.assert_array_equal(
+        np.asarray(loaded["state"].params["fc1"]["w"]),
+        np.asarray(own_state.params["fc1"]["w"]))
+    # and its registry entry differs from a fresh init
+    assert not np.allclose(np.asarray(entry3["state"].params["fc1"]["w"][:2]),
+                           np.asarray(own_state.params["fc1"]["w"]))
