@@ -27,11 +27,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvae_tpu.ops._common import interpret as _interpret
+
 _BLOCK_B = 512
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _finish(phi, u, temp, eps, tau, hard):

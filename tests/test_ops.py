@@ -30,13 +30,15 @@ class TestCouplingPallas:
         for A, B, C in [(2, 64, 10), (5, 300, 92), (3, 1025, 17)]:
             c = _probs(A, B, C)
             g = np.asarray(coupling_gram_pallas(c, EPS)) / B
-            # XLA oracle gram
+            # XLA oracle gram — centered like the kernel (and like
+            # losses._pair_sums_from_gram): distances are shift-invariant
             logc = jnp.log(c + EPS)
             var = jnp.var(c, axis=1, keepdims=True, ddof=1)
             prec = logc * jnp.sqrt(1.0 / (var + EPS))
+            prec = prec - jnp.mean(prec, axis=(0, 1))
             g_ref = np.asarray(
                 jnp.einsum("abc,dbc->ad", prec, prec) / B)
-            np.testing.assert_allclose(g, g_ref, rtol=2e-4)
+            np.testing.assert_allclose(g, g_ref, rtol=2e-4, atol=1e-5)
 
     def test_distance_matches_xla(self):
         c = _probs(4, 500, 30)
@@ -49,6 +51,41 @@ class TestCouplingPallas:
         g1 = jax.grad(lambda x: coupling_distance_pallas(x, EPS))(c)
         g2 = jax.grad(lambda x: coupling_distance(x, EPS))(c)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4)
+
+    def test_sharp_posteriors_with_dead_categories(self):
+        """Production regime (tau=0.005): near-one-hot posteriors with
+        categories that are exactly 0 in EVERY arm.  Without centering the
+        f32 Gram cancels catastrophically and the fused value collapses to
+        ~0 (models/losses.py _pair_sums_from_gram documents the failure)."""
+        rng_ = np.random.default_rng(7)
+        A, B, C = 3, 400, 24
+        live = 16                       # categories 16..23 dead everywhere
+        labels = rng_.integers(0, live, (A, B))
+        c = np.zeros((A, B, C), np.float32)
+        for a in range(A):
+            c[a, np.arange(B), labels[a]] = 1.0
+        c = jnp.asarray(c)
+        ref = float(coupling_distance(c, EPS))
+        ours = float(coupling_distance_pallas(c, EPS))
+        assert ref > 1.0               # arms genuinely disagree
+        assert ours == pytest.approx(ref, rel=5e-3)
+
+    def test_collapsed_arm_constant_category_no_nan(self):
+        """An arm collapsed onto one category makes the one-pass variance
+        formula go slightly negative in f32; the kernel must clamp instead
+        of returning NaN, matching the XLA two-pass variance to ~eps."""
+        rng_ = np.random.default_rng(8)
+        A, B, C = 2, 5000, 12
+        c = jax.nn.softmax(jnp.asarray(
+            rng_.normal(size=(A, B, C)), jnp.float32) / 0.05, axis=-1)
+        # arm 0 collapses: category 3 gets ~1-1e-7 mass in every row
+        col = np.full((B, C), 1e-8, np.float32)
+        col[:, 3] = 1.0
+        c = c.at[0].set(jnp.asarray(col / col.sum(-1, keepdims=True)))
+        ours = float(coupling_distance_pallas(c, EPS))
+        ref = float(coupling_distance(c, EPS))
+        assert np.isfinite(ours)
+        assert ours == pytest.approx(ref, rel=5e-3)
 
 
 class TestGumbelPallas:
