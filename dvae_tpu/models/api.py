@@ -99,10 +99,10 @@ def _generate_fwd(cfg: VAEConfig, temp: float):
     container's remote TPU compiler)."""
 
     @jax.jit
-    def fwd(params, bn, xs, key, mask):
+    def fwd(params, bn, xs, key, mask, prior_c):
         outs, _ = mixvae.apply(params, bn, cfg, xs, key, temp=temp,
-                               train=False, mask=mask)
-        aux = mixvae_loss(cfg, outs, xs)
+                               train=False, mask=mask, prior_c=prior_c)
+        aux = mixvae_loss(cfg, outs, xs, prior_c=prior_c)
         return outs, aux
 
     return fwd
@@ -111,39 +111,70 @@ def _generate_fwd(cfg: VAEConfig, temp: float):
 def generate(cfg: VAEConfig, params, bn, x: np.ndarray,
              mask: Optional[jax.Array] = None,
              key: Optional[jax.Array] = None,
-             temp: float = 1.0, batch_size: int = 5000) -> dict:
+             temp: float = 1.0, batch_size: int = 5000,
+             c_p: Optional[np.ndarray] = None,
+             pad_final: bool = True) -> dict:
     """Batched inference dict (reference ``generate``, model.py:77-149).
 
     Returns numpy arrays keyed like the reference: 'recon' (A,N,D),
     'c_prob' (A,N,C), 'c_smp', 'state' (A,N,S), 'state_mu', 'state_logvar',
     'x_low', 'pred_label' (A,N), 'loss_rec' (A,).
+
+    ``c_p``: optional (N, C) reference prior — REQUIRED for checkpoints
+    trained with ``cfg.ref_prior`` (the state head consumed the prior at
+    train time; without it the forward silently substitutes ``c_smp`` and
+    every state-dependent output is off-distribution).
+
+    ``pad_final``: a partial last batch is padded by repeating its own rows
+    up to ``batch_size`` so every dispatch has one jitted shape (a fresh
+    shape costs a 30-60 s compile through this container's remote TPU
+    compiler); array outputs are trimmed exactly, and only the (A,) summary
+    'loss_rec' of that one batch averages over the repeated rows.  Pass
+    ``False`` for the reference's exact ragged-tail evaluation (one extra
+    compile per distinct remainder shape).
     """
     key = jax.random.key(0) if key is None else key
     if mask is None:
         mask = jnp.ones((cfg.n_categories,), jnp.float32)
+    if cfg.ref_prior and c_p is None:
+        raise ValueError(
+            "cfg.ref_prior is set: pass c_p= (the (N, C) prior the state "
+            "head was trained on)")
     fwd = _generate_fwd(cfg, float(temp))
 
     xj = jnp.asarray(x, jnp.float32)
+    prior_all = None if c_p is None else jnp.asarray(c_p, jnp.float32)
     n = xj.shape[0]
     acc = {k: [] for k in ("recon", "c_prob", "c_smp", "state", "state_mu",
                            "state_logvar", "x_low", "pred_label")}
-    recs = []
+    recs, sizes = [], []
+
+    def tile_pad(a, rows):
+        reps = -(-rows // a.shape[0])  # repeat the batch's own rows
+        return jnp.concatenate([a] * (reps + 1))[: a.shape[0] + rows]
+
     for i in range(0, n, batch_size):
         key, k = jax.random.split(key)
         xb = xj[i: i + batch_size]
+        pb = None if prior_all is None else prior_all[i: i + batch_size]
+        nb = xb.shape[0]
+        if pad_final and nb < batch_size:
+            xb = tile_pad(xb, batch_size - nb)
+            if pb is not None:
+                pb = tile_pad(pb, batch_size - nb)
         xs = jnp.broadcast_to(xb, (cfg.n_arm,) + xb.shape)
-        outs, aux = fwd(params, bn, xs, k, mask)
-        acc["recon"].append(np.asarray(outs.x_rec))
-        acc["c_prob"].append(np.asarray(outs.c))
-        acc["c_smp"].append(np.asarray(outs.c_smp))
-        acc["state"].append(np.asarray(outs.s_smp))
-        acc["state_mu"].append(np.asarray(outs.s_mean))
-        acc["state_logvar"].append(np.asarray(outs.s_logvar))
-        acc["x_low"].append(np.asarray(outs.x_low))
-        acc["pred_label"].append(np.asarray(jnp.argmax(outs.c, -1)))
+        outs, aux = fwd(params, bn, xs, k, mask, pb)
+        acc["recon"].append(np.asarray(outs.x_rec)[:, :nb])
+        acc["c_prob"].append(np.asarray(outs.c)[:, :nb])
+        acc["c_smp"].append(np.asarray(outs.c_smp)[:, :nb])
+        acc["state"].append(np.asarray(outs.s_smp)[:, :nb])
+        acc["state_mu"].append(np.asarray(outs.s_mean)[:, :nb])
+        acc["state_logvar"].append(np.asarray(outs.s_logvar)[:, :nb])
+        acc["x_low"].append(np.asarray(outs.x_low)[:, :nb])
+        acc["pred_label"].append(np.asarray(jnp.argmax(outs.c, -1))[:, :nb])
         recs.append(np.asarray(aux.loss_rec))
+        sizes.append(nb)
     out = {k: np.concatenate(v, axis=1) for k, v in acc.items()}
-    sizes = [min(batch_size, n - i) for i in range(0, n, batch_size)]
     out["loss_rec"] = np.average(recs, axis=0, weights=sizes)
     return out
 

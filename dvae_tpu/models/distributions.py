@@ -50,14 +50,14 @@ def log_zinb_positive(x: jax.Array, mu: jax.Array, theta: jax.Array,
 
 
 def log_mixture_nb(x: jax.Array, mu_1: jax.Array, mu_2: jax.Array,
-                   theta_1: Optional[jax.Array], theta_2: jax.Array,
+                   theta_1: jax.Array, theta_2: Optional[jax.Array],
                    pi_logits: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Two-component NB mixture log-prob (reference distributions.py:100-165).
 
-    When ``theta_1`` is None both components share ``theta_2`` (the
-    reference's behavior for a shared dispersion).
+    When ``theta_2`` is None both components share ``theta_1`` (the
+    reference's shared-dispersion convention).
     """
-    theta_1 = theta_2 if theta_1 is None else theta_1
+    theta_2 = theta_1 if theta_2 is None else theta_2
     lp1 = log_nb_positive(x, mu_1, theta_1, eps)
     lp2 = log_nb_positive(x, mu_2, theta_2, eps)
     log_pi = -jax.nn.softplus(-pi_logits)        # log sigmoid(pi)
@@ -207,8 +207,7 @@ class NegativeBinomialMixture:
 
     def log_prob(self, x):
         return log_mixture_nb(x, self.mu1, self.mu2, self.theta1,
-                              self.theta2 if self.theta2 is not None
-                              else self.theta1, self.mixture_logits, self.eps)
+                              self.theta2, self.mixture_logits, self.eps)
 
     def sample(self, key, sample_shape=()):
         km, k1 = jax.random.split(key)

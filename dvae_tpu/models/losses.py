@@ -34,7 +34,16 @@ class LossOutputs(NamedTuple):
     c_dist: jax.Array       # scalar — mean simplex distance per pair
     c_l2_dist: jax.Array    # scalar — mean L2 distance between c samples
     kl: jax.Array           # (A,) per-arm state KL divergence
-    ll: jax.Array           # (A,) per-arm Gaussian log-likelihood proxy
+    ll: jax.Array           # (A,) per-arm Gaussian log-likelihood proxy:
+                            # mean((x_rec−x)²) + B·log 2π (reference
+                            # build/lib nn_model.py:372, both modes).
+                            # EXCEPTION: ZINB with the fused kernel reports
+                            # the ZINB NLL instead — the kernel never
+                            # materializes x_rec (the point of the fusion),
+                            # so the MSE diagnostic would cost the full
+                            # (A,B,D) HBM round trip it eliminates.  Compare
+                            # ll only across runs with the same fused
+                            # setting (the training loss is unaffected).
 
 
 # ---------------------------------------------------------------------------
@@ -406,11 +415,20 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
         n_dist_terms += A
         n_ent_terms += A
         n_l2_terms += A
+        # reference ref_prior scalers (build/lib nn_model.py:406-408):
+        # n_comb counts arm pairs PLUS the A arm-prior pairs, and every
+        # arm's independent loss couples to the prior, so scaler = A
+        n_comb = max(A * (A + 1) // 2, 1)
+        scaler = A
+    else:
+        # (build/lib nn_model.py:417-418)
+        n_comb = max(n_pairs, 1)
+        scaler = max(A - 1, 1)
 
-    const = max(n_pairs, 1) * ((C / 2) * math.log(2 * math.pi)
-                               - 0.5 * math.log(2 * cfg.lam))
+    const = n_comb * ((C / 2) * math.log(2 * math.pi)
+                      - 0.5 * math.log(2 * cfg.lam))
     loss_joint = cfg.lam * sum_c_dists + sum_c_ents + const
-    total = max(A - 1, 1) * loss_ind_sum + loss_joint
+    total = scaler * loss_ind_sum + loss_joint
 
     denom_d = max(n_dist_terms, 1)
     denom_e = max(n_ent_terms, 1)

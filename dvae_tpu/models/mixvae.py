@@ -323,7 +323,9 @@ def apply(params, bn_state, cfg: VAEConfig, xs: jax.Array, key: jax.Array,
     assert xs.shape[0] == A, f"expected leading arm axis {A}, got {xs.shape}"
 
     k_gumbel, k_rest = jax.random.split(key)
-    arm_keys = jax.random.split(k_rest, A * 3).reshape(A, 3)
+    # shape-tuple split works for typed key arrays AND legacy uint32 keys
+    # (reshape(A, 3) would crash on the latter's trailing (2,) key data)
+    arm_keys = jax.random.split(k_rest, (A, 3))
 
     # --- stage 1: per-arm encoder (vmapped) ---
     if cfg.fused_encoder and train:
@@ -402,7 +404,15 @@ def state_changes(params, bn_state, cfg: VAEConfig, x: jax.Array,
     outs, _ = apply(params, bn_state, cfg, xs, key, temp=1.0, train=False)
 
     def one_sample(k):
-        e = jax.random.normal(k, outs.s_mean.shape[:-1])  # (A, B)
+        # honor cfg.reparam_noise: the bit-faithful UNIFORM flag covers the
+        # traversal too (reference resamples via reparameterize's
+        # th.rand_like quirk, nn_model.py:427)
+        from dvae_tpu.models.sampling import ReparamNoise
+        shape = outs.s_mean.shape[:-1]  # (A, B)
+        if cfg.reparam_noise == ReparamNoise.UNIFORM:
+            e = jax.random.uniform(k, shape)
+        else:
+            e = jax.random.normal(k, shape)
         std = jnp.sqrt(jnp.exp(outs.s_logvar[..., d_s]))
         s_val = outs.s_mean[..., d_s] + e * std
         s = outs.s_mean.at[..., d_s].set(s_val)

@@ -233,3 +233,35 @@ def test_compose_right_to_left():
 
     f = compose(lambda x: x + 1, lambda x: x * 3, lambda x: x - 2)
     assert f(5) == (5 - 2) * 3 + 1
+
+
+def test_generate_pads_final_batch_single_shape(tmp_path):
+    """generate(pad_final=True) evaluates a ragged tail through the same
+    jitted shape with exactly trimmed outputs; ref_prior checkpoints demand
+    an explicit prior."""
+    import pytest
+
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.models import init_bn_state, init_params
+    from dvae_tpu.models.api import generate
+
+    cfg = VAEConfig(n_categories=6, input_dim=20, fc_dim=8, lowD_dim=4,
+                    n_arm=2, tau=0.1)
+    params = init_params(jax.random.key(0), cfg)
+    bn = init_bn_state(cfg)
+    x = np.random.default_rng(0).random((23, 20)).astype(np.float32)
+    out = generate(cfg, params, bn, x, batch_size=10)
+    assert out["recon"].shape == (2, 23, 20)
+    assert out["pred_label"].shape == (2, 23)
+    assert np.isfinite(out["loss_rec"]).all()
+    # the padded path agrees with the exact ragged path on full batches
+    out2 = generate(cfg, params, bn, x, batch_size=10, pad_final=False)
+    np.testing.assert_allclose(out["c_prob"][:, :20], out2["c_prob"][:, :20],
+                               rtol=1e-6)
+    with pytest.raises(ValueError, match="ref_prior"):
+        generate(cfg.replace(ref_prior=True), params, bn, x, batch_size=10)
+    # with a prior, the ref_prior path runs end to end
+    c_p = np.full((23, 6), 1 / 6, np.float32)
+    out3 = generate(cfg.replace(ref_prior=True), params, bn, x,
+                    batch_size=10, c_p=c_p)
+    assert np.isfinite(out3["loss_rec"]).all()

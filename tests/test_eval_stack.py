@@ -285,3 +285,18 @@ class TestNBParameterizationConversions:
                                    stats.gamma.logpdf(0.0, a=1.0,
                                                       scale=1 / 0.7),
                                    rtol=1e-5)
+
+
+def test_log_mixture_nb_shared_dispersion_convention():
+    """theta_2=None shares theta_1 (reference distributions.py:100-165)."""
+    import jax.numpy as jnp
+
+    from dvae_tpu.models.distributions import log_mixture_nb
+
+    x = jnp.asarray([0.0, 2.0, 7.0])
+    mu1, mu2 = jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([4.0, 5.0, 6.0])
+    th1 = jnp.asarray([2.0, 2.0, 2.0])
+    pi = jnp.asarray([0.3, -0.2, 1.0])
+    shared = log_mixture_nb(x, mu1, mu2, th1, None, pi)
+    explicit = log_mixture_nb(x, mu1, mu2, th1, th1, pi)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(explicit))

@@ -147,3 +147,68 @@ def test_ref_prior_path():
     from dvae_tpu.models import mixvae_loss
     lo = mixvae_loss(cfg, outs, xs, prior_c=prior)
     assert np.isfinite(float(lo.total))
+
+
+def test_ref_prior_scalers_match_reference():
+    """ref_prior mode uses scaler=A and n_comb=A(A+1)/2 (reference
+    build/lib nn_model.py:406-408): total = A·Σ(rec+βKL) + loss_joint, and
+    the additive constant inside loss_joint carries the n_comb multiplier."""
+    import math
+
+    from dvae_tpu.models import mixvae_loss
+
+    for A in (2, 3):
+        cfg = CFG.replace(ref_prior=True, n_arm=A)
+        params, bn, xs = _setup(cfg)
+        prior = jax.nn.softmax(jnp.asarray(
+            rng.normal(size=(24, cfg.n_categories)).astype(np.float32)), -1)
+        outs, _ = apply(params, bn, cfg, xs, jax.random.key(1), train=True,
+                        prior_c=prior)
+        lo = mixvae_loss(cfg, outs, xs, prior_c=prior)
+        n_comb = A * (A + 1) // 2
+        # total decomposes with the ref_prior scaler A
+        ind = float(jnp.sum(lo.loss_rec + cfg.beta * lo.kl))
+        np.testing.assert_allclose(float(lo.total),
+                                   A * ind + float(lo.loss_joint), rtol=1e-5)
+        # loss_joint = lam·Σd + Σ(−H) + n_comb·const, where the returned
+        # c_dist/neg_entropy metrics are the per-term means over n_comb
+        const = n_comb * ((cfg.n_categories / 2) * math.log(2 * math.pi)
+                          - 0.5 * math.log(2 * cfg.lam))
+        rebuilt = (cfg.lam * float(lo.c_dist) * n_comb
+                   + float(lo.neg_entropy) * n_comb + const)
+        np.testing.assert_allclose(float(lo.loss_joint), rebuilt, rtol=1e-4)
+        # no-prior mode keeps the old scalers on the same outputs
+        lo0 = mixvae_loss(cfg.replace(ref_prior=False), outs, xs)
+        ind0 = float(jnp.sum(lo0.loss_rec + cfg.beta * lo0.kl))
+        np.testing.assert_allclose(
+            float(lo0.total), max(A - 1, 1) * ind0 + float(lo0.loss_joint),
+            rtol=1e-5)
+
+
+def test_apply_accepts_legacy_uint32_keys():
+    params, bn, xs = _setup()
+    outs, _ = apply(params, bn, CFG, xs, jax.random.PRNGKey(3), train=False)
+    assert np.isfinite(np.asarray(outs.x_rec)).all()
+
+
+def test_state_changes_honors_uniform_reparam_flag():
+    """With ReparamNoise.UNIFORM the traversal resamples with U[0,1) noise
+    (one-sided above the mean for positive std), matching the reference's
+    rand_like quirk; Gaussian stays two-sided."""
+    from dvae_tpu.models.mixvae import state_changes
+
+    params, bn, xs = _setup()
+    x = xs[0]
+    for noise, one_sided in ((ReparamNoise.UNIFORM, True),
+                             (ReparamNoise.GAUSSIAN, False)):
+        cfg = CFG.replace(reparam_noise=noise)
+        recon, s_vals = state_changes(params, bn, cfg, x, d_s=0,
+                                      key=jax.random.key(2), n_samp=16)
+        outs, _ = apply(params, bn, cfg, xs, jax.random.key(2), temp=1.0,
+                        train=False)
+        mean0 = np.asarray(outs.s_mean[..., 0])          # (A, B)
+        delta = np.asarray(s_vals) - mean0[:, None, :]   # (A, n_samp, B)
+        if one_sided:
+            assert (delta >= -1e-6).all()
+        else:
+            assert (delta < 0).any() and (delta > 0).any()
