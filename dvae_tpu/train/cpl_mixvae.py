@@ -171,6 +171,16 @@ class CplMixVAE:
                                                 make_augment_apply)
         self._aug_loaded = load_augmenter(aug_file)
         self.aug_apply = make_augment_apply(*self._aug_loaded)
+        self._reset_jit_caches()
+
+    def _reset_jit_caches(self) -> None:
+        """Drop every cached jitted closure.  They bake in cfg/tcfg/mesh
+        and the augmenter weights at build time, so any re-init, checkpoint
+        load, or augmenter swap must invalidate them — otherwise a later
+        eval silently runs with the PREVIOUS model's config baked in."""
+        self._eval_step = None
+        self._eval_runner = None
+        self._aug_bf16_apply = None
 
     def init_model(self, n_categories: int = 92, state_dim: int = 2,
                    input_dim: int = 5032, fc_dim: int = 100,
@@ -236,6 +246,7 @@ class CplMixVAE:
                 params=jax.device_put(self.state.params, shs[0]),
                 bn=jax.device_put(self.state.bn, shs[1]),
                 opt_state=jax.device_put(self.state.opt_state, shs[2]))
+        self._reset_jit_caches()
         if trained_model:
             self.load_model(trained_model)
 
@@ -306,12 +317,24 @@ class CplMixVAE:
                 jax.random.key(self.seed), self.cfg, self.tx,
                 rng_impl=self.tcfg.rng_impl)
         restored = jax.tree_util.tree_map(jnp.asarray, tree)
+        if "key_data" in restored:
+            # resume the PRNG chain where the run left off: without this a
+            # repeatedly-preempted run replays epoch-0 shuffles/noise after
+            # every restart
+            key = jax.random.wrap_key_data(
+                restored["key_data"],
+                impl=self.tcfg.rng_impl if self.tcfg else None)
+        else:
+            # pre-key checkpoint: at least decorrelate the resumed segment
+            # from the run's first epochs
+            key = jax.random.fold_in(self.state.key,
+                                     int(meta.get("epoch", 0)))
         self.state = TrainState(
             params=restored["params"], bn=restored["bn"],
             opt_state=jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(self.state.opt_state),
                 jax.tree_util.tree_leaves(restored["opt_state"])),
-            mask=restored["mask"], key=self.state.key,
+            mask=restored["mask"], key=key,
             epoch=jnp.asarray(meta.get("epoch", 0), jnp.int32))
         # phase-aware progress (public; consumed by the next train() call):
         # lets a resumed run skip completed main epochs and continue the
@@ -331,13 +354,17 @@ class CplMixVAE:
                 params=jax.device_put(self.state.params, shs[0]),
                 bn=jax.device_put(self.state.bn, shs[1]),
                 opt_state=jax.device_put(self.state.opt_state, shs[2]))
+        self._reset_jit_caches()
         return int(meta.get("epoch", -1))
 
     def save_checkpoint(self, tag: str) -> str:
         path = os.path.join(self.folder or ".",
                             f"cpl_mixVAE_model_{tag}.ckpt")
         ckpt = {"params": self.state.params, "bn": self.state.bn,
-                "opt_state": self.state.opt_state, "mask": self.state.mask}
+                "opt_state": self.state.opt_state, "mask": self.state.mask,
+                # raw PRNG key bits so a resume continues the noise/shuffle
+                # chain instead of replaying it from the seed
+                "key_data": jax.random.key_data(self.state.key)}
         import dataclasses
         return save_checkpoint(
             path, ckpt,
@@ -427,165 +454,170 @@ class CplMixVAE:
             jsonl_path=os.path.join(self.folder, "metrics.jsonl")
             if self.folder else None)
 
-        n_train = x_train.shape[0]
-        sharding = replicated(self.mesh) if self.mesh is not None else None
-        # bf16 mode also stores the dataset in bf16: halves the HBM
-        # footprint AND the per-step gather traffic
-        store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
-        if not tcfg.stream and _dataset_exceeds_hbm(x_train, store_dtype,
-                                                    self.mesh):
-            mprint("dataset does not fit in device memory alongside the "
-                   "training state — falling back to host→device "
-                   "streaming (TrainConfig.stream)")
-            tcfg = self.tcfg = tcfg.replace(stream=True)
-        if tcfg.stream:
-            # dataset stays on the HOST (datasets larger than HBM): cast
-            # once to the storage dtype, batches double-buffer to device
-            # per step (data/stream.py — the reference's DataLoader
-            # semantics, dataloader.py:123-132).  A scipy sparse matrix
-            # stays sparse (nnz-scale host RAM); the streamer densifies
-            # and casts each (B, D) batch slice.
-            if hasattr(x_train, "toarray"):
-                # normalize to CSR at ingestion: COO/BSR/DIA are not
-                # row-sliceable and CSC row gathers are pathological —
-                # _predict_labels/save_plots slice x_all directly, not
-                # just the streamer's internal copy
-                x_all = x_train.tocsr()
+        try:
+            n_train = x_train.shape[0]
+            sharding = replicated(self.mesh) if self.mesh is not None else None
+            # bf16 mode also stores the dataset in bf16: halves the HBM
+            # footprint AND the per-step gather traffic
+            store_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
+            if not tcfg.stream and _dataset_exceeds_hbm(x_train, store_dtype,
+                                                        self.mesh):
+                mprint("dataset does not fit in device memory alongside the "
+                       "training state — falling back to host→device "
+                       "streaming (TrainConfig.stream)")
+                tcfg = self.tcfg = tcfg.replace(stream=True)
+            if tcfg.stream:
+                # dataset stays on the HOST (datasets larger than HBM): cast
+                # once to the storage dtype, batches double-buffer to device
+                # per step (data/stream.py — the reference's DataLoader
+                # semantics, dataloader.py:123-132).  A scipy sparse matrix
+                # stays sparse (nnz-scale host RAM); the streamer densifies
+                # and casts each (B, D) batch slice.
+                if hasattr(x_train, "toarray"):
+                    # normalize to CSR at ingestion: COO/BSR/DIA are not
+                    # row-sliceable and CSC row gathers are pathological —
+                    # _predict_labels/save_plots slice x_all directly, not
+                    # just the streamer's internal copy
+                    x_all = x_train.tocsr()
+                else:
+                    x_all = np.asarray(x_train, np.dtype(store_dtype))
+                prior_all = None
+                if cfg.ref_prior and c_p is not None:
+                    idx = (np.arange(n_train) if train_idx is None
+                           else train_idx)
+                    prior_all = np.asarray(c_p[idx], np.float32)
+                from dvae_tpu.data.stream import make_streaming_runner
+                runner = make_streaming_runner(
+                    cfg, tcfg, self.tx, n_train,
+                    augment=self._augment_fn(), mesh=self.mesh)
             else:
-                x_all = np.asarray(x_train, np.dtype(store_dtype))
-            prior_all = None
-            if cfg.ref_prior and c_p is not None:
-                idx = (np.arange(n_train) if train_idx is None
-                       else train_idx)
-                prior_all = np.asarray(c_p[idx], np.float32)
-            from dvae_tpu.data.stream import make_streaming_runner
-            runner = make_streaming_runner(
-                cfg, tcfg, self.tx, n_train,
-                augment=self._augment_fn(), mesh=self.mesh)
-        else:
-            # put_dataset casts on host and pins a row-major device layout —
-            # jnp.asarray's on-device convert commits column-major on v5e
-            # and every runner call then re-layouts the whole dataset
-            # (~0.6 ms)
-            if hasattr(x_train, "toarray"):  # resident path is dense
-                x_train = x_train.toarray()
-            x_all = put_dataset(x_train, store_dtype, sharding)
-            prior_all = None
-            if cfg.ref_prior and c_p is not None:
-                idx = (np.arange(n_train) if train_idx is None
-                       else train_idx)
-                prior_all = put_dataset(c_p[idx], jnp.float32, sharding)
+                # put_dataset casts on host and pins a row-major device layout —
+                # jnp.asarray's on-device convert commits column-major on v5e
+                # and every runner call then re-layouts the whole dataset
+                # (~0.6 ms)
+                if hasattr(x_train, "toarray"):  # resident path is dense
+                    x_train = x_train.toarray()
+                x_all = put_dataset(x_train, store_dtype, sharding)
+                prior_all = None
+                if cfg.ref_prior and c_p is not None:
+                    idx = (np.arange(n_train) if train_idx is None
+                           else train_idx)
+                    prior_all = put_dataset(c_p[idx], jnp.float32, sharding)
 
-            # donating the carried state lets XLA update params/opt
-            # buffers in place across chunk boundaries (no 2x state copy
-            # per chunk)
-            _runners = {}
+                # donating the carried state lets XLA update params/opt
+                # buffers in place across chunk boundaries (no 2x state copy
+                # per chunk)
+                _runners = {}
 
-            def runner(n_chunk: int):
-                if n_chunk not in _runners:
-                    _runners[n_chunk] = jax.jit(make_epoch_runner(
-                        cfg, tcfg, self.tx, n_train,
-                        augment=self._augment_fn(),
-                        epochs_per_chunk=n_chunk, mesh=self.mesh),
-                        donate_argnums=(0,))
-                return _runners[n_chunk]
+                def runner(n_chunk: int):
+                    if n_chunk not in _runners:
+                        _runners[n_chunk] = jax.jit(make_epoch_runner(
+                            cfg, tcfg, self.tx, n_train,
+                            augment=self._augment_fn(),
+                            epochs_per_chunk=n_chunk, mesh=self.mesh),
+                            donate_argnums=(0,))
+                    return _runners[n_chunk]
 
-        self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
-                                         mesh=self.mesh)
-        self._eval_runner = None  # lazily rebuilt against the new cfg/mesh
+            self._eval_step = make_eval_step(cfg, tcfg, augment=self._augment_fn(),
+                                             mesh=self.mesh)
+            self._eval_runner = None  # lazily rebuilt against the new cfg/mesh
 
-        # commit the validation set to device ONCE — validate() otherwise
-        # re-uploads it on every eval_every chunk (hundreds of MB through a
-        # slow tunnel, for data that never changes); its jnp.asarray then
-        # no-ops.  The ref-prior rows for the val set ride along so the val
-        # loss runs the same semantics as training (reference val loop
-        # gathers c_p[n] per batch, cpl_mixvae.py:621-625).
-        prior_val = None
-        if x_val is not None and not hasattr(x_val, "toarray"):
-            x_val = jnp.asarray(np.asarray(x_val), self._eval_dtype())
-        if x_val is not None and cfg.ref_prior and c_p is not None:
-            if val_idx is not None:
-                prior_val = jnp.asarray(np.asarray(c_p[val_idx], np.float32))
-            else:
-                mprint("ref_prior: no val_idx given — validation runs "
-                       "WITHOUT the prior (val loss omits the prior-"
-                       "coupling terms; pass val_idx to fix)")
+            # commit the validation set to device ONCE — validate() otherwise
+            # re-uploads it on every eval_every chunk (hundreds of MB through a
+            # slow tunnel, for data that never changes); its jnp.asarray then
+            # no-ops.  The ref-prior rows for the val set ride along so the val
+            # loss runs the same semantics as training (reference val loop
+            # gathers c_p[n] per batch, cpl_mixvae.py:621-625).
+            prior_val = None
+            if x_val is not None and not hasattr(x_val, "toarray"):
+                x_val = jnp.asarray(np.asarray(x_val), self._eval_dtype())
+            if x_val is not None and cfg.ref_prior and c_p is not None:
+                if val_idx is not None:
+                    prior_val = jnp.asarray(np.asarray(c_p[val_idx], np.float32))
+                else:
+                    mprint("ref_prior: no val_idx given — validation runs "
+                           "WITHOUT the prior (val loss omits the prior-"
+                           "coupling terms; pass val_idx to fix)")
 
-        # SIGTERM (spot-VM preemption, maintenance) → checkpoint at the
-        # next chunk boundary and stop cleanly; resume via load_model
-        self._preempt = PreemptionGuard()
-        with self._preempt:
-            self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
-                            stop_con, logger, phase="train",
-                            prior_val=prior_val)
+            # SIGTERM (spot-VM preemption, maintenance) → checkpoint at the
+            # next chunk boundary and stop cleanly; resume via load_model
+            self._preempt = PreemptionGuard()
+            with self._preempt:
+                self._run_phase(runner, x_all, prior_all, x_val, n_epoch, temp,
+                                stop_con, logger, phase="train",
+                                prior_val=prior_val)
 
-            # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
-            #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
-            if (n_epoch_p > 0 and max_prun_it > 0 and not self._preempted()
-                    and not self._halted):
-                pr_it = self._pr_it  # resume continues the prune budget
-                # a kill mid-retraining leaves the current iteration with
-                # prune_epochs < n_epoch_p: finish ITS remaining epochs
-                # first (the category was already pruned when pr_it bumped).
-                # prune_epochs == 0 with pr_it > 0 is the kill-right-after-
-                # the-before_pruning-checkpoint state — the iteration's
-                # ENTIRE retraining is still owed (prune_epochs only ever
-                # reads 0 there: each completed chunk accumulates it, and a
-                # finished iteration leaves it at n_epoch_p)
-                if self._prune_done < n_epoch_p and pr_it > 0:
-                    self._run_phase(runner, x_all, prior_all, x_val,
-                                    n_epoch_p - self._prune_done, temp,
-                                    stop_con, logger,
-                                    phase=f"prune{pr_it - 1}",
-                                    prior_val=prior_val)
-                while (pr_it < max_prun_it and not self._preempted()
-                       and not self._halted):
+                # ---- pruning phase (reference cpl_mixvae.py:996-1444; working
+                #      semantics from build/lib/mmidas/cpl_mixvae.py:318-604) ----
+                if (n_epoch_p > 0 and max_prun_it > 0 and not self._preempted()
+                        and not self._halted):
+                    pr_it = self._pr_it  # resume continues the prune budget
+                    # a kill mid-retraining leaves the current iteration with
+                    # prune_epochs < n_epoch_p: finish ITS remaining epochs
+                    # first (the category was already pruned when pr_it bumped).
+                    # prune_epochs == 0 with pr_it > 0 is the kill-right-after-
+                    # the-before_pruning-checkpoint state — the iteration's
+                    # ENTIRE retraining is still owed (prune_epochs only ever
+                    # reads 0 there: each completed chunk accumulates it, and a
+                    # finished iteration leaves it at n_epoch_p)
+                    if self._prune_done < n_epoch_p and pr_it > 0:
+                        self._run_phase(runner, x_all, prior_all, x_val,
+                                        n_epoch_p - self._prune_done, temp,
+                                        stop_con, logger,
+                                        phase=f"prune{pr_it - 1}",
+                                        prior_val=prior_val)
+                    while (pr_it < max_prun_it and not self._preempted()
+                           and not self._halted):
+                        labels = self._predict_labels(x_all, temp)
+                        agreement = per_category_agreement(labels,
+                                                           cfg.n_categories)
+                        mask = np.array(self.state.mask)  # writable copy
+                        active = np.where(mask > 0)[0]
+                        agree_active = agreement[active]
+                        if float(np.min(agree_active)) > min_con:
+                            mprint("No more pruning!")
+                            break
+                        kill = active[int(np.argmin(agree_active))]
+                        mask[kill] = 0.0
+                        mprint(f"pruning iteration {pr_it}: pruned category "
+                               f"{kill} (agreement {agreement[kill]:.3f}); "
+                               f"{int(mask.sum())}/{cfg.n_categories} remain")
+                        self.state = self.state._replace(mask=jnp.asarray(mask))
+                        self._pr_it = pr_it + 1  # this kill is now in the mask
+                        self._prune_done = 0     # fresh retraining budget
+                        self.save_checkpoint(
+                            f"before_pruning_{pr_it}_A{cfg.n_arm}")
+                        self._run_phase(runner, x_all, prior_all, x_val,
+                                        n_epoch_p, temp, stop_con, logger,
+                                        phase=f"prune{pr_it}",
+                                        prior_val=prior_val)
+                        pr_it += 1
+
+                if self._halted:
+                    # do NOT save the NaN-poisoned state — it would become the
+                    # newest *_epoch_* file and --resume would restore it; the
+                    # halt message points at the last good checkpoint instead.
+                    # newest_checkpoint also sees best_* files (a halt before
+                    # the first every-k save has no *_epoch_* file yet) and
+                    # returns None for folder="" (never a CWD stranger).
+                    path = (latest_checkpoint(self.folder)
+                            if self.folder else None) \
+                        or newest_checkpoint(self.folder) or ""
+                else:
+                    path = self.save_checkpoint(
+                        f"epoch_{int(self.state.epoch)}")
+                if (self.folder and save_plots and not self._preempted()
+                        and not self._halted):
+                    from dvae_tpu.utils.plots import save_training_artifacts
                     labels = self._predict_labels(x_all, temp)
-                    agreement = per_category_agreement(labels,
-                                                       cfg.n_categories)
-                    mask = np.array(self.state.mask)  # writable copy
-                    active = np.where(mask > 0)[0]
-                    agree_active = agreement[active]
-                    if float(np.min(agree_active)) > min_con:
-                        mprint("No more pruning!")
-                        break
-                    kill = active[int(np.argmin(agree_active))]
-                    mask[kill] = 0.0
-                    mprint(f"pruning iteration {pr_it}: pruned category "
-                           f"{kill} (agreement {agreement[kill]:.3f}); "
-                           f"{int(mask.sum())}/{cfg.n_categories} remain")
-                    self.state = self.state._replace(mask=jnp.asarray(mask))
-                    self._pr_it = pr_it + 1  # this kill is now in the mask
-                    self._prune_done = 0     # fresh retraining budget
-                    self.save_checkpoint(
-                        f"before_pruning_{pr_it}_A{cfg.n_arm}")
-                    self._run_phase(runner, x_all, prior_all, x_val,
-                                    n_epoch_p, temp, stop_con, logger,
-                                    phase=f"prune{pr_it}",
-                                    prior_val=prior_val)
-                    pr_it += 1
-
-            if self._halted:
-                # do NOT save the NaN-poisoned state — it would become the
-                # newest *_epoch_* file and --resume would restore it; the
-                # halt message points at the last good checkpoint instead.
-                # newest_checkpoint also sees best_* files (a halt before
-                # the first every-k save has no *_epoch_* file yet) and
-                # returns None for folder="" (never a CWD stranger).
-                path = (latest_checkpoint(self.folder)
-                        if self.folder else None) \
-                    or newest_checkpoint(self.folder) or ""
-            else:
-                path = self.save_checkpoint(
-                    f"epoch_{int(self.state.epoch)}")
-            if (self.folder and save_plots and not self._preempted()
-                    and not self._halted):
-                from dvae_tpu.utils.plots import save_training_artifacts
-                labels = self._predict_labels(x_all, temp)
-                save_training_artifacts(self.folder, logger.history,
-                                        labels=labels, K=cfg.n_categories)
-        self._preempt = None
-        logger.finish()
+                    save_training_artifacts(self.folder, logger.history,
+                                            labels=labels, K=cfg.n_categories)
+        finally:
+            # always release the preemption guard and close the
+            # logger (wandb run) — even when a runtime error
+            # propagates out of a phase
+            self._preempt = None
+            logger.finish()
         return path
 
     def _run_phase(self, runner, x_all, prior_all, x_val, n_epoch, temp,
@@ -813,9 +845,10 @@ class CplMixVAE:
         ``eval_model``, cpl_mixvae.py:1450-1619).
 
         Returns the reference summary dict fields: per-arm categorical
-        probabilities ``c_prob`` (A,N,C), samples ``state_mu``/``state_var``
-        (A,N,S), argmax labels ``pred_label`` (A,N), reconstruction losses,
-        total loss, and the train consensus matrix inputs.
+        probabilities ``c_prob`` (A,N,C), the posterior state statistics
+        ``state_mu``/``state_logvar`` (A,N,S), the low-D embedding
+        ``x_low``, argmax labels ``pred_label`` (A,N), reconstruction
+        losses, total loss, and the consensus over arms.
 
         ``c_p``: (N, C) ref-prior rows aligned with ``x`` under
         cfg.ref_prior (reference eval_model's c_p arg, cpl_mixvae.py:1457):
@@ -842,13 +875,16 @@ class CplMixVAE:
         recs, totals, sizes = [], [], []
         pending = 0
 
+        def _drain_field(d):
+            if d["dev"]:
+                d["host"].append(
+                    np.asarray(jnp.concatenate(d["dev"], axis=1)))
+                d["dev"].clear()
+
         def drain():
             nonlocal pending
             for d in fields.values():
-                if d["dev"]:
-                    d["host"].append(
-                        np.asarray(jnp.concatenate(d["dev"], axis=1)))
-                    d["dev"].clear()
+                _drain_field(d)
             pending = 0
 
         # batches driven by the shared protocol (_eval_batches): K-batch
@@ -881,10 +917,7 @@ class CplMixVAE:
 
         def flush(key):
             d = fields.pop(key)
-            if d["dev"]:
-                d["host"].append(
-                    np.asarray(jnp.concatenate(d["dev"], axis=1)))
-                d["dev"].clear()
+            _drain_field(d)
             parts = d["host"]
             return parts[0] if len(parts) == 1 else np.concatenate(parts,
                                                                    axis=1)

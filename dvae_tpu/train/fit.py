@@ -28,6 +28,7 @@ reference mines back out of the wandb API (:191-207) — re-designed TPU-first:
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -156,7 +157,13 @@ class Trainer:
         n_steps, tbatches = stage(train_data, batch_size)
         vbatches = None
         if val_data is not None and module.validation_step is not None:
-            _, vbatches = stage(val_data, val_batch_size)
+            # clamp: a validation set smaller than val_batch_size should
+            # evaluate as one batch, not crash in stage(); the batch axis
+            # must stay divisible by the sampler's dp span
+            dp = len(devs) if self.use_distributed_sampler else 1
+            vbs = min(val_batch_size, val_data[0].shape[0])
+            vbs = max(dp, vbs - vbs % dp)
+            _, vbatches = stage(val_data, vbs)
 
         def grad_step(carry, inp):
             params, opt_state = carry
@@ -175,8 +182,10 @@ class Trainer:
             # a module-provided 'train_loss' metric wins over the raw loss
             return (params, opt_state), {"train_loss": loss, **metrics}
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, batches, key):
+            # donating params/opt_state lets XLA update them in place —
+            # no 2x parameter+optimizer copy at every epoch boundary
             keys = jax.random.split(key, n_steps)
             (params, opt_state), ms = jax.lax.scan(
                 grad_step, (params, opt_state), (keys, batches))

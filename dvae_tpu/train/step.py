@@ -226,9 +226,14 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_params = _mask_params(new_params, state.mask, cfg)
-        metrics = StepMetrics(aux.total, aux.loss_rec, aux.loss_joint,
-                              aux.neg_entropy, aux.c_dist, aux.c_l2_dist,
-                              aux.kl)
+        # metrics leave the device f32 regardless of the compute dtype
+        # (same contract as make_eval_step; under bf16 the unfused recon
+        # path would otherwise hand bf16 loss_rec to the epoch averages)
+        metrics = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32),
+            StepMetrics(aux.total, aux.loss_rec, aux.loss_joint,
+                        aux.neg_entropy, aux.c_dist, aux.c_l2_dist,
+                        aux.kl))
         new_state = TrainState(new_params, new_bn, new_opt, state.mask,
                                key, state.epoch)
         return new_state, metrics, labels
@@ -356,9 +361,8 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
             # same order as a training step at the production shape — so
             # the throughput path computes it only on the chunk's last
             # epoch (the host reads it at chunk boundaries anyway)
-            E_local = epochs_per_chunk or tcfg.epochs_per_jit
             cons = jax.lax.cond(
-                i_local == E_local - 1,
+                i_local == E - 1,
                 lambda f: consensus_device(f, cfg.n_categories),
                 lambda f: jnp.asarray(-1.0),
                 flat)

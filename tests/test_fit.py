@@ -75,3 +75,13 @@ class TestTrainerFit:
     def test_params_before_fit_raises(self):
         with pytest.raises(RuntimeError, match="no completed fit"):
             Trainer().params
+
+
+def test_small_validation_set_clamps_batch():
+    """A val set smaller than val_batch_size evaluates as one batch instead
+    of crashing in stage()."""
+    trainer = Trainer(max_epochs=1, strategy="no")
+    summary = trainer.fit(_mod(), synthetic_mnist(256, seed=0),
+                          val_data=synthetic_mnist(100, seed=1),
+                          batch_size=64, val_batch_size=1000)
+    assert np.isfinite(trainer.history[-1]["val_loss"])

@@ -576,3 +576,46 @@ def test_append_multi_model_registry(tmp_path):
     # and its registry entry differs from a fresh init
     assert not np.allclose(np.asarray(entry3["state"].params["fc1"]["w"][:2]),
                            np.asarray(own_state.params["fc1"]["w"]))
+
+
+def test_reinit_invalidates_cached_eval_closures(tmp_path):
+    """Re-calling init_model (same shapes, different hyperparameters) must
+    rebuild the jitted eval closures — a stale closure would silently eval
+    with the previous cfg baked in."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=80, n_genes=24, n_types=4, seed=0)
+    kw = dict(n_categories=4, input_dim=24, fc_dim=8, lowD_dim=4, n_arm=2,
+              batch_size=40, epochs_per_jit=1)
+    cpl = CplMixVAE(str(tmp_path))
+    cpl.init_model(**kw, tau=0.1, beta=1.0)
+    cpl.train(ds.log1p, n_epoch=1, save_plots=False)
+    r1 = cpl.eval_model(ds.log1p)
+    assert cpl._eval_step is not None
+    cpl.init_model(**kw, tau=0.1, beta=100.0)    # same shapes, new beta
+    assert cpl._eval_step is None                # caches invalidated
+    r2 = cpl.eval_model(ds.log1p)
+    # beta scales the KL inside the eval total: a stale closure would
+    # reproduce r1's total exactly
+    assert r2["total_loss"] != r1["total_loss"]
+
+
+def test_resume_continues_prng_chain(tmp_path):
+    """Checkpoints carry the PRNG key: a resumed run continues the
+    noise/shuffle chain instead of replaying the run's first epochs."""
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    ds = synthetic_dataset(n_cells=80, n_genes=24, n_types=4, seed=0)
+    kw = dict(n_categories=4, input_dim=24, fc_dim=8, lowD_dim=4, n_arm=2,
+              tau=0.1, batch_size=40, epochs_per_jit=1)
+    cpl = CplMixVAE(str(tmp_path))
+    cpl.init_model(**kw)
+    init_key_data = np.asarray(jax.random.key_data(cpl.state.key)).copy()
+    path = cpl.train(ds.log1p, n_epoch=2, save_plots=False)
+    trained_key_data = np.asarray(jax.random.key_data(cpl.state.key))
+    assert not np.array_equal(trained_key_data, init_key_data)
+
+    fresh = CplMixVAE(str(tmp_path))
+    fresh.load_model(path)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(fresh.state.key)), trained_key_data)
