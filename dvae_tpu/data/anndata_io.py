@@ -212,6 +212,9 @@ def load_data(
         X = adata.X
         genes = np.array(adata.var.index)
         obs = {k: np.asarray(adata.obs[k].values) for k in adata.obs.keys()}
+        # the h5py fallback surfaces the obs index as 'cell_id' — keep the
+        # two load paths' obs schema identical
+        obs.setdefault("cell_id", np.asarray(adata.obs.index))
 
     if len(gene_id) > 0:
         gene_idx = np.concatenate(

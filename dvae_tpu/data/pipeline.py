@@ -73,7 +73,10 @@ def shard_for_process(indices: np.ndarray, process_index: int,
     n = len(indices)
     if even:
         per = -(-n // process_count)  # ceil
-        padded = np.concatenate([indices, indices[: per * process_count - n]])
+        # wrap-pad (np.resize repeats cyclically): indices[:pad] underfills
+        # when the pad exceeds n, leaving ranks with unequal batch counts —
+        # an SPMD deadlock at the next collective
+        padded = np.resize(indices, per * process_count)
         return padded[process_index::process_count]
     return indices[process_index::process_count]
 
@@ -162,47 +165,3 @@ def get_loaders(
                             shuffle=False, drop_last=False)
     return train, test, alldata
 
-
-# ---------------------------------------------------------------------------
-# Device-resident pipeline (the TPU production path)
-# ---------------------------------------------------------------------------
-
-@dataclass(frozen=True)
-class DeviceData:
-    """Dataset staged for on-device epoch batching.
-
-    ``x``: (N_train, D) jax array (device-resident, possibly batch-sharded).
-    ``idx``: (N_train,) int32 global indices.
-    ``steps_per_epoch``: floor(N_train / B) (drop_last semantics).
-    ``prior``: optional (N_total, C) ref-prior table, gathered by ``idx``.
-    """
-
-    x: object
-    idx: object
-    batch_size: int
-    steps_per_epoch: int
-    prior: object = None
-
-
-def stage_device_data(x: np.ndarray, idx: np.ndarray, batch_size: int,
-                      prior: Optional[np.ndarray] = None,
-                      sharding=None) -> DeviceData:
-    import jax
-    import jax.numpy as jnp
-
-    xj = jax.device_put(jnp.asarray(x, jnp.float32), sharding)
-    ij = jax.device_put(jnp.asarray(idx, jnp.int32))
-    pj = None if prior is None else jax.device_put(jnp.asarray(prior, jnp.float32))
-    return DeviceData(x=xj, idx=ij, batch_size=batch_size,
-                      steps_per_epoch=x.shape[0] // batch_size, prior=pj)
-
-
-def epoch_batch_indices(key, n: int, batch_size: int, steps: int):
-    """On-device shuffled batch plan: (steps, B) int32 row indices.
-
-    jit-safe; used inside the multi-epoch ``lax.scan`` so an entire epoch's
-    batching costs one permutation + reshape in HBM.
-    """
-    import jax
-    perm = jax.random.permutation(key, n)
-    return perm[: steps * batch_size].reshape(steps, batch_size)

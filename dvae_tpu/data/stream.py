@@ -117,10 +117,22 @@ class BatchStreamer:
                 "mesh); committing per-process arrays would diverge")
         spec = getattr(sharding, "spec", None)
         self._rows_sharded = bool(spec) and spec[0] not in (None, ())
-        if (self._n_proc > 1 and self._rows_sharded
-                and batch_size % self._n_proc):
-            raise ValueError(f"global batch_size {batch_size} must divide "
-                             f"evenly over {self._n_proc} processes")
+        if self._n_proc > 1 and self._rows_sharded:
+            # the row axis splits over every DEVICE the spec's first entry
+            # spans, not just over processes — validate against that span
+            # so the failure is a constructor-time ValueError, not an
+            # opaque shard-shape error inside the first _commit
+            mesh = getattr(sharding, "mesh", None)
+            row_axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+            span = 1
+            for ax in row_axes:
+                span *= dict(zip(mesh.axis_names, mesh.devices.shape))[ax]                     if mesh is not None else 1
+            span = max(span, self._n_proc)
+            if batch_size % span:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"over the {span}-device row axis "
+                    f"({self._n_proc} processes)")
 
     @property
     def steps_per_epoch(self) -> int:

@@ -49,7 +49,7 @@ _KINDS = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
 # tuple matcher excludes parens, not '='
 _OP_RE = re.compile(
     r"=\s+(?P<shape>\([^()]*\)|\S+)\s+"
-    r"(?P<kind>" + "|".join(_KINDS) + r")(?:-start)?\(")
+    r"(?P<kind>" + "|".join(_KINDS) + r")(?P<async>-start)?\(")
 _SHAPE_RE = re.compile(r"(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
 _GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
 _GROUPS_IOTA_RE = re.compile(r"replica_groups=\[\d+,(\d+)\]")
@@ -80,15 +80,19 @@ class CollectiveStats:
         return self.wire_bytes / (gbps * 1e9)
 
 
-def _shape_bytes(shape_str: str) -> int:
-    total = 0
+def _elem_bytes(shape_str: str):
+    out = []
     for dtype, dims in _SHAPE_RE.findall(shape_str):
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        out.append(n * _DTYPE_BYTES[dtype])
+    return out
+
+
+def _shape_bytes(shape_str: str) -> int:
+    return sum(_elem_bytes(shape_str))
 
 
 def _group_size(line: str, n_devices: int) -> int:
@@ -111,7 +115,17 @@ def hlo_collective_stats(hlo_text: str, n_devices: int) -> CollectiveStats:
         if not m:
             continue
         kind = m.group("kind")
-        nbytes = _shape_bytes(m.group("shape"))
+        is_async = m.group("async") is not None
+        if is_async and m.group("shape").startswith("("):
+            # async -start tuple = (operand, result[, context tokens]):
+            # summing would double-count the payload (2x for all-reduce).
+            # The max element is the payload under every kind: AR
+            # operand==result, AG result=full gather, RS operand=full
+            # input, permute context tokens are tiny.
+            nbytes = max(_elem_bytes(m.group("shape")))
+        else:
+            # sync op (single shape, or variadic tuple of results: sum)
+            nbytes = _shape_bytes(m.group("shape"))
         g = _group_size(line, n_devices)
         counts[kind] = counts.get(kind, 0) + 1
         bytes_by_kind[kind] = bytes_by_kind.get(kind, 0) + nbytes
@@ -120,9 +134,10 @@ def hlo_collective_stats(hlo_text: str, n_devices: int) -> CollectiveStats:
         if kind == "all-reduce":
             wire += 2.0 * (g - 1) / g * nbytes
         elif kind == "all-gather":
-            wire += (g - 1) / g * nbytes          # output = gathered shape
+            wire += (g - 1) / g * nbytes          # nbytes = gathered shape
         elif kind == "reduce-scatter":
-            wire += (g - 1) * nbytes              # output = scattered shard
+            # sync shape = scattered shard; async payload = full input
+            wire += ((g - 1) / g if is_async else (g - 1)) * nbytes
         else:                                     # all-to-all / permute
             wire += nbytes
     return CollectiveStats(counts, bytes_by_kind, wire)

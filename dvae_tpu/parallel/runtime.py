@@ -51,7 +51,23 @@ def global_batch(local_data: np.ndarray, mesh: Mesh,
 
 
 def local_slice(n_global: int, batch_axis_size: int) -> slice:
-    """This process's contiguous row range of a globally-indexed dataset."""
-    per = n_global // jax.process_count()
+    """This process's contiguous row range of a globally-indexed dataset.
+
+    Every process must contribute the same row count and every device an
+    equal shard, so ``n_global`` must divide evenly by the process count
+    and by ``batch_axis_size`` (the number of devices the batch axis spans).
+    Raises instead of silently dropping tail rows — pad or trim first
+    (``data.pipeline.shard_for_process`` pads by wrapping)."""
+    procs = jax.process_count()
+    if n_global % procs:
+        raise ValueError(
+            f"n_global={n_global} rows do not divide evenly over "
+            f"{procs} processes — the tail would silently never be seen; "
+            "pad (e.g. by wrapping) or trim the dataset first")
+    if batch_axis_size and n_global % batch_axis_size:
+        raise ValueError(
+            f"n_global={n_global} rows do not divide evenly over the "
+            f"{batch_axis_size}-device batch axis")
+    per = n_global // procs
     start = jax.process_index() * per
     return slice(start, start + per)

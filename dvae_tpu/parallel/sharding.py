@@ -109,7 +109,7 @@ def param_shardings(params, mesh: Mesh, strategy: ShardingStrategy):
         params)
 
 
-def opt_state_shardings(opt_state, params, mesh: Mesh,
+def opt_state_shardings(opt_state, mesh: Mesh,
                         strategy: ShardingStrategy,
                         offload_host: bool = False):
     """NamedSharding pytree for the optax state.
@@ -117,6 +117,9 @@ def opt_state_shardings(opt_state, params, mesh: Mesh,
     ZeRO-2 strategies (grad-op, hybrid-zero2) shard the optimizer moments
     even when params are replicated (reference fsdp_mnist.py:219-220); ZeRO-3
     states follow the param shardings; DDP/no replicate everything.
+    Moment tensors mirror param shapes, so applying the same per-leaf rule
+    to the opt-state leaves yields placements consistent with the params
+    by construction (no params argument needed).
 
     ``offload_host=True`` places the state in host memory
     (``memory_kind='pinned_host'``) — the TPU analogue of the reference's
@@ -222,4 +225,4 @@ def strategy_shardings(strategy: ShardingStrategy, mesh: Mesh, params,
     """One-call bundle: (param_sh, bn_sh, opt_sh) for a strategy."""
     return (param_shardings(params, mesh, strategy),
             bn_shardings(bn_state, mesh),
-            opt_state_shardings(opt_state, params, mesh, strategy))
+            opt_state_shardings(opt_state, mesh, strategy))

@@ -299,7 +299,7 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
     """Build run_epochs(state, x_all, idx_all, prior_all, temp) jit-able fn.
 
     Runs ``epochs_per_chunk`` epochs fully on device: per epoch an on-device
-    shuffled batch plan (pipeline.epoch_batch_indices semantics, drop_last),
+    shuffled batch plan ((steps, B) permutation rows, drop_last),
     ``steps`` train steps via ``lax.scan``, label accumulation, and the
     consensus einsum.  Returns (state, EpochMetrics).
     """

@@ -57,7 +57,20 @@ def test_hlo_parse_async_and_tuple_forms():
            "f32[4,4]{1,0} %x), replica_groups={{0,1}}\n")
     s = hlo_collective_stats(hlo, 8)
     assert s.counts == {"all-reduce": 1}
-    assert s.bytes_by_kind["all-reduce"] == 2 * 4 * 4 * 4
+    # async-start tuple is (operand, result): payload counted ONCE
+    assert s.bytes_by_kind["all-reduce"] == 4 * 4 * 4
+    assert s.wire_bytes == 2.0 * (2 - 1) / 2 * 4 * 4 * 4
+    # matches the sync form of the same tensor exactly
+    sync = hlo_collective_stats(
+        "%ar = f32[4,4]{1,0} all-reduce(f32[4,4]{1,0} %x), "
+        "replica_groups={{0,1}}\n", 8)
+    assert sync.wire_bytes == s.wire_bytes
+    # async all-gather: payload = the gathered (largest) element
+    ag = hlo_collective_stats(
+        "%ags = (f32[2,4]{1,0}, f32[4,4]{1,0}) all-gather-start("
+        "f32[2,4]{1,0} %x), replica_groups={{0,1}}\n", 8)
+    assert ag.bytes_by_kind["all-gather"] == 4 * 4 * 4
+    assert ag.wire_bytes == (2 - 1) / 2 * 4 * 4 * 4
 
 
 def test_ddp_allreduces_gradients(mesh):

@@ -213,3 +213,19 @@ class TestH5pyNativeH5adReader:
         expect[3] = "nan"
         assert list(obs_cols["cluster"]) == expect
         assert "__categories" not in obs_cols
+
+
+def test_shard_for_process_wrap_pads_tiny_sets():
+    """Even sharding must give every rank the same count even when the pad
+    exceeds the dataset size (np.resize wrap semantics)."""
+    from dvae_tpu.data.pipeline import shard_for_process
+
+    idx = np.arange(1)
+    got = [shard_for_process(idx, r, 4) for r in range(4)]
+    assert [len(g) for g in got] == [1, 1, 1, 1]
+    assert all(g[0] == 0 for g in got)
+    idx = np.arange(3)
+    got = [shard_for_process(idx, r, 8) for r in range(8)]
+    assert [len(g) for g in got] == [1] * 8
+    # wrapped content: 3 real rows repeated cyclically
+    assert sorted(int(g[0]) for g in got) == [0, 0, 0, 1, 1, 1, 2, 2]

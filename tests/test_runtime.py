@@ -90,3 +90,13 @@ class TestHybridMesh:
         x = jax.device_put(params["fc1"]["w"], shs["fc1"]["w"])
         # 4-way fsdp sharding, replicated across the 2 data 'slices'
         assert len({s.index for s in x.addressable_shards}) == 4
+
+
+class TestLocalSliceValidation:
+    def test_indivisible_rows_raise(self, monkeypatch):
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        with pytest.raises(ValueError, match="divide evenly"):
+            local_slice(1001, 8)
+        with pytest.raises(ValueError, match="batch axis"):
+            local_slice(1004, 8)

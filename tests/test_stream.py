@@ -345,3 +345,23 @@ class TestReviewRegressions:
         x = make_data()
         state2, ems = run(state, x, None, 1.0)
         assert np.isfinite(np.asarray(ems.total)).all()
+
+
+def test_multiprocess_row_shard_validates_device_span(monkeypatch):
+    """batch_size must divide over the DEVICE span of the row axis, not
+    just the process count — caught at construction, not mid-epoch."""
+    import pytest
+
+    from dvae_tpu.data.stream import BatchStreamer
+    from dvae_tpu.parallel.sharding import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(MeshConfig(data=2, arm=1, fsdp=4))
+    sh = NamedSharding(mesh, P(("data", "fsdp"), None))  # rows over 8 devs
+    x = np.zeros((64, 4), np.float32)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="8-device row axis"):
+        BatchStreamer(x, batch_size=12, sharding=sh)
+    # 16 divides over 8 devices: constructor accepts
+    BatchStreamer(x, batch_size=16, sharding=sh)

@@ -230,7 +230,7 @@ def test_opt_state_host_offload_placement(data, tx):
 
     state = init_train_state(jax.random.key(0), CFG, tx)
     mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
-    sh = opt_state_shardings(state.opt_state, state.params, mesh,
+    sh = opt_state_shardings(state.opt_state, mesh,
                              ShardingStrategy.FULL_SHARD, offload_host=True)
     placed = jax.device_put(state.opt_state, sh)
     leaf = jax.tree_util.tree_leaves(placed)[1]
