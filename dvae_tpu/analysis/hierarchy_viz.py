@@ -126,17 +126,33 @@ def heatmap_plot(tree: HTree, cluster_per_cat: np.ndarray,
 
 
 def dent_plot(tree: HTree, cluster_per_cat: np.ndarray,
+              types: Optional[np.ndarray] = None,
               save_path: Optional[str] = None):
-    """Dendrogram with per-category dominant-type markers (reference :172+)."""
+    """Dendrogram with per-category dominant-type markers (reference :172+,
+    which renders the matrix as a styled heatmap; the markers here place
+    each category over its dominant taxonomy leaf).
+
+    ``types``: the (T,) leaf names labelling ``cluster_per_cat``'s columns
+    (``heatmap_plot`` builds the matrix in ``np.unique`` type order, which
+    is generally NOT the dendrogram's left-to-right leaf order).  When
+    omitted, columns are assumed to already be in tree leaf order.
+    """
     plt = _plt()
     fig = plt.figure(figsize=(10, 4))
     ax = fig.gca()
     _draw_skeleton(ax, tree)
+    leaf_names = np.asarray(tree.child)[tree.isleaf]
     xs = tree.x[tree.isleaf]
+    if types is not None:
+        # map each column's type name to that leaf's x position
+        pos = {str(n): float(x) for n, x in zip(leaf_names, xs)}
+        col_x = np.array([pos.get(str(t), np.nan) for t in types])
+    else:
+        col_x = np.asarray(xs, float)
     dom = np.argmax(cluster_per_cat, axis=1)
     for k, t in enumerate(dom):
-        if t < len(xs):
-            ax.plot(xs[t], 0.05 + 0.02 * k, ".", ms=3)
+        if t < len(col_x) and np.isfinite(col_x[t]):
+            ax.plot(col_x[t], 0.05 + 0.02 * k, ".", ms=3)
     ax.axis("off")
     if save_path:
         fig.savefig(save_path, dpi=300, bbox_inches="tight")

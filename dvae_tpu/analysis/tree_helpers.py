@@ -124,9 +124,13 @@ def custom_QDA(train_z, true_train_lbl, test_z, true_test_lbl,
     (reference :374-416: p(class|z) ∝ p(z|class), uniform p(class))."""
     from scipy.stats import multivariate_normal as mvn
 
+    # keep the caller's label values as-is (object dtype): an astype(str)
+    # here would make int labels compare unequal to everything downstream
+    # (str('0') == 0 is False), silently excluding every class
+    true_train_lbl = np.asarray(true_train_lbl, dtype=object)
     true_test_lbl = np.asarray(true_test_lbl, dtype=object)
     unique_lbl = np.unique(np.concatenate(
-        [np.asarray(true_train_lbl), true_test_lbl]).astype(str))
+        [true_train_lbl, true_test_lbl]))
     fits, excluded = _fit_class_gaussians(
         np.asarray(train_z), np.asarray(true_train_lbl), unique_lbl,
         n_per_class_thr, diag_cov_n_sample_thr)

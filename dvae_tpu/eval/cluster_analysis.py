@@ -149,15 +149,20 @@ def K_selection(num_pruned: Sequence[int],
     indx = np.argsort(num_pruned)
     ordered_cons = consensus[indx]
     K = None
-    if thr <= consensus.max():
-        ok = np.where(ordered_cons > thr)[0]
+    ok = np.where(ordered_cons > thr)[0]
+    if thr <= consensus.max() and len(ok) > 0:
         if len(ok) > 1:
             jumps = np.diff(ordered_cons[ok])
             sel = int(np.argmax(jumps)) + 1
         else:
-            sel = 0
+            # exactly one qualifying run: select IT (the reference's
+            # max-of-empty-diff crashes here; picking index 0 of the full
+            # ordering would return an arbitrary low-consensus run)
+            sel = int(ok[0])
         K = int(num_pruned[indx][sel])
     else:
+        # thr == max(consensus) lands here too: the strict `>` filter is
+        # empty, so decline rather than guess
         print("Required minimum consensus is set too high, kindly consider "
               "specifying a lower value.")
     return num_pruned[indx], l_recon_mean[indx], ordered_cons, K

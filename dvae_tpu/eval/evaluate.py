@@ -83,9 +83,14 @@ def _emi_cell(a: np.ndarray, b: np.ndarray, N: int, T: np.ndarray,
     out = np.zeros(a.size)
     lo_sup = np.maximum(1, a + b - N)
     hi_sup = np.minimum(a, b)
-    mu = a * b / N
+    # float64 BEFORE the quadruple product: in int64 a·b·(N−a)·(N−b)
+    # overflows (silently, wrapping) once N exceeds ~1e5 with balanced
+    # marginals, which would corrupt the truncation window and the AMI
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    mu = af * bf / N
     sig = np.sqrt(np.maximum(
-        a * b * (N - a) * (N - b) / (N * N * max(N - 1, 1)), 0.0))
+        af * bf * (N - af) * (N - bf) / (float(N) * N * max(N - 1, 1)),
+        0.0))
     w = 12.0 * sig + 25.0
     lo = np.maximum(lo_sup, np.floor(mu - w).astype(np.int64))
     hi = np.minimum(hi_sup, np.ceil(mu + w).astype(np.int64))
@@ -237,19 +242,27 @@ def summarize_inference(cpl, files, x: np.ndarray,
     """
     if isinstance(files, (str, bytes)):
         files = [files]
-    K = cpl.cfg.n_categories
     summaries = []
     for f in files:
         cpl.load_model(f)
+        # after load: standalone-capable load_model rebuilds cfg from the
+        # checkpoint metadata, so a fresh CplMixVAE() works here
+        K = cpl.cfg.n_categories
         res = cpl.eval_model(x)
         labels = res["pred_label"]
         A = labels.shape[0]
+        # pruned categories are never predicted; the reference restricts
+        # the confusion matrices/consensus to the unpruned submatrix
+        # (eval_models.py:76-83 nprune_indx) — including the all-zero
+        # pruned rows/columns would deflate every pruned checkpoint's score
+        active = np.where(np.asarray(res["mask"]) > 0)[0]
         conf = {}
         cons = {}
         for a in range(A):
             for b in range(a + 1, A):
                 cm = confmat_normalize(
                     compute_confmat(labels[a], labels[b], K))
+                cm = cm[np.ix_(active, active)]
                 conf[(a, b)] = cm
                 cons[(a, b)] = confmat_mean(cm)
         summaries.append({
@@ -265,6 +278,7 @@ def summarize_inference(cpl, files, x: np.ndarray,
             "per_category_agreement": per_category_agreement(labels, K),
             "total_loss_rec": res["total_loss_rec"],
             "mask": res["mask"],
+            "nprune_indx": active,
         })
     out = summaries[0] if len(summaries) == 1 else {"runs": summaries}
     if saving_file:
@@ -293,8 +307,14 @@ def evals2(labels_a: np.ndarray, labels_b: np.ndarray,
     if K is None:
         K = int(max(labels_a.max(), labels_b.max())) + 1
 
-    def pair_consensus(la, lb):
-        return confmat_mean(confmat_normalize(compute_confmat(la, lb, K)))
+    def pair_consensus(la, lb, align=False):
+        cm = confmat_normalize(compute_confmat(la, lb, K))
+        # between-run pairs are aligned with the Hungarian reassignment
+        # before taking the diagonal (reference _evals.py:90): two runs
+        # that found the same clustering up to a category permutation must
+        # score ~1, not ~1/K.  Within-run arm pairs share category indices
+        # by construction and use the raw diagonal (:138/:186).
+        return confmat_mean(reassign(cm) if align else cm)
 
     def within(labels):
         A = labels.shape[0]
@@ -308,7 +328,8 @@ def evals2(labels_a: np.ndarray, labels_b: np.ndarray,
     between = np.zeros((Aa, Ab))
     for a in range(Aa):
         for b in range(Ab):
-            between[a, b] = pair_consensus(labels_a[a], labels_b[b])
+            between[a, b] = pair_consensus(labels_a[a], labels_b[b],
+                                           align=True)
 
     out = {"within_a": within(labels_a), "within_b": within(labels_b),
            "between": between}

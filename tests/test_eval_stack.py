@@ -300,3 +300,78 @@ def test_log_mixture_nb_shared_dispersion_convention():
     shared = log_mixture_nb(x, mu1, mu2, th1, None, pi)
     explicit = log_mixture_nb(x, mu1, mu2, th1, th1, pi)
     np.testing.assert_allclose(np.asarray(shared), np.asarray(explicit))
+
+
+def test_mutinfo_no_int64_overflow_at_large_n():
+    """The EMI truncation window must survive N > ~1e5 with balanced
+    marginals (int64 a*b*(N-a)*(N-b) wraps there; float64 does not):
+    vectorized AMI still matches the sklearn oracle."""
+    from dvae_tpu.eval.evaluate import mutinfo, mutinfo_oracle
+
+    N, C, F = 150_000, 3, 2
+    r = np.random.default_rng(0)
+    t_int = r.integers(0, F, N)
+    # clusters correlated with types so the AMI is informative
+    p_int = np.where(r.random(N) < 0.8, t_int, r.integers(0, C, N))
+    probs = np.eye(C)[p_int]
+    targets = np.eye(F)[t_int]
+    got = mutinfo(probs, targets)
+    want = mutinfo_oracle(probs, targets)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_evals2_between_runs_hungarian_aligned():
+    """Two runs with identical clusterings up to a category permutation
+    must report between-run consensus ~1 (reference _evals.py:90
+    reassign); within-run stays on raw indices."""
+    from dvae_tpu.eval.evaluate import evals2
+
+    r = np.random.default_rng(1)
+    K, N = 6, 500
+    base = r.integers(0, K, N)
+    perm = np.array([3, 5, 0, 1, 4, 2])
+    labels_a = np.stack([base, base])
+    labels_b = np.stack([perm[base], perm[base]])
+    out = evals2(labels_a, labels_b, K=K)
+    np.testing.assert_allclose(out["within_a"], 1.0)
+    np.testing.assert_allclose(out["within_b"], 1.0)
+    # ~1 after Hungarian alignment (not exactly 1: confmat_normalize
+    # divides by the larger of the two categories' sizes, reference
+    # semantics); the unaligned diagonal would be ~0 here
+    assert (out["between"] > 0.95).all()
+    from dvae_tpu.eval.metrics import (compute_confmat, confmat_mean,
+                                       confmat_normalize)
+    raw = confmat_mean(confmat_normalize(
+        compute_confmat(labels_a[0], labels_b[0], K)))
+    assert raw < 0.2  # the bug this guards against: unaligned indices
+
+
+def test_k_selection_single_qualifier_and_exact_threshold():
+    from dvae_tpu.eval.cluster_analysis import K_selection
+
+    # exactly one run above thr: select that run, not the smallest-K one
+    num_pruned = [3, 9]
+    recon = [[1.0, 0.5]]
+    con = np.array([0.5, 0.97])
+    *_, K = K_selection(num_pruned, recon, con, thr=0.95)
+    assert K == 9
+    # thr equal to the max consensus: decline (strict >) instead of
+    # guessing
+    *_, K = K_selection(num_pruned, recon, con, thr=0.97)
+    assert K is None
+
+
+def test_custom_qda_integer_labels():
+    """Integer labels must classify, not silently collapse to class 0
+    (the reference never casts labels to str)."""
+    from dvae_tpu.analysis.tree_helpers import custom_QDA
+
+    r = np.random.default_rng(2)
+    n = 120
+    lbl = np.repeat([0, 1], n // 2)
+    z = np.concatenate([r.normal(-3, 0.4, (n // 2, 2)),
+                        r.normal(3, 0.4, (n // 2, 2))])
+    true_lbl, pred = custom_QDA(z, lbl, z, lbl.copy())
+    acc = np.mean([p == t for p, t in zip(pred, true_lbl)])
+    assert acc > 0.95
+    assert set(np.unique(pred.astype(str))) == {"0", "1"}
