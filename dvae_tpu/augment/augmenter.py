@@ -35,6 +35,9 @@ import numpy as np
 
 BN_EPS = 1e-10
 BN_MOMENTUM = 0.01
+# bnz is a torch-default BatchNorm1d in the reference (udagan.py:227 /
+# networks.py:19): eps=1e-5, momentum=0.1 — unlike every fc BN
+_BN_HYPERS = {"bnz": (1e-5, 0.1)}
 
 
 @dataclass(frozen=True)
@@ -60,7 +63,9 @@ def _linear_shapes(cfg: AugmenterConfig) -> dict:
         "fc10": (D5, D5), "fc11": (D5, D),
     }
     if cfg.variant == "generic":
-        # udagan.py:16-118: fc5 without noise exists too; fc8 is absent
+        # udagan.py:16-118: the generic Augmenter keeps BOTH a plain fc5
+        # (n_dim -> n_dim//5, used when noise=False) and the noise-concat
+        # fc5n; our "fc5" is the reference fc5n, "fc5_plain" its fc5
         shapes["fc5_plain"] = (H, H5)
     if cfg.n_zim > 1:
         shapes["fc11_p"] = (D5, D)
@@ -74,8 +79,13 @@ _BN_LAYERS = ("bnz", "bn1", "bn2", "bn3", "bn4", "bn5", "bn_mu",
 def _bn_dims(cfg: AugmenterConfig) -> dict:
     D5, H, H5, Z, NZ = (cfg.input_dim // 5, cfg.n_dim, cfg.n_dim // 5,
                         cfg.latent_dim, cfg.noise_dim)
-    return {"bnz": NZ, "bn1": D5, "bn2": D5, "bn3": H, "bn4": H, "bn5": H5,
+    dims = {"bnz": NZ, "bn1": D5, "bn2": D5, "bn3": H, "bn4": H, "bn5": H5,
             "bn_mu": Z, "bn6": H5, "bn7": H, "bn8": H, "bn9": D5, "bn10": D5}
+    if cfg.variant == "generic":
+        # the plain fc5 branch keeps its OWN running stats (reference
+        # batch_fc5 vs batch_fc5n are independent BatchNorm1d layers)
+        dims["bn5_plain"] = H5
+    return dims
 
 
 def init_augmenter(key: jax.Array, cfg: AugmenterConfig, dtype=jnp.float32):
@@ -107,14 +117,17 @@ def _lin(p, x):
     return y if p["b"] is None else y + p["b"]
 
 
-def _bn(x, stats, train: bool):
+def _bn(x, stats, train: bool, eps: float = BN_EPS,
+        momentum: float = BN_MOMENTUM):
     """Normalize over all leading axes (pools over A·B in arm-major mode —
     the permute-trick semantics of udagan.py:284-309).
 
     Statistics compute in the running-stat dtype (f32 — batch moments in
     bf16 lose ~3 digits and would also silently promote every activation
     back to f32, defeating mixed-precision matmuls downstream); the
-    normalized output returns in the activation dtype.
+    normalized output returns in the activation dtype.  ``eps``/``momentum``
+    default to the fc-BN values; bnz overrides with torch defaults
+    (_BN_HYPERS).
     """
     red = tuple(range(x.ndim - 1))
     xf = x.astype(stats["mean"].dtype)
@@ -124,11 +137,11 @@ def _bn(x, stats, train: bool):
         n = int(np.prod(x.shape[:-1]))
         unbiased = var * (n / max(n - 1, 1))
         new = dict(stats)
-        new["mean"] = (1 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * mean
-        new["var"] = (1 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased
+        new["mean"] = (1 - momentum) * stats["mean"] + momentum * mean
+        new["var"] = (1 - momentum) * stats["var"] + momentum * unbiased
     else:
         mean, var, new = stats["mean"], stats["var"], stats
-    y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
     if "scale" in stats:
         y = y * stats["scale"] + stats["bias"]
     return y.astype(x.dtype), new
@@ -183,7 +196,8 @@ def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
     new_bn = dict(bn)
 
     def bnr(name, h, act=jax.nn.relu):
-        y, new_bn[name] = _bn(h, bn[name], train)
+        eps, mom = _BN_HYPERS.get(name, (BN_EPS, BN_MOMENTUM))
+        y, new_bn[name] = _bn(h, bn[name], train, eps, mom)
         return act(y) if act else y
 
     h = _drop(k_drop, x, cfg.p_drop, train)
@@ -192,10 +206,16 @@ def apply_augmenter(params, bn, cfg: AugmenterConfig, x: jax.Array,
     h = bnr("bn3", _lin(params["fc3"], h))
     h = bnr("bn4", _lin(params["fc4"], h))
 
-    if noise or cfg.variant == "smartseq":
+    if cfg.variant == "smartseq":
+        # smartseq has no deterministic branch (udagan.py:247-251): its
+        # noise-off forward is the SAME fc5 path with a zero z draw, so
+        # noise=False must zero the scale, not silently inject full noise
+        h = _noise_concat(params, bnr, cfg, h, k_noise,
+                          scale if noise else 0.0, x.dtype)
+    elif noise:
         h = _noise_concat(params, bnr, cfg, h, k_noise, scale, x.dtype)
     else:
-        h = bnr("bn5", _lin(params["fc5_plain"], h))
+        h = bnr("bn5_plain", _lin(params["fc5_plain"], h))
 
     s, x_mu, x_p = _latent_decode(params, bnr, cfg, h, k_reparam,
                                   zinb_head=cfg.n_zim > 1)
@@ -225,7 +245,8 @@ def augment_arms(params, bn, cfg: AugmenterConfig, key: jax.Array,
     _, k_noise, k_reparam = jax.random.split(key, 3)
 
     def ev(name, h, act=jax.nn.relu):
-        y, _ = _bn(h, bn[name], train=False)
+        eps, mom = _BN_HYPERS.get(name, (BN_EPS, BN_MOMENTUM))
+        y, _ = _bn(h, bn[name], False, eps, mom)
         return act(y) if act else y
 
     h = ev("bn1", _lin(params["fc1"], x))
@@ -253,14 +274,71 @@ def kl_dist(mu1, var1, mu2, var2, eps: float = 1e-6):
     return jnp.mean(jnp.sum(logli, axis=1))
 
 
-def generator_config(latent_dim: int, input_dim: int, n_dim: int = 100,
-                     n_zim: int = 1, p_drop: float = 0.1) -> AugmenterConfig:
-    """The reference's ``Generator`` (udagan.py:148-214) is the Augmenter
-    family without a noise path — expressed here as an AugmenterConfig used
-    with ``noise=False`` at apply time (the fc5_plain branch)."""
-    return AugmenterConfig(noise_dim=1, latent_dim=latent_dim,
-                           input_dim=input_dim, n_dim=n_dim, n_zim=n_zim,
-                           p_drop=p_drop, variant="generic")
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """The reference ``Generator`` (udagan.py:148-214): a plain VAE with
+    its own (narrower) topology — fc1(D→n_dim), fc2/fc3 (n_dim-wide),
+    mu/sigma straight from n_dim, decoder fc6/fc7/fc10 only (no noise
+    path, no fc4/fc5/fc8/fc9).  Unused by any reference entry point but
+    part of the module surface."""
+
+    latent_dim: int = 10
+    input_dim: int = 5032
+    n_dim: int = 100
+    n_zim: int = 1
+    p_drop: float = 0.1
+
+
+def init_generator(key: jax.Array, cfg: GeneratorConfig, dtype=jnp.float32):
+    """Returns (params, bn_state) for ``apply_generator``."""
+    D, H, Z = cfg.input_dim, cfg.n_dim, cfg.latent_dim
+    shapes = {"fc1": (D, H), "fc2": (H, H), "fc3": (H, H),
+              "fc_mu": (H, Z), "fc_sigma": (H, Z),
+              "fc6": (Z, H), "fc7": (H, H), "fc10": (H, H), "fc11": (H, D)}
+    if cfg.n_zim > 1:
+        shapes["fc11_p"] = (H, D)
+    keys = jax.random.split(key, len(shapes))
+    params = {}
+    for (n, (fi, fo)), k in zip(shapes.items(), keys):
+        bound = 1.0 / np.sqrt(fi)
+        kw, kb = jax.random.split(k)
+        params[n] = {"w": jax.random.uniform(kw, (fi, fo), dtype,
+                                             -bound, bound),
+                     "b": jax.random.uniform(kb, (fo,), dtype,
+                                             -bound, bound)}
+    dims = {"bn1": H, "bn2": H, "bn3": H, "bn_mu": Z, "bn6": H, "bn7": H,
+            "bn10": H}
+    bn = {n: {"mean": jnp.zeros((d,), dtype), "var": jnp.ones((d,), dtype)}
+          for n, d in dims.items()}
+    return params, bn
+
+
+def apply_generator(params, bn, cfg: GeneratorConfig, x: jax.Array,
+                    key: jax.Array, train: bool = False):
+    """Forward (udagan.py:198-213).  Returns (s, x_out, new_bn); x_out is
+    (..., 2D) [x_mu, x_p] when n_zim > 1."""
+    k_drop, k_reparam = jax.random.split(key)
+    new_bn = dict(bn)
+
+    def bnr(name, h, act=jax.nn.relu):
+        y, new_bn[name] = _bn(h, bn[name], train)
+        return act(y) if act else y
+
+    h = _drop(k_drop, x, cfg.p_drop, train)
+    h = bnr("bn1", _lin(params["fc1"], h))
+    h = bnr("bn2", _lin(params["fc2"], h))
+    h = bnr("bn3", _lin(params["fc3"], h))
+    mu = bnr("bn_mu", _lin(params["fc_mu"], h), act=None)
+    sigma = jax.nn.sigmoid(_lin(params["fc_sigma"], h))
+    s = mu + jax.random.normal(k_reparam, mu.shape, mu.dtype) * sigma
+    h = bnr("bn6", _lin(params["fc6"], s))
+    h = bnr("bn7", _lin(params["fc7"], h))
+    h = bnr("bn10", _lin(params["fc10"], h))
+    x_mu = jax.nn.relu(_lin(params["fc11"], h))
+    if cfg.n_zim > 1:
+        x_p = jax.nn.sigmoid(_lin(params["fc11_p"], h))
+        return s, jnp.concatenate([x_mu, x_p], axis=-1), new_bn
+    return s, x_mu, new_bn
 
 
 # ---------------------------------------------------------------------------

@@ -162,13 +162,16 @@ def make_gan_step(a_cfg: AugmenterConfig, d_cfg: DiscriminatorConfig,
         return total, (gen, recon, mse_rec, trip, bn_a2, f1_bin, f2_bin)
 
     def step(state: GanState, data: jax.Array):
-        key, k_a, k_d, k_apre = jax.random.split(state.key, 4)
+        key, k_a, k_d = jax.random.split(state.key, 3)
         data_bin = _binarize(data, DATA_BIN_EPS)
 
-        # pre-generate fakes for the D step (detached: stop_gradient)
+        # pre-generate fakes for the D step (detached: stop_gradient).
+        # SAME key as the A-step below: the reference uses one fake pair
+        # for both updates (train.py:61-99), and the identical call lets
+        # XLA CSE this forward with the gradient pass's primal
         _, (_, _, _, _, _, f1_bin, f2_bin) = a_loss_fn(
             state.a_params, state.a_bn, state.d_params, state.d_bn,
-            data, data_bin, k_apre)
+            data, data_bin, k_a)
         f1_bin = jax.lax.stop_gradient(f1_bin)
         f2_bin = jax.lax.stop_gradient(f2_bin)
 
@@ -221,6 +224,11 @@ def train_augmenter(x_train: np.ndarray,
     """
     D = x_train.shape[1]
     a_cfg = a_cfg or AugmenterConfig(input_dim=D)
+    if mode == "ZINB" and a_cfg.n_zim <= 1:
+        # ZINB training needs the fc11_p dropout head (reference
+        # networks.py mode='ZINB'); silently training an MSE model under
+        # a 'ZINB' label would be a trap
+        a_cfg = AugmenterConfig(**{**a_cfg.__dict__, "n_zim": 2})
     d_cfg = DiscriminatorConfig(input_dim=D)
     a_tx, d_tx = optax.adam(lr), optax.adam(lr)
 
@@ -233,6 +241,7 @@ def train_augmenter(x_train: np.ndarray,
 
     x_all = jnp.asarray(x_train, jnp.float32)
     n = x_all.shape[0]
+    batch_size = min(batch_size, n)   # small dataset: one batch of n rows
     steps = max(n // batch_size, 1)
 
     step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, lambdas, alpha, mode,

@@ -69,6 +69,10 @@ def confmat(l1: np.ndarray, l2: np.ndarray, K: int) -> np.ndarray:
     lib = _load()
     l1 = np.ascontiguousarray(l1, np.int64)
     l2 = np.ascontiguousarray(l2, np.int64)
+    if len(l1) != len(l2):
+        # the C kernel reads n entries of BOTH buffers; a mismatch would be
+        # an out-of-bounds heap read, not a clean error
+        raise ValueError(f"label length mismatch: {len(l1)} vs {len(l2)}")
     out = np.zeros((K, K), np.float64)
     lib.confmat(l1, l2, len(l1), K, out)
     return out

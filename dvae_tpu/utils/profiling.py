@@ -65,10 +65,15 @@ class StepTimer:
     @staticmethod
     def sync(x) -> None:
         leaves = jax.tree_util.tree_leaves(x)
-        if leaves:
-            np.asarray(jax.tree_util.tree_map(
-                lambda a: a if not hasattr(a, "addressable_data") else a,
-                leaves[0]))
+        if not leaves:
+            return
+        a = leaves[0]
+        if hasattr(a, "addressable_shards") and a.addressable_shards:
+            # a multi-host array spans non-addressable devices; fetching
+            # the full value would raise — one local shard suffices to
+            # block on the device stream
+            a = a.addressable_shards[0].data
+        np.asarray(a)
 
     def start(self) -> None:
         self._t0 = time.perf_counter()

@@ -244,17 +244,41 @@ def augmenter_from_checkpoint(ckpt: dict):
 
     p = ckpt["parameters"]
     sd = _strip_prefixes(ckpt["netA"])
-    cfg = AugmenterConfig(
-        noise_dim=int(p["num_n"]), latent_dim=int(p["num_z"]),
-        input_dim=int(p["n_features"]),
-        n_dim=int(p.get("n_dim", 500)),
-        p_drop=float(p.get("p_drop", 0.5)),
-        n_zim=int(p.get("n_zim", 1)))
+
     def has(ref):
         return f"{ref}.weight" in sd or f"{ref}.weight_orig" in sd
 
+    # layout detection: the generic Augmenter (udagan.py:16-118 /
+    # networks.py — the class dist/train_agumenter.py builds) carries BOTH
+    # a plain fc5 and a noise-concat fc5n; Augmenter_smartseq has one fc5
+    # that already takes the noise concat.  Mapping the generic fc5 into
+    # our noise slot would produce a checkpoint that crashes on first use.
+    generic = has("fc5n")
+    lin_map = dict(_AUG_LINEAR)
+    bn_map = dict(_AUG_BN)
+    if generic:
+        lin_map["fc5"] = "fc5n"          # our noise-concat branch
+        lin_map["fc5_plain"] = "fc5"     # the deterministic branch
+        bn_map["bn5"] = "batch_fc5n"
+        bn_map["bn5_plain"] = "batch_fc5"
+    n_zim = int(p.get("n_zim", 2 if has("fc11_p") else 1))
+    # infer n_dim from the weights when present (generic default is 100,
+    # smartseq 500 — trusting a default would mis-shape the other family)
+    if has("fc4"):
+        n_dim = int(_np(sd["fc4.weight" if "fc4.weight" in sd
+                           else "fc4.weight_orig"]).shape[0])
+    else:
+        n_dim = int(p.get("n_dim", 500))
+    cfg = AugmenterConfig(
+        noise_dim=int(p["num_n"]), latent_dim=int(p["num_z"]),
+        input_dim=int(p["n_features"]),
+        n_dim=n_dim,
+        p_drop=float(p.get("p_drop", 0.2 if generic else 0.5)),
+        n_zim=n_zim,
+        variant="generic" if generic else "smartseq")
+
     params = {}
-    for ours, ref in _AUG_LINEAR.items():
+    for ours, ref in lin_map.items():
         if not has(ref):
             continue
         w, b = _linear(sd, ref)
@@ -263,7 +287,9 @@ def augmenter_from_checkpoint(ckpt: dict):
         w, b = _linear(sd, "fc11_p")
         params["fc11_p"] = {"w": w.T, "b": b}
     bn = {}
-    for ours, ref in _AUG_BN.items():
+    for ours, ref in bn_map.items():
+        if f"{ref}.running_mean" not in sd:
+            continue
         st = {"mean": _np(sd[f"{ref}.running_mean"]),
               "var": _np(sd[f"{ref}.running_var"])}
         if f"{ref}.weight" in sd:       # bnz is affine=True (udagan.py:29)

@@ -197,3 +197,73 @@ def test_get_data_yields_paired_binarized_batches():
     assert len(batches) == 2  # drop_last
     for xb, bb in batches:
         np.testing.assert_array_equal(bb, (xb > 1e-1).astype(np.float32))
+
+
+def test_smartseq_noise_off_equals_zero_scale():
+    """variant='smartseq' has no plain branch: noise=False must be the
+    zero-noise fc5 path (NOT silent full-scale noise)."""
+    params, bn = init_augmenter(jax.random.key(0), ACFG)
+    x = jnp.asarray(rng.random((8, 50)).astype(np.float32))
+    k = jax.random.key(4)
+    _, off, _ = apply_augmenter(params, bn, ACFG, x, k, noise=False,
+                                scale=5.0)
+    _, zero, _ = apply_augmenter(params, bn, ACFG, x, k, noise=True,
+                                 scale=0.0)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(zero))
+    _, on, _ = apply_augmenter(params, bn, ACFG, x, k, noise=True,
+                               scale=1.0)
+    assert not np.allclose(np.asarray(off), np.asarray(on))
+
+
+def test_generic_plain_branch_keeps_own_bn_stats():
+    """The generic variant's fc5_plain branch must update bn5_plain, not
+    share bn5 with the noise branch (reference batch_fc5 vs batch_fc5n)."""
+    cfg = AugmenterConfig(noise_dim=10, latent_dim=4, input_dim=50,
+                          n_dim=20, variant="generic")
+    params, bn = init_augmenter(jax.random.key(0), cfg)
+    assert "bn5_plain" in bn and "fc5_plain" in params
+    x = jnp.asarray(rng.random((16, 50)).astype(np.float32))
+    _, _, bn_noise = apply_augmenter(params, bn, cfg, x, jax.random.key(1),
+                                     train=True, noise=True)
+    _, _, bn_plain = apply_augmenter(params, bn, cfg, x, jax.random.key(1),
+                                     train=True, noise=False)
+    # noise pass touches bn5 only; plain pass touches bn5_plain only
+    assert not np.allclose(np.asarray(bn_noise["bn5"]["mean"]),
+                           np.asarray(bn["bn5"]["mean"]))
+    np.testing.assert_array_equal(np.asarray(bn_noise["bn5_plain"]["mean"]),
+                                  np.asarray(bn["bn5_plain"]["mean"]))
+    assert not np.allclose(np.asarray(bn_plain["bn5_plain"]["mean"]),
+                           np.asarray(bn["bn5_plain"]["mean"]))
+    np.testing.assert_array_equal(np.asarray(bn_plain["bn5"]["mean"]),
+                                  np.asarray(bn["bn5"]["mean"]))
+
+
+def test_zinb_mode_gets_dropout_head_and_small_dataset_clamps(tmp_path):
+    x = rng.gamma(2.0, 1.0, (50, 30)).astype(np.float32)
+    x *= rng.random((50, 30)) > 0.6
+    params, bn, cfg, hist = train_augmenter(
+        x, AugmenterConfig(noise_dim=6, latent_dim=3, input_dim=30,
+                           n_dim=10),
+        n_epochs=2, batch_size=1000, mode="ZINB", verbose=False)
+    assert cfg.n_zim == 2 and "fc11_p" in params   # head actually trained
+    assert np.isfinite([h["a_loss"] for h in hist]).all()
+
+
+def test_generator_true_topology():
+    from dvae_tpu.augment.augmenter import (GeneratorConfig, apply_generator,
+                                            init_generator)
+
+    cfg = GeneratorConfig(latent_dim=4, input_dim=40, n_dim=12)
+    params, bn = init_generator(jax.random.key(0), cfg)
+    # reference Generator layer set: no fc4/fc5/fc8/fc9, mu from n_dim
+    assert set(params) == {"fc1", "fc2", "fc3", "fc_mu", "fc_sigma",
+                           "fc6", "fc7", "fc10", "fc11"}
+    assert params["fc1"]["w"].shape == (40, 12)
+    assert params["fc_mu"]["w"].shape == (12, 4)
+    x = jnp.asarray(rng.random((8, 40)).astype(np.float32))
+    s, out, _ = apply_generator(params, bn, cfg, x, jax.random.key(1))
+    assert s.shape == (8, 4) and out.shape == (8, 40)
+    zcfg = GeneratorConfig(latent_dim=4, input_dim=40, n_dim=12, n_zim=2)
+    zp, zbn = init_generator(jax.random.key(0), zcfg)
+    _, zout, _ = apply_generator(zp, zbn, zcfg, x, jax.random.key(1))
+    assert zout.shape == (8, 80)  # [x_mu, x_p]

@@ -365,3 +365,60 @@ class TestConsensusKitParity:
                                       ref_utils.classify(probs))
         s = "cpl_mixVAE_model_epoch_4200.pth"
         assert m.parse_epoch(s) == ref_utils.parse_epoch(s)
+
+
+def test_generic_augmenter_import_and_noise_off_forward(tmp_path,
+                                                        monkeypatch):
+    """A checkpoint of the reference's GENERIC Augmenter (udagan.py:16-118
+    — dual fc5/fc5n paths; the family dist/train_agumenter.py builds) must
+    import with the right layout (our fc5 ← ref fc5n, fc5_plain ← fc5,
+    per-branch BN stats) and reproduce the deterministic noise-off
+    forward."""
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import mmidas.augmentation.udagan as udagan
+
+    NZ, Z, Dg, H, Bn = 6, 4, 60, 20, 32
+    th.manual_seed(3)
+    net = udagan.Augmenter(noise_dim=NZ, latent_dim=Z, input_dim=Dg,
+                           n_dim=H, n_zim=1, p_drop=0.2)
+    net.train()
+    with th.no_grad():
+        for i in range(3):
+            x = th.rand(Bn, Dg, generator=th.Generator().manual_seed(i))
+            z = th.randn(Bn, NZ, generator=th.Generator().manual_seed(i))
+            net(x, z, True, "cpu")
+            net(x, z, False, "cpu")
+    net.eval()
+
+    pth = str(tmp_path / "aug_generic.pth")
+    th.save({"netA": net.state_dict(), "netD": {}, "optimA": {},
+             "optimD": {}, "parameters": {"num_n": NZ, "num_z": Z,
+                                          "n_features": Dg}}, pth)
+
+    from dvae_tpu.augment.augmenter import apply_augmenter, load_augmenter
+    from dvae_tpu.utils.torch_import import import_augmenter_checkpoint
+    params, bn, acfg = load_augmenter(import_augmenter_checkpoint(pth))
+    assert acfg.variant == "generic" and acfg.n_dim == H
+    assert "fc5_plain" in params and "bn5_plain" in bn
+    assert params["fc5"]["w"].shape == (H + NZ, H // 5)
+    assert params["fc5_plain"]["w"].shape == (H, H // 5)
+
+    x = th.rand(Bn, Dg, generator=th.Generator().manual_seed(9))
+    z = th.zeros(Bn, NZ)
+    monkeypatch.setattr(udagan, "reparam_trick", lambda mu, std, dev: mu)
+    with th.no_grad():
+        _, ref_out = net(x, z, False, "cpu")
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+    _, ours, _ = apply_augmenter(params, bn, acfg,
+                                 jnp.asarray(x.numpy()),
+                                 jax.random.key(0), train=False,
+                                 noise=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                               rtol=2e-4, atol=2e-5)
