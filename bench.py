@@ -85,15 +85,13 @@ def wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 300.0,
     ``max_wait_s`` elapsed (callers should proceed and let the real
     error surface).
     """
+    from dvae_tpu.utils.backend_probe import probe_backend
+
     deadline = time.monotonic() + max_wait_s
-    code = ("import jax, numpy as np; "
-            "print(int(np.asarray(jax.numpy.ones((8,)).sum())))")
     while True:
         wait = poll_s
         try:
-            p = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=probe_timeout_s)
-            if p.returncode == 0:
+            if probe_backend(probe_timeout_s):
                 return True
         except subprocess.TimeoutExpired:
             # the probe HUNG (not fast-failed) and was killed — if it had

@@ -85,10 +85,13 @@ def load_results(path: str) -> list[dict]:
 
 def summarize(results: list[dict]) -> dict:
     """Epoch-time / loss / accuracy table keyed by (model, strategy,
-    precision) — what dist/plot.py plotted across run dirs."""
+    precision, n_devices) — what dist/plot.py plotted across run dirs.
+    The device count is part of the key so a multi-device-count grid
+    (gen_configs(device_counts=...)) keeps every row."""
     table = {}
     for r in results:
-        key = (r["model"], r["strategy"], r["precision"])
+        key = (r["model"], r["strategy"], r["precision"],
+               int(r["n_devices"]))
         table[key] = {
             "epoch_time_s": float(r["epoch_times_s"][-1]),
             "final_loss": float(r["train_losses"][-1]),
@@ -107,7 +110,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="sharding x precision sweep")
     ap.add_argument("--models", nargs="+", default=["shallow"],
                     choices=list(MODELS))
-    ap.add_argument("--strategies", nargs="+", default=list(STRATEGIES))
+    ap.add_argument("--strategies", nargs="+", default=list(STRATEGIES),
+                    choices=list(STRATEGIES))
     ap.add_argument("--precisions", nargs="+", default=["fp32"],
                     choices=list(PRECISIONS))
     ap.add_argument("--n_epochs", type=int, default=2)

@@ -70,7 +70,7 @@ def _load_dataset(args):
         sec = config.get(args.dataset, {})
         f = (config["paths"]["main_dir"] / str(sec.get("data_path", ""))
              / str(sec.get("anndata_file", "")))
-        if str(sec.get("anndata_file")) and f.is_file():
+        if sec.get("anndata_file") and f.is_file():
             return load_data(str(f), n_gene=args.n_gene)
     print("using synthetic dataset")
     return synthetic_dataset(n_cells=args.syn_cells, n_genes=args.syn_genes,
@@ -178,20 +178,23 @@ def cmd_evaluate(args) -> int:
     if not ckpt:
         print("no checkpoint found", file=sys.stderr)
         return 1
+    # NO init_model here: a fresh instance lets load_model (inside
+    # summarize_inference) rebuild cfg/tcfg from the checkpoint metadata —
+    # an init from CLI defaults would pin the wrong mode/arms/ref_prior
+    # and crash or silently mis-evaluate non-default checkpoints
     cpl = CplMixVAE(saving_folder=args.saving_folder or ".")
-    cpl.init_model(n_categories=args.n_categories, state_dim=args.state_dim,
-                   input_dim=ds.n_genes, fc_dim=args.fc_dim,
-                   lowD_dim=args.latent_dim, n_arm=args.n_arm, tau=args.tau,
-                   batch_size=args.batch_size)
     preds = summarize_inference(cpl, ckpt, ds.log1p)
+    n_arm = preds["pred_label"].shape[0]
+    if n_arm != args.n_arm:
+        print(f"note: checkpoint has {n_arm} arms (flag said {args.n_arm})")
     mis = [avg_max(mutinfo(preds["c_prob"][a], ds.c_onehot.astype(int)))
-           for a in range(args.n_arm)]
+           for a in range(n_arm)]
     consensus = avg_consensus(preds["pred_label"])
     res = {"pairwise": consensus["pairwise"], "all": consensus["all"],
-           "mi": mis, "avg_mi": float(np.mean(mis)), "arms": args.n_arm,
+           "mi": mis, "avg_mi": float(np.mean(mis)), "arms": n_arm,
            "consensus": preds["consensus"]}
     os.makedirs("evaluation", exist_ok=True)
-    out = (f"evaluation/A{args.n_arm}-RUN{args.run}-E{args.n_epoch}.npy")
+    out = (f"evaluation/A{n_arm}-RUN{args.run}-E{args.n_epoch}.npy")
     np.save(out, res)  # reference artifact contract (evaluation.py:126)
     print(json.dumps(res, default=float))
     return 0

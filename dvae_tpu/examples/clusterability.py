@@ -53,22 +53,24 @@ def main() -> int:
     args = ap.parse_args()
 
     from dvae_tpu.data.anndata_io import synthetic_dataset
-    ds = synthetic_dataset(n_cells=600, n_genes=80, n_types=6, seed=0)
 
     if args.ckpt:
         from dvae_tpu.models.api import generate, load_vae
         cfg, params, bn, mask = load_vae(args.ckpt)
+        # the dataset must match the checkpoint's gene dimension
+        ds = synthetic_dataset(n_cells=600, n_genes=cfg.input_dim,
+                               n_types=min(cfg.n_categories, 6), seed=0)
         out = generate(cfg, params, bn, ds.log1p, mask=mask)
     else:
-        import jax
-        from dvae_tpu.train.cpl_mixvae import CplMixVAE
         import tempfile
+
+        from dvae_tpu.train.cpl_mixvae import CplMixVAE
+        ds = synthetic_dataset(n_cells=600, n_genes=80, n_types=6, seed=0)
         cpl = CplMixVAE(saving_folder=tempfile.mkdtemp())
         cpl.init_model(n_categories=6, input_dim=80, fc_dim=16, lowD_dim=8,
                        n_arm=2, tau=0.1, batch_size=100, epochs_per_jit=10)
         cpl.train(ds.log1p, n_epoch=30, save_plots=False)
         out = cpl.eval_model(ds.log1p)
-        out["x_low"] = out["x_low"]
 
     res = clusterability_study(out["x_low"][0], out["pred_label"][0],
                                ds.cluster_label, kfold=args.kfold)

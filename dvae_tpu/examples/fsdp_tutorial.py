@@ -214,15 +214,23 @@ def train_mnist_fsdp(model: str = "shallow",
     for e in range(n_epochs):
         order = rng.permutation(n)[: steps * batch_size]
         t0 = time.perf_counter()
-        tot = 0.0
+        step_losses = []
         for i in range(steps):
             sel = order[i * batch_size: (i + 1) * batch_size]
-            xb = jax.device_put(jnp.asarray(x[sel]), batch_sh)
-            yb = jax.device_put(jnp.asarray(y[sel]), batch_sh)
+            # device_put the numpy slice directly (an intermediate
+            # jnp.asarray would commit to the default device first), and
+            # keep the loss ON DEVICE until after the clock stops — a
+            # float() here blocks every step on a host round trip and the
+            # tunnel RTT would dominate the very number the sweep compares
+            xb = jax.device_put(x[sel], batch_sh)
+            yb = jax.device_put(y[sel], batch_sh)
             params, opt_state, loss = train_step(params, opt_state, xb, yb)
-            tot += float(loss)
+            step_losses.append(loss)
+        np.asarray(step_losses[-1])   # tunnel-safe sync: block_until_ready
+                                      # does not block through the axon
+                                      # TPU tunnel (CLAUDE.md)
         epoch_times.append(time.perf_counter() - t0)
-        losses.append(tot / steps)
+        losses.append(float(np.mean([float(l) for l in step_losses])))
         acc = float(test_step(params,
                               jax.device_put(jnp.asarray(xt), batch_sh),
                               jax.device_put(jnp.asarray(yt), batch_sh)))

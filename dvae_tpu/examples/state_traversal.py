@@ -30,7 +30,7 @@ def traversal_study(cfg: VAEConfig, params, bn, x: np.ndarray,
                     key: Optional[jax.Array] = None) -> dict:
     """Sweep state dim ``d_s``; return reconstructions, swept values, and
     the genes most correlated with the swept dimension."""
-    key = key or jax.random.key(0)
+    key = jax.random.key(0) if key is None else key
     xj = jnp.asarray(x, jnp.float32)
     recon, s_vals = mixvae.state_changes(params, bn, cfg, xj, d_s=d_s,
                                          key=key, n_samp=n_samp)

@@ -72,10 +72,20 @@ def parse_epoch(filename: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _run_base(base: str, prefix: str) -> str:
+    """Join the run-folder base and prefix: a bare directory base gets a
+    path separator (``results`` → ``results/K92..._RUN0``, not a mashed
+    sibling ``resultsK92..._RUN0``); bases already ending in a separator
+    (or empty) keep the reference's plain-concatenation contract."""
+    if base and not base.endswith(os.sep):
+        return base + os.sep + prefix
+    return f"{base}{prefix}"
+
+
 def latest_run_dir(base: str, prefix: str = "") -> Optional[str]:
     """Newest existing ``{base}{prefix}_RUN{n}`` folder (the --resume
     counterpart of ``make_run_dir``), or None when none exist."""
-    runs = glob.glob(f"{base}{prefix}_RUN*")
+    runs = glob.glob(f"{_run_base(base, prefix)}_RUN*")
 
     def num(p: str) -> int:
         m = re.search(r"_RUN(\d+)$", p)
@@ -131,10 +141,12 @@ def compare_pytrees(a, b, rtol: float = 0.0, atol: float = 0.0) -> dict:
 
 def make_run_dir(base: str, prefix: str = "") -> str:
     """Auto-incrementing ``{base}{prefix}_RUN{n}`` run folders
-    (reference train.py:39-46)."""
+    (reference train.py:39-46; ``_run_base`` adds the separator when the
+    base is a bare directory)."""
+    stem = _run_base(base, prefix)
     n = 0
-    while os.path.exists(f"{base}{prefix}_RUN{n}"):
+    while os.path.exists(f"{stem}_RUN{n}"):
         n += 1
-    path = f"{base}{prefix}_RUN{n}"
+    path = f"{stem}_RUN{n}"
     os.makedirs(path, exist_ok=True)
     return path

@@ -265,3 +265,17 @@ def test_generate_pads_final_batch_single_shape(tmp_path):
     out3 = generate(cfg.replace(ref_prior=True), params, bn, x,
                     batch_size=10, c_p=c_p)
     assert np.isfinite(out3["loss_rec"]).all()
+
+
+def test_make_run_dir_bare_base_gets_separator(tmp_path):
+    """--saving_folder without a trailing slash must nest the run dir
+    inside it, not create a mashed sibling directory."""
+    from dvae_tpu.utils.checkpoint import latest_run_dir, make_run_dir
+
+    base = str(tmp_path / "results")   # no trailing slash
+    d = make_run_dir(base, "K9")
+    assert d == os.path.join(base, "K9_RUN0")
+    assert os.path.isdir(d)
+    d2 = make_run_dir(base, "K9")
+    assert d2.endswith("K9_RUN1")
+    assert latest_run_dir(base, "K9") == d2
