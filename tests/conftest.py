@@ -14,9 +14,24 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The environment's sitecustomize pins JAX_PLATFORMS to the TPU plugin;
 # the config update (post-import, pre-backend-init) reliably forces CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(autouse=True)
+def _close_figures():
+    """Plot helpers return figures for the caller to own; tests that don't
+    save them would otherwise accumulate >20 open pyplot figures (a
+    RuntimeWarning and real memory).  Only acts when matplotlib is already
+    imported, so non-plotting tests pay nothing."""
+    yield
+    plt = sys.modules.get("matplotlib.pyplot")
+    if plt is not None:
+        plt.close("all")
