@@ -183,6 +183,171 @@ def read_h5ad_arrays(path: str):
     return X, np.asarray(var_index), obs
 
 
+def _h5_strings(parent, name: str, values) -> None:
+    """A variable-length UTF-8 string dataset with the AnnData
+    ``string-array`` element encoding (anndata on-disk spec v0.1:
+    fileformat-prose — every element carries encoding-type/-version)."""
+    import h5py
+
+    d = parent.create_dataset(
+        name, data=np.asarray(values, dtype=object),
+        dtype=h5py.string_dtype(encoding="utf-8"))
+    d.attrs["encoding-type"] = "string-array"
+    d.attrs["encoding-version"] = "0.2.0"
+
+
+def _h5_array(parent, name: str, values) -> None:
+    d = parent.create_dataset(name, data=np.asarray(values))
+    d.attrs["encoding-type"] = "array"
+    d.attrs["encoding-version"] = "0.2.0"
+
+
+def _h5_categorical(parent, name: str, values) -> None:
+    """A pandas-categorical column in the modern AnnData group layout:
+    {codes, categories} + ``ordered`` attr (encoding ``categorical``
+    v0.2.0) — how anndata>=0.8 writes ``obs['cluster']``."""
+    cats, codes = np.unique(np.asarray(values, dtype=str),
+                            return_inverse=True)
+    g = parent.create_group(name)
+    g.attrs["encoding-type"] = "categorical"
+    g.attrs["encoding-version"] = "0.2.0"
+    g.attrs["ordered"] = False
+    # pandas sizes codes to the category count: int8 up to 127 categories
+    dt = np.int8 if len(cats) < 128 else np.int32
+    _h5_array(g, "codes", codes.astype(dt))
+    _h5_strings(g, "categories", cats)
+
+
+def _h5_dataframe(parent, name: str, index_name: str, index,
+                  columns: dict, categorical=()) -> None:
+    """A DataFrame group per the AnnData spec: ``_index``/``column-order``
+    attrs, one encoded element per column."""
+    import h5py
+
+    g = parent.create_group(name)
+    g.attrs["encoding-type"] = "dataframe"
+    g.attrs["encoding-version"] = "0.2.0"
+    g.attrs["_index"] = index_name
+    # vlen-utf8 dtype explicitly: an EMPTY column list (a var frame with
+    # only its index) has object dtype h5py cannot infer a type for
+    g.attrs.create("column-order",
+                   data=np.asarray(list(columns), dtype=object),
+                   dtype=h5py.string_dtype(encoding="utf-8"))
+    _h5_strings(g, index_name, index)
+    for col, vals in columns.items():
+        vals = np.asarray(vals)
+        if col in categorical:
+            _h5_categorical(g, col, vals)
+        elif vals.dtype.kind in ("U", "S", "O"):
+            _h5_strings(g, col, vals)
+        else:
+            _h5_array(g, col, vals)
+
+
+def write_h5ad(path: str, X: np.ndarray, gene_id, cluster_label,
+               obs: Optional[dict] = None, cell_id=None,
+               sparse: Optional[str] = None,
+               categorical: Sequence[str] = ("cluster",)) -> str:
+    """Write an .h5ad with h5py only, in the anndata>=0.8 on-disk layout.
+
+    The inverse of ``read_h5ad_arrays`` and the anndata-free path for
+    ``prep.synthetic_h5ad``/``prepare_dataset`` (anndata is optional in
+    this image).  Every element carries the spec's
+    ``encoding-type``/``encoding-version`` attributes — files round-trip
+    through ``anndata.read_h5ad`` unchanged where anndata IS installed
+    (the layout is the one its writer produces for a dense-or-CSR ``X``,
+    string var index, and categorical/str/numeric obs columns).
+
+    ``sparse``: None = dense ``X`` dataset; "csr"/"csc" = the sparse group
+    encoding ({data, indices, indptr} + shape attr).  Reference input
+    contract: mmidas/utils/dataloader.py:13-70 expects ``obs['cluster']``
+    and ``var.index`` gene names.
+    """
+    import h5py
+
+    X = np.asarray(X, dtype=np.float32)
+    obs_cols = {"cluster": np.asarray(cluster_label, dtype=str)}
+    for k, v in (obs or {}).items():
+        obs_cols[k] = np.asarray(v)
+    n, d = X.shape
+    if cell_id is None:
+        cell_id = np.array([f"cell_{i}" for i in range(n)])
+    with h5py.File(path, "w") as f:
+        f.attrs["encoding-type"] = "anndata"
+        f.attrs["encoding-version"] = "0.1.0"
+        if sparse is None:
+            _h5_array(f, "X", X)
+        else:
+            import scipy.sparse as sp
+
+            m = (sp.csr_matrix if sparse == "csr" else sp.csc_matrix)(X)
+            g = f.create_group("X")
+            g.attrs["encoding-type"] = f"{sparse}_matrix"
+            g.attrs["encoding-version"] = "0.1.0"
+            g.attrs["shape"] = np.asarray([n, d], dtype=np.int64)
+            _h5_array(g, "data", m.data.astype(np.float32))
+            _h5_array(g, "indices", m.indices.astype(np.int32))
+            _h5_array(g, "indptr", m.indptr.astype(np.int64))
+        _h5_dataframe(f, "obs", "_index", np.asarray(cell_id, dtype=str),
+                      obs_cols, categorical=categorical)
+        _h5_dataframe(f, "var", "_index", np.asarray(gene_id, dtype=str), {})
+        for name in ("uns", "obsm", "varm", "obsp", "varp", "layers"):
+            g = f.create_group(name)
+            g.attrs["encoding-type"] = "dict"
+            g.attrs["encoding-version"] = "0.1.0"
+    return path
+
+
+def write_h5ad_legacy07(path: str, X: np.ndarray, gene_id, cluster_label,
+                        obs: Optional[dict] = None,
+                        sparse: bool = False) -> str:
+    """Write the anndata-0.7.x vintage layout: per-column obs datasets
+    whose categorical columns are int-code datasets with a ``categories``
+    object-reference attr into the sibling ``obs/__categories`` table, and
+    (optionally) the h5sparse X group (``h5sparse_format``/``h5sparse_shape``
+    attrs).  Real Allen-atlas era files (the reference's
+    Mouse_ALM-VISp_cpm.h5ad vintage) use this layout — the reader must
+    keep consuming it."""
+    import h5py
+
+    X = np.asarray(X, dtype=np.float32)
+    n, d = X.shape
+    labels = np.asarray(cluster_label, dtype=str)
+    with h5py.File(path, "w") as f:
+        if sparse:
+            import scipy.sparse as sp
+
+            m = sp.csr_matrix(X)
+            g = f.create_group("X")
+            g.attrs["h5sparse_format"] = "csr"
+            g.attrs["h5sparse_shape"] = np.asarray([n, d], dtype=np.int64)
+            g.create_dataset("data", data=m.data.astype(np.float32))
+            g.create_dataset("indices", data=m.indices.astype(np.int32))
+            g.create_dataset("indptr", data=m.indptr.astype(np.int64))
+        else:
+            f.create_dataset("X", data=X)
+        sdt = h5py.string_dtype(encoding="utf-8")
+        og = f.create_group("obs")
+        og.attrs["_index"] = "index"
+        og.create_dataset("index",
+                          data=np.array([f"cell_{i}" for i in range(n)],
+                                        dtype=object), dtype=sdt)
+        cat_table = og.create_group("__categories")
+        cats, codes = np.unique(labels, return_inverse=True)
+        cat_ds = cat_table.create_dataset("cluster",
+                                          data=np.asarray(cats, dtype=object),
+                                          dtype=sdt)
+        codes_ds = og.create_dataset("cluster", data=codes.astype(np.int8))
+        codes_ds.attrs["categories"] = cat_ds.ref
+        for k, v in (obs or {}).items():
+            og.create_dataset(k, data=np.asarray(v))
+        vg = f.create_group("var")
+        vg.attrs["_index"] = "index"
+        vg.create_dataset("index",
+                          data=np.asarray(gene_id, dtype=object), dtype=sdt)
+    return path
+
+
 def load_data(
     datafile: str,
     n_gene: int = 0,

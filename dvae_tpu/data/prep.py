@@ -31,6 +31,17 @@ def prepare_dataset(counts: np.ndarray, gene_ids: Sequence[str],
     import anndata
     import pandas as pd
 
+    x, gene_ids = _normalized(counts, gene_ids, n_top_genes,
+                              already_normalized)
+    obs_df = pd.DataFrame({"cluster": np.asarray(cluster_labels)})
+    for k, v in (obs or {}).items():
+        obs_df[k] = np.asarray(v)
+    var_df = pd.DataFrame(index=pd.Index(gene_ids, name="gene"))
+    return anndata.AnnData(X=x.astype(np.float32), obs=obs_df, var=var_df)
+
+
+def _normalized(counts, gene_ids, n_top_genes: int,
+                already_normalized: bool):
     x = np.asarray(counts, dtype=np.float64)
     if not already_normalized:
         x = logcpm(x)
@@ -40,12 +51,29 @@ def prepare_dataset(counts: np.ndarray, gene_ids: Sequence[str],
         order = np.sort(order)
         x = x[:, order]
         gene_ids = gene_ids[order]
+    return x, gene_ids
 
-    obs_df = pd.DataFrame({"cluster": np.asarray(cluster_labels)})
-    for k, v in (obs or {}).items():
-        obs_df[k] = np.asarray(v)
-    var_df = pd.DataFrame(index=pd.Index(gene_ids, name="gene"))
-    return anndata.AnnData(X=x.astype(np.float32), obs=obs_df, var=var_df)
+
+def prepare_h5ad(path: str, counts: np.ndarray, gene_ids: Sequence[str],
+                 cluster_labels: Sequence[str],
+                 obs: Optional[dict] = None, n_top_genes: int = 0,
+                 already_normalized: bool = False,
+                 sparse: Optional[str] = None) -> str:
+    """``prepare_dataset`` + write in one step, with NO anndata dependency:
+    uses the real anndata writer when importable, else the spec-faithful
+    h5py-native writer (``anndata_io.write_h5ad`` — same on-disk layout)."""
+    try:
+        adata = prepare_dataset(counts, gene_ids, cluster_labels, obs=obs,
+                                n_top_genes=n_top_genes,
+                                already_normalized=already_normalized)
+    except ImportError:
+        from dvae_tpu.data.anndata_io import write_h5ad
+
+        x, gene_ids = _normalized(counts, gene_ids, n_top_genes,
+                                  already_normalized)
+        return write_h5ad(path, x.astype(np.float32), gene_ids,
+                          cluster_labels, obs=obs, sparse=sparse)
+    return save_h5ad(adata, path)
 
 
 def save_h5ad(adata, path: str) -> str:
@@ -59,6 +87,5 @@ def synthetic_h5ad(path: str, n_cells: int = 2000, n_genes: int = 500,
     from dvae_tpu.data.anndata_io import synthetic_dataset
 
     ds = synthetic_dataset(n_cells, n_genes, n_types, seed)
-    adata = prepare_dataset(np.expm1(ds.log1p), ds.gene_id,
-                            ds.cluster_label, already_normalized=False)
-    return save_h5ad(adata, path)
+    return prepare_h5ad(path, np.expm1(ds.log1p), ds.gene_id,
+                        ds.cluster_label, already_normalized=False)

@@ -10,6 +10,7 @@ and the parent must not touch the backend until a probe succeeds.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -27,7 +28,11 @@ def probe_backend(timeout_s: float = 300.0) -> bool:
     fast-failed) and was killed — callers that keep retrying should back
     off past the ~15-25 min wedge window in that case (the killed probe
     may have claimed the chip).
+
+    ``DVAE_PROBE_CODE`` (env) overrides the probe body — the test seam
+    for exercising outage paths (fast-fail / hang) without a real outage.
     """
-    p = subprocess.run([sys.executable, "-c", PROBE_CODE],
+    code = os.environ.get("DVAE_PROBE_CODE", PROBE_CODE)
+    p = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, timeout=timeout_s)
     return p.returncode == 0

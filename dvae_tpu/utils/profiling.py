@@ -50,6 +50,40 @@ def memory_snapshot(path: Optional[str] = None) -> dict:
     return snap
 
 
+def xplane_total_device_ms(trace_dir: str) -> float:
+    """Total device self-time (ms) recorded in a ``jax.profiler.trace`` dir.
+
+    The xprof op_profile recipe (scripts/op_profile.py): sum the per-op
+    leaf self-times of the converted ``.xplane.pb``.  This is the
+    dispatch-free ground truth on a tunneled chip — wall clock includes
+    the tunnel's RTTs and ``cost_analysis()`` reports 0 for Pallas custom
+    calls.  Requires ``PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python`` to
+    be set before protobuf first loads (the plugin ships stale _pb2s).
+    """
+    import glob
+
+    from xprof.convert import raw_to_tool_data
+
+    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
+    tree = json.loads(data)
+    total_ps = 0
+
+    def walk(node, depth):
+        nonlocal total_ps
+        t = node.get("metrics", {}).get("rawTime", 0)
+        if t and depth >= 3:  # leaf self-times (program → category → op)
+            total_ps += t
+        for ch in node.get("children", []):
+            walk(ch, depth + 1)
+
+    walk(tree.get("byProgram", tree), 0)
+    return total_ps / 1e12 * 1e3
+
+
 class StepTimer:
     """Wall-clock step timing with forced device sync.
 
