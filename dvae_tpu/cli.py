@@ -124,7 +124,9 @@ def cmd_train(args) -> int:
         epochs_per_jit=args.epochs_per_jit, sharding=args.sharding,
         mesh=mesh, bf16=args.bf16, optimizer=args.optimizer,
         fused={"auto": None, "on": True, "off": False}[args.fused],
-        shuffle_block=args.shuffle_block, stream=args.stream)
+        shuffle_block=args.shuffle_block, stream=args.stream,
+        ckpt_every=args.ckpt_every, eval_every=args.eval_every,
+        rng_impl=args.rng_impl)
     done = 0
     if args.resume:
         from dvae_tpu.utils.checkpoint import newest_checkpoint
@@ -222,6 +224,14 @@ def cmd_train_augmenter(args) -> int:
 
 
 def main(argv=None) -> int:
+    # DVAE_PLATFORM=cpu|tpu pins the JAX backend.  The env-var route
+    # (JAX_PLATFORMS) is dead on containers whose sitecustomize pins a
+    # plugin; the config update post-import, pre-backend-init is reliable
+    # (same recipe as tests/conftest.py).
+    plat = os.environ.get("DVAE_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(prog="dvae_tpu",
                                      description=__doc__.splitlines()[0])
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -235,6 +245,16 @@ def main(argv=None) -> int:
     pt.add_argument("--min_con", type=float, default=0.99)
     pt.add_argument("--batch_size", type=int, default=5000)
     pt.add_argument("--epochs_per_jit", type=int, default=10)
+    pt.add_argument("--ckpt_every", type=int, default=10,
+                    help="epoch-checkpoint cadence (reference "
+                         "cpl_mixvae.py:777; raise for long runs — each "
+                         "production-shape checkpoint is ~10s of MB)")
+    pt.add_argument("--eval_every", type=int, default=10,
+                    help="validation/consensus logging cadence (epochs)")
+    pt.add_argument("--rng_impl", type=str, default="threefry2x32",
+                    choices=["threefry2x32", "rbg"],
+                    help="rbg = TPU hardware RNG (faster dropout/gumbel "
+                         "draws; different stream than the default)")
     pt.add_argument("--aug_file", type=str, default=None)
     pt.add_argument("--saving_folder", type=str, default="")
     pt.add_argument("--seed", type=int, default=546)

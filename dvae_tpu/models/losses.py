@@ -36,14 +36,19 @@ class LossOutputs(NamedTuple):
     kl: jax.Array           # (A,) per-arm state KL divergence
     ll: jax.Array           # (A,) per-arm Gaussian log-likelihood proxy:
                             # mean((x_rec−x)²) + B·log 2π (reference
-                            # build/lib nn_model.py:372, both modes).
-                            # EXCEPTION: ZINB with the fused kernel reports
-                            # the ZINB NLL instead — the kernel never
-                            # materializes x_rec (the point of the fusion),
-                            # so the MSE diagnostic would cost the full
-                            # (A,B,D) HBM round trip it eliminates.  Compare
-                            # ll only across runs with the same fused
-                            # setting (the training loss is unaffected).
+                            # build/lib nn_model.py:372, both modes).  NaN
+                            # under the fused ZINB kernel, which never
+                            # materializes x_rec (the point of the fusion —
+                            # the MSE diagnostic would cost the (A,B,D) HBM
+                            # round trip it eliminates); read ``rec_nll``
+                            # there.  NaN, not a silently different number:
+                            # a fused-ZINB run must not be ll-compared to
+                            # any other run by accident (the training loss
+                            # is unaffected either way).
+    rec_nll: jax.Array      # (A,) per-arm reconstruction NLL in ZINB mode
+                            # (== loss_rec; fused and unfused agree); NaN in
+                            # MSE mode.  The honestly-named replacement for
+                            # what fused-ZINB previously reported as ll.
 
 
 # ---------------------------------------------------------------------------
@@ -369,12 +374,14 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
     else:
         kl = jnp.zeros((A,), jnp.float32)
 
+    nan_a = jnp.full((A,), jnp.nan, jnp.float32)
     if fused_recon_args is not None:
-        ll = (loss_rec if ll_sumsq is None
+        ll = (nan_a if ll_sumsq is None   # fused ZINB: no x_rec — see field doc
               else ll_sumsq / (B * D) + B * math.log(2 * math.pi))
     else:
         ll = jax.vmap(lambda r, x: jnp.mean((r - x) ** 2))(outs.x_rec, xs) \
             + B * math.log(2 * math.pi)
+    rec_nll = loss_rec if cfg.mode == "ZINB" else nan_a
 
     loss_ind_sum = jnp.sum(loss_rec + cfg.beta * kl)
 
@@ -442,4 +449,5 @@ def mixvae_loss(cfg: VAEConfig, outs: MixVAEOutputs, xs: jax.Array,
         c_l2_dist=sum_c_l2 / denom_l,
         kl=kl,
         ll=ll,
+        rec_nll=rec_nll,
     )

@@ -1,0 +1,395 @@
+"""Strategy × mode multi-chip census: compile + equality matrix.
+
+Proves, without occupying a pod, the three facts the multi-chip perf story
+rests on (reference strategy matrix: fsdp_mnist.py:215-228, measured there
+with CUDA events on an attached node):
+
+  (i)   every sharding strategy computes the SAME numbers — executed at a
+        small shape for each reconstruction mode (MSE / ZINB /
+        aug-in-the-loop; reference loss modes nn_model.py:495-676, frozen
+        augmenter call cpl_mixvae.py:422-425);
+  (ii)  the production-shape step (A=5, B=5000, D=5032, C=92 — the
+        train-scripts/run-train-A5-*.sh regime) COMPILES for every
+        strategy × mode with zero involuntary-rematerialization /
+        spmd_partitioner warnings — the round-1 regression class where
+        sharding-propagation pressure at the fused-kernel boundaries
+        degenerated into replicate-then-repartition;
+  (iii) the collectives the SPMD partitioner emitted are consistent with
+        the analytic ring model (parallel/collective_cost.py): per-strategy
+        structural facts plus a gradient-traffic lower bound.
+
+Run the full matrix via ``scripts/multichip_census.py`` (writes
+MULTICHIP_CENSUS.json); the driver dry run (__graft_entry__.dryrun_multichip)
+runs a budget-bounded prefix of the same cells, highest-value first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import tempfile
+import time
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+MODES = ("MSE", "ZINB", "aug")
+
+# the warning classes that signal a broken multi-chip lowering: XLA's SPMD
+# partitioner logs "Involuntary full rematerialization" (and friends) via
+# absl to stderr when a sharding mismatch forces replicate-then-repartition
+_WARN_PAT = re.compile(
+    r"involuntary|full rematerialization|spmd_partition", re.I)
+
+
+class _StderrTap:
+    """fd-level stderr capture: XLA's C++ warnings bypass sys.stderr."""
+
+    def __enter__(self):
+        self._tmp = tempfile.TemporaryFile(mode="w+b")
+        self._saved = os.dup(2)
+        os.dup2(self._tmp.fileno(), 2)
+        return self
+
+    def __exit__(self, *exc):
+        os.dup2(self._saved, 2)
+        os.close(self._saved)
+        self._tmp.seek(0)
+        self.text = self._tmp.read().decode("utf-8", "replace")
+        self._tmp.close()
+        return False
+
+
+def mesh_config_for(mesh):
+    from dvae_tpu.config import MeshConfig
+    return MeshConfig(data=mesh.shape["data"], arm=mesh.shape["arm"],
+                      fsdp=mesh.shape["fsdp"])
+
+
+def production_cfg(mode: str):
+    """The flagship production configuration (A=5 Smart-seq shape) in the
+    exact form the TPU trainer runs it: fused Pallas kernels on, bf16."""
+    from dvae_tpu.config import VAEConfig
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
+    if mode == "ZINB":
+        cfg = dataclasses.replace(cfg, mode="ZINB")
+    return cfg
+
+
+def small_cfg(mode: str, n_arm: int = 2):
+    from dvae_tpu.config import VAEConfig
+    cfg = VAEConfig(n_categories=8, input_dim=64, fc_dim=16, lowD_dim=8,
+                    state_dim=2, n_arm=n_arm, tau=0.1,
+                    fused_recon=True, fused_encoder=True)
+    if mode == "ZINB":
+        cfg = dataclasses.replace(cfg, mode="ZINB")
+    return cfg
+
+
+def _augment_fn(input_dim: int, bf16: bool, n_dim: Optional[int] = None):
+    """Frozen random-weight augmenter closure (forward cost and sharding
+    behavior equal a trained one's; reference cpl_mixvae.py:422-425)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
+                                            cast_augmenter_params,
+                                            init_augmenter)
+
+    kw = {"input_dim": input_dim}
+    if n_dim is not None:
+        kw["n_dim"] = n_dim
+    acfg = AugmenterConfig(**kw)
+    params, bn = init_augmenter(jax.random.key(7), acfg)
+    if bf16:
+        params = cast_augmenter_params(params, jnp.bfloat16)
+
+    def fn(key, x, n_arm):
+        return augment_arms(params, bn, acfg, key, x, n_arm, scale=0.1)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# (iii) analytic cross-check against the compiled module's collectives
+# ---------------------------------------------------------------------------
+
+def grad_traffic_lower_bound(params, mesh) -> float:
+    """Ring-model lower bound on per-step wire bytes from parameter/gradient
+    movement alone.
+
+    Every strategy must move each gradient element across its data-parallel
+    group (g = data × fsdp) in reduced form at least once per step; the
+    cheapest realizations (AR of grads; RS grads + AG params; AG params
+    fwd + RS grads) all cost ≥ 2·(g−1)/g · bytes on the ring.  Counted at
+    the bf16 floor (2 B/elem) even though gradients are f32 — a deliberate
+    2× slack so the bound never false-positives on dtype choices.  Arms
+    sharded over the ``arm`` axis divide the per-device volume.
+    """
+    import jax
+
+    g = mesh.shape["data"] * mesh.shape["fsdp"]
+    if g <= 1:
+        return 0.0
+    arm = mesh.shape["arm"]
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if not hasattr(leaf, "shape"):
+            continue
+        n = int(np.prod(leaf.shape))
+        if arm > 1 and leaf.shape and leaf.shape[0] % arm == 0:
+            n //= arm
+        total += 2.0 * (g - 1) / g * n * 2  # bf16 floor
+    return total
+
+
+def analytic_check(strategy, stats, bound: float, mesh) -> tuple[bool, str]:
+    """Structural + volume consistency of the census vs the ring model."""
+    from dvae_tpu.config import ShardingStrategy
+
+    g = mesh.shape["data"] * mesh.shape["fsdp"]
+    if g <= 1:
+        # no data-parallel group: gradients never cross the wire, so the
+        # structural facts below don't apply (arm-only meshes move coupling
+        # terms via permutes, not reductions)
+        return True, "trivial mesh (g=1)"
+    probs = []
+    sharded_params = strategy in (ShardingStrategy.FULL_SHARD,
+                                  ShardingStrategy.HYBRID_SHARD)
+    if sharded_params and mesh.shape["fsdp"] > 1:
+        if stats.counts.get("all-gather", 0) < 1:
+            probs.append("sharded-param strategy emitted no all-gather")
+    if not (stats.counts.get("all-reduce", 0)
+            or stats.counts.get("reduce-scatter", 0)):
+        probs.append("no gradient-reduction collective in the module")
+    if stats.wire_bytes < 0.9 * bound:
+        probs.append(
+            f"wire bytes {stats.wire_bytes:.3g} below the gradient-traffic "
+            f"lower bound {bound:.3g}")
+    return (not probs), "; ".join(probs) or "ok"
+
+
+# ---------------------------------------------------------------------------
+# census rows
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CensusRow:
+    strategy: str
+    mode: str
+    counts: dict
+    wire_bytes: float
+    wire_ms_per_step: float
+    warnings: list
+    analytic_ok: bool
+    analytic_why: str
+    compile_s: float
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def production_row(strategy, mode: str, mesh, n_train: int = 20_000,
+                   batch: int = 5000, ici_gbps: float = 90.0) -> CensusRow:
+    """Compile the production-shape epoch runner for one strategy × mode,
+    scan stderr for SPMD warnings, census + cross-check the collectives."""
+    import jax
+
+    from dvae_tpu.config import TrainConfig
+    from dvae_tpu.parallel.collective_cost import (
+        epoch_runner_collective_stats)
+    from dvae_tpu.train.step import init_train_state, make_optimizer
+
+    cfg = production_cfg(mode)
+    tcfg = TrainConfig(batch_size=batch, epochs_per_jit=1, bf16=True,
+                       shuffle_block=8, mesh=mesh_config_for(mesh),
+                       sharding=strategy)
+    augment = (_augment_fn(cfg.input_dim, bf16=True) if mode == "aug"
+               else None)
+    t0 = time.monotonic()
+    with _StderrTap() as tap:
+        stats = epoch_runner_collective_stats(cfg, tcfg, strategy, mesh,
+                                              n_train, augment=augment)
+    dt = time.monotonic() - t0
+    warnings = [ln for ln in tap.text.splitlines() if _WARN_PAT.search(ln)]
+
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(0), cfg, tx)
+    bound = grad_traffic_lower_bound(state.params, mesh)
+    ok, why = analytic_check(strategy, stats, bound, mesh)
+    steps = n_train // batch
+    return CensusRow(
+        strategy=strategy.value, mode=mode, counts=dict(stats.counts),
+        wire_bytes=stats.wire_bytes / steps,
+        wire_ms_per_step=stats.ici_seconds(ici_gbps) / steps * 1e3,
+        warnings=warnings, analytic_ok=ok, analytic_why=why,
+        compile_s=round(dt, 1))
+
+
+def small_equality(mode: str, mesh, strategies=None,
+                   rtol: float = 2e-4) -> dict:
+    """Execute the small-shape epoch runner under every strategy; assert
+    identical numerics (cross-device reductions reassociate sums, hence the
+    small tolerance — same argument as tests/test_dcn.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.config import ShardingStrategy, TrainConfig
+    from dvae_tpu.parallel.sharding import replicated, strategy_shardings
+    from dvae_tpu.train.step import (init_train_state, make_epoch_runner,
+                                     make_optimizer)
+
+    strategies = list(strategies or ShardingStrategy)
+    arm = mesh.shape["arm"]
+    cfg = small_cfg(mode, n_arm=max(2, arm))
+    n_batch = mesh.shape["data"] * mesh.shape["fsdp"]
+    B = 16 * max(1, n_batch)
+    tcfg = TrainConfig(batch_size=B, epochs_per_jit=1,
+                       mesh=mesh_config_for(mesh))
+    n_train = 2 * B
+    x_np = np.maximum(np.random.default_rng(0).normal(
+        1.0, 1.0, (n_train, cfg.input_dim)), 0.0).astype(np.float32)
+    augment = (_augment_fn(cfg.input_dim, bf16=False, n_dim=20)
+               if mode == "aug" else None)
+
+    tx = make_optimizer(cfg)
+    losses = {}
+    for strat in strategies:
+        state = init_train_state(jax.random.key(7), cfg, tx)
+        shs = strategy_shardings(strat, mesh, state.params, state.bn,
+                                 state.opt_state)
+        state = state._replace(
+            params=jax.device_put(state.params, shs[0]),
+            bn=jax.device_put(state.bn, shs[1]),
+            opt_state=jax.device_put(state.opt_state, shs[2]))
+        x = jax.device_put(jnp.asarray(x_np), replicated(mesh))
+        run = jax.jit(make_epoch_runner(
+            cfg, dataclasses.replace(tcfg, sharding=strat), tx,
+            n_train=n_train, augment=augment, mesh=mesh))
+        _, ems = run(state, x, None, 1.0)
+        total = np.asarray(ems.total)
+        assert np.isfinite(total).all(), f"{mode}/{strat.value}: {total}"
+        losses[strat.value] = total
+    base = next(iter(losses.values()))
+    for k, v in losses.items():
+        np.testing.assert_allclose(
+            v, base, rtol=rtol,
+            err_msg=f"strategy {k} diverged from the matrix ({mode})")
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def census_cells(strategies=None,
+                 modes: Sequence[str] = MODES) -> list:
+    """(strategy, mode) cells in priority order: the headline FULL_SHARD
+    column first, then the remaining strategies for MSE, then the rest."""
+    from dvae_tpu.config import ShardingStrategy
+
+    strategies = list(strategies or ShardingStrategy)
+    cells = [(s, m) for m in modes for s in strategies
+             if s == ShardingStrategy.FULL_SHARD]
+    cells += [(s, "MSE") for s in strategies
+              if s != ShardingStrategy.FULL_SHARD and "MSE" in modes]
+    cells += [(s, m) for m in modes if m != "MSE"
+              for s in strategies if s != ShardingStrategy.FULL_SHARD]
+    return cells
+
+
+def run_census(mesh, budget_s: Optional[float] = None,
+               modes: Sequence[str] = MODES, strategies=None,
+               do_small: bool = True, log=print) -> dict:
+    """Run the census within ``budget_s`` (None = unbounded), highest-value
+    cells first; raise on any warning / analytic / equality failure; return
+    the summary dict (rows + equality losses + what was skipped)."""
+    deadline = (time.monotonic() + budget_s) if budget_s is not None else None
+
+    def left() -> float:
+        return float("inf") if deadline is None else deadline - time.monotonic()
+
+    rows, skipped = [], []
+    # production compiles: ~30-45 s each on a 1-core host; reserve ~60 s
+    for strat, mode in census_cells(strategies, modes):
+        if left() < 60:
+            skipped.append(f"prod:{strat.value}/{mode}")
+            continue
+        row = production_row(strat, mode, mesh)
+        rows.append(row)
+        log(f"census: prod {strat.value}/{mode}: "
+            f"wire {row.wire_bytes / 1e6:.1f} MB/step "
+            f"({row.wire_ms_per_step:.3f} ms @90GB/s), "
+            f"warnings={len(row.warnings)}, analytic={row.analytic_why} "
+            f"[{row.compile_s}s]")
+        if row.warnings:
+            raise AssertionError(
+                f"SPMD warnings at {strat.value}/{mode}:\n"
+                + "\n".join(row.warnings[:5]))
+        if not row.analytic_ok:
+            raise AssertionError(
+                f"collective census inconsistent with the ring model at "
+                f"{strat.value}/{mode}: {row.analytic_why}")
+
+    equality = {}
+    if do_small:
+        for mode in modes:
+            if left() < 120:
+                skipped.append(f"small:{mode}")
+                continue
+            losses = small_equality(mode, mesh, strategies)
+            equality[mode] = {k: [float(x) for x in v]
+                              for k, v in losses.items()}
+            log(f"census: small {mode}: {len(losses)} strategies loss-equal "
+                f"(last epoch {next(iter(losses.values()))[-1]:.4f})")
+
+    summary = {
+        "mesh": dict(mesh.shape),
+        "rows": [r.to_json() for r in rows],
+        "equality": equality,
+        "skipped": skipped,
+        "clean": all(not r.warnings and r.analytic_ok for r in rows),
+    }
+    n_cells = len(census_cells(strategies, modes))
+    log(f"census summary: {len(rows)}/{n_cells} production compiles clean "
+        f"(0 SPMD warnings, ring-model consistent), "
+        f"{len(equality)}/{len(list(modes))} modes strategy-loss-equal"
+        + (f", skipped={skipped}" if skipped else ""))
+    return summary
+
+
+def main() -> None:  # pragma: no cover — exercised via scripts/
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--mesh", default=None, help="data,arm,fsdp")
+    ap.add_argument("--budget-s", type=float, default=None)
+    ap.add_argument("--out", default=None, help="write summary JSON here")
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from dvae_tpu.config import MeshConfig
+    from dvae_tpu.parallel.sharding import make_mesh
+
+    if args.mesh:
+        d, a, f = (int(v) for v in args.mesh.split(","))
+    else:
+        d, a, f = {8: (2, 2, 2), 16: (4, 2, 2)}.get(
+            args.devices, (args.devices, 1, 1))
+    mesh = make_mesh(MeshConfig(data=d, arm=a, fsdp=f))
+    summary = run_census(mesh, budget_s=args.budget_s)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

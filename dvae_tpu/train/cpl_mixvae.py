@@ -197,6 +197,7 @@ class CplMixVAE:
                    rng_impl: str = "threefry2x32",
                    fused: Optional[bool] = None,
                    shuffle_block: int = 1, stream: bool = False,
+                   ckpt_every: int = 10, eval_every: int = 10,
                    **extra) -> None:
         """Build config + mesh + optimizer + initial state
         (reference ``init_model``, cpl_mixvae.py:193-286).
@@ -224,7 +225,8 @@ class CplMixVAE:
             optimizer=optimizer,
             sharding=ShardingStrategy(sharding),
             mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed,
-            rng_impl=rng_impl, shuffle_block=shuffle_block, stream=stream)
+            rng_impl=rng_impl, shuffle_block=shuffle_block, stream=stream,
+            ckpt_every=ckpt_every, eval_every=eval_every)
         self.temp = temp
 
         self.mesh = make_mesh(self.tcfg.mesh) \

@@ -62,6 +62,66 @@ def load_checkpoint(path: str, use_orbax: Optional[bool] = None):
     return out["tree"], out.get("metadata", {})
 
 
+def abstract_like(tree):
+    """ShapeDtypeStruct pytree carrying each leaf's sharding — the restore
+    template for ``restore_sharded`` (build it from a freshly-initialized,
+    device_put state; no checkpoint bytes needed)."""
+
+    def one(x):
+        if not hasattr(x, "dtype"):
+            x = np.asarray(x)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                    sharding=getattr(x, "sharding", None))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def save_sharded(path: str, tree: Any, metadata: Optional[dict] = None) -> str:
+    """Distributed orbax save of a sharded pytree.
+
+    Unlike ``save_checkpoint`` (which gathers to host numpy — the
+    single-host path), leaves stay ``jax.Array``s with their shardings: in
+    a multi-process job EVERY process calls this collectively and writes
+    only its addressable shards, coordinated through the jax.distributed
+    client.  This is the multi-host resume path the reference never built
+    (SURVEY §5.4: FullStateDictConfig/StateDictType imported at
+    train.py:14-16 but never used).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    if metadata and jax.process_index() == 0:
+        import json
+        with open(os.path.join(path, "dvae_meta.json"), "w") as f:
+            json.dump(metadata, f)
+    return path
+
+
+def restore_sharded(path: str, template: Any):
+    """Restore a ``save_sharded`` checkpoint directly to device placements.
+
+    ``template``: a pytree of jax.Arrays (or ShapeDtypeStructs) whose
+    shardings define where each restored leaf lands — pass the freshly
+    initialized, device_put training state (or ``abstract_like`` of it).
+    Returns (tree, metadata).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(path, abstract_like(template))
+    meta_path = os.path.join(path, "dvae_meta.json")
+    metadata = {}
+    if os.path.exists(meta_path):
+        import json
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return out, metadata
+
+
 _EPOCH_RE = re.compile(r"_epoch_(\d+)")
 
 

@@ -54,14 +54,20 @@ def main() -> None:
         d, a, f = 2, 1, args.devices // 2
     mesh = make_mesh(MeshConfig(data=d, arm=a, fsdp=f))
 
-    cfg = VAEConfig(n_arm=5)
+    # the production TPU path: fused Pallas kernels on, and the MeshConfig
+    # in tcfg so the kernels route through their SPMD partitioning rules
+    # (ops/partitioned.py) instead of compiling the replicated fallback
+    cfg = VAEConfig(n_arm=5, fused_recon=True, fused_encoder=True)
     n_train = 4 * args.batch
     tcfg = TrainConfig(batch_size=args.batch, epochs_per_jit=1,
-                       bf16=args.bf16, shuffle_block=8)
+                       bf16=args.bf16, shuffle_block=8,
+                       mesh=MeshConfig(data=d, arm=a, fsdp=f))
 
+    import dataclasses
     for strat in ShardingStrategy:
-        stats = epoch_runner_collective_stats(cfg, tcfg, strat, mesh,
-                                              n_train)
+        stats = epoch_runner_collective_stats(
+            cfg, dataclasses.replace(tcfg, sharding=strat), strat, mesh,
+            n_train)
         row = {"strategy": strat.value,
                "mesh": {"data": d, "arm": a, "fsdp": f},
                "counts": stats.counts,

@@ -14,6 +14,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the dryrun tests re-run the driver entry, which appends a budget-bounded
+# strategy×mode census; a zero budget skips it here (the census has its own
+# focused test + the committed MULTICHIP_CENSUS.json full matrix) so the
+# 4-way parametrized dryrun test doesn't pay ~35 s/production-compile each
+os.environ.setdefault("DVAE_DRYRUN_CENSUS_BUDGET_S", "0")
+
 import sys  # noqa: E402
 
 import jax  # noqa: E402

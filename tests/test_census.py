@@ -1,0 +1,121 @@
+"""Strategy × mode multi-chip census (dvae_tpu/parallel/census.py).
+
+The full 18-cell matrix lives in the committed MULTICHIP_CENSUS.json
+(scripts/multichip_census.py) and a budget-bounded prefix re-runs in the
+driver dry run; here we test the machinery itself — one real production
+compile cell, the analytic ring-model checks on synthetic stats, and the
+budget accounting — without paying the full matrix.
+"""
+
+import dataclasses
+
+import jax
+import pytest
+
+from dvae_tpu.config import MeshConfig, ShardingStrategy
+from dvae_tpu.parallel import census
+from dvae_tpu.parallel.collective_cost import CollectiveStats
+from dvae_tpu.parallel.sharding import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+
+
+def test_production_row_full_shard_mse(mesh):
+    """The headline cell: production-shape FULL_SHARD/MSE compile must be
+    warning-free and ring-model consistent (the round-1 regression class:
+    sharding pressure at the fused-kernel boundary degenerating into
+    replicate-then-repartition)."""
+    row = census.production_row(ShardingStrategy.FULL_SHARD, "MSE", mesh)
+    assert row.warnings == []
+    assert row.analytic_ok, row.analytic_why
+    assert row.counts.get("all-gather", 0) >= 1      # sharded params
+    assert (row.counts.get("all-reduce", 0)
+            + row.counts.get("reduce-scatter", 0)) >= 1  # grad reduction
+    assert row.wire_bytes > 0
+
+
+def _stats(counts, wire):
+    return CollectiveStats(counts=dict(counts), bytes_by_kind={},
+                           wire_bytes=wire)
+
+
+class TestAnalyticCheck:
+    def test_ok(self, mesh):
+        ok, why = census.analytic_check(
+            ShardingStrategy.FULL_SHARD,
+            _stats({"all-gather": 4, "all-reduce": 2}, 1e9), 1e8, mesh)
+        assert ok, why
+
+    def test_missing_allgather_flagged(self, mesh):
+        ok, why = census.analytic_check(
+            ShardingStrategy.FULL_SHARD,
+            _stats({"all-reduce": 2}, 1e9), 1e8, mesh)
+        assert not ok and "all-gather" in why
+
+    def test_missing_grad_reduction_flagged(self, mesh):
+        ok, why = census.analytic_check(
+            ShardingStrategy.DDP, _stats({"all-gather": 1}, 1e9), 1e8, mesh)
+        assert not ok and "gradient-reduction" in why
+
+    def test_wire_below_bound_flagged(self, mesh):
+        ok, why = census.analytic_check(
+            ShardingStrategy.DDP,
+            _stats({"all-reduce": 2}, 1e6), 1e8, mesh)
+        assert not ok and "lower bound" in why
+
+    def test_single_device_group_trivial(self):
+        mesh1 = make_mesh(MeshConfig(data=1, arm=1, fsdp=1),
+                          devices=jax.devices()[:1])
+        ok, why = census.analytic_check(
+            ShardingStrategy.FULL_SHARD, _stats({}, 0.0), 0.0, mesh1)
+        assert ok and "g=1" in why
+
+
+def test_grad_traffic_lower_bound_ring_formula(mesh):
+    import numpy as np
+
+    params = {"w": np.zeros((4, 10, 10), np.float32)}  # arm-divisible lead
+    got = census.grad_traffic_lower_bound(params, mesh)
+    # g = data·fsdp = 4; arm=2 halves the per-device volume; bf16 floor 2B
+    want = 2.0 * (4 - 1) / 4 * (400 // 2) * 2
+    assert got == want
+
+
+def test_run_census_budget_zero_skips_everything(mesh):
+    logs = []
+    summary = census.run_census(mesh, budget_s=0.0, log=logs.append)
+    assert summary["rows"] == [] and summary["equality"] == {}
+    assert summary["clean"] is True
+    assert len(summary["skipped"]) == 21  # 18 prod cells + 3 small modes
+
+
+def test_census_cells_priority_order():
+    cells = census.census_cells()
+    assert len(cells) == 18  # 6 strategies × 3 modes
+    # the headline FULL_SHARD column runs first, one cell per mode
+    head = [(s.value, m) for s, m in cells[:3]]
+    assert head == [("full", "MSE"), ("full", "ZINB"), ("full", "aug")]
+    assert len(set(cells)) == 18
+
+
+def test_committed_census_matrix_is_full_and_clean():
+    """MULTICHIP_CENSUS.json (the durable record scripts/multichip_census.py
+    writes) must carry the complete clean matrix."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "MULTICHIP_CENSUS.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["clean"] is True and d["skipped"] == []
+    assert len(d["rows"]) == 18
+    assert set(d["equality"]) == {"MSE", "ZINB", "aug"}
+    for r in d["rows"]:
+        assert r["warnings"] == [] and r["analytic_ok"], r

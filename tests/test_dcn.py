@@ -44,13 +44,15 @@ def _worker_env(n_local_devices: int) -> dict:
 
 
 @pytest.fixture(scope="module")
-def dcn_results():
+def dcn_results(tmp_path_factory):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
+    ckpt_dir = str(tmp_path_factory.mktemp("dcn") / "sharded_ckpt")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, "--coordinator", coord,
-             "--num-processes", "2", "--process-id", str(pid)],
+             "--num-processes", "2", "--process-id", str(pid),
+             "--ckpt-dir", ckpt_dir],
             env=_worker_env(4), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True)
         for pid in range(2)
@@ -93,6 +95,24 @@ def test_multiprocess_streaming_batch_assembly(dcn_results):
     want = float(full[order].sum())
     for r in dcn_results:
         np.testing.assert_allclose(r["stream_batch_sum"], want, rtol=1e-6)
+
+
+def test_sharded_checkpoint_roundtrip_across_processes(dcn_results):
+    """Orbax save of the FULL_SHARD-sharded state from BOTH processes,
+    restore to the same placements, then one more epoch from the original
+    vs the restored state: identical loss, shardings preserved, metadata
+    intact (multi-host resume end-to-end — the reference imports
+    FullStateDictConfig, train.py:14-16, but never ships distributed
+    checkpointing; SURVEY §5.4)."""
+    for r in dcn_results:
+        ck = r["ckpt"]
+        assert ck["shard_ok"], f"rank {r['pid']}: shardings not preserved"
+        assert ck["loss_orig"] == ck["loss_restored"], \
+            f"rank {r['pid']}: post-restore step diverged: {ck}"
+        assert ck["ok"] is True
+    # both ranks ran the same global program on the restored state
+    assert (dcn_results[0]["ckpt"]["loss_restored"]
+            == dcn_results[1]["ckpt"]["loss_restored"])
 
 
 def test_distributed_loss_matches_single_process_oracle(dcn_results):

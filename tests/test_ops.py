@@ -259,6 +259,8 @@ class TestFusedRecon:
                                        np.asarray(aux1.loss_rec), rtol=1e-5)
             np.testing.assert_allclose(np.asarray(aux0.ll),
                                        np.asarray(aux1.ll), rtol=1e-5)
+            assert np.isfinite(np.asarray(aux1.ll)).all()  # fused MSE keeps ll
+            assert np.isnan(np.asarray(aux0.rec_nll)).all()  # NLL is ZINB-only
             jax.tree_util.tree_map(
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
@@ -424,6 +426,15 @@ class TestFusedZINB:
             np.testing.assert_allclose(float(t0), float(t1), rtol=1e-4)
             np.testing.assert_allclose(np.asarray(aux0.loss_rec),
                                        np.asarray(aux1.loss_rec), rtol=1e-4)
+            # ll/rec_nll contract (LossOutputs field docs): the fused ZINB
+            # kernel never materializes x_rec, so its ll is NaN — never a
+            # silently different number; rec_nll is the honest NLL in both
+            assert np.isnan(np.asarray(aux1.ll)).all()
+            assert np.isfinite(np.asarray(aux0.ll)).all()
+            np.testing.assert_allclose(np.asarray(aux0.rec_nll),
+                                       np.asarray(aux0.loss_rec), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(aux1.rec_nll),
+                                       np.asarray(aux1.loss_rec), rtol=1e-6)
             jax.tree_util.tree_map(
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-3),
