@@ -72,43 +72,79 @@ def _train_cmd(args, resume: bool) -> list:
 
 
 def _run_phase(cmd: list, log_path: str, preempt_at: int | None,
-               timeout_s: float) -> dict:
+               timeout_s: float, drain_s: float = 1200.0) -> dict:
     """Run one trainer invocation, teeing stdout to ``log_path``.
 
     ``preempt_at``: SIGTERM the child once its log reports reaching this
-    epoch (the PreemptionGuard drill); None = run to completion.  Returns
-    {rc, wall_s, last_epoch, preempted}.
+    epoch (the PreemptionGuard drill); None = run to completion.  A reader
+    thread feeds lines through a queue so ``timeout_s`` fires even when
+    the trainer goes silent (the wedged-TPU failure mode: every op hangs,
+    nothing prints).  On timeout the child gets SIGTERM (the guard
+    checkpoints and exits cleanly — never hard-kill a live TPU process);
+    only if it ignores that for ``drain_s`` is it SIGKILLed (already
+    wedged; freeing the host costs at most the wedge window the hang is
+    already paying).  Returns {rc, wall_s, last_epoch, preempted,
+    timed_out, hung}.
     """
+    import queue
+    import threading
+
     t0 = time.time()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["PYTHONUNBUFFERED"] = "1"
-    last_epoch, sent = 0, False
+    last_epoch, drilled, timed_out, hung = 0, False, False, False
     with open(log_path, "w") as log:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True,
                                 env=env, cwd=REPO)
-        for line in proc.stdout:
-            log.write(line)
-            log.flush()
-            m = _EPOCH_LINE.search(line)
-            if m:
-                last_epoch = int(m.group(1))
-                print(f"  {line.rstrip()}", flush=True)
-            if (preempt_at is not None and not sent
-                    and last_epoch >= preempt_at):
-                print(f"  >>> SIGTERM at epoch {last_epoch} "
-                      f"(PreemptionGuard drill)", flush=True)
+        q: queue.Queue = queue.Queue()
+        reader = threading.Thread(
+            target=lambda: ([q.put(ln) for ln in proc.stdout],
+                            q.put(None)),
+            daemon=True)
+        reader.start()
+        eof = False
+        while not eof:
+            try:
+                line = q.get(timeout=5.0)
+            except queue.Empty:
+                line = ""
+            if line is None:
+                eof = True
+            elif line:
+                log.write(line)
+                log.flush()
+                m = _EPOCH_LINE.search(line)
+                if m:
+                    last_epoch = int(m.group(1))
+                    print(f"  {line.rstrip()}", flush=True)
+                if (preempt_at is not None and not drilled
+                        and last_epoch >= preempt_at):
+                    print(f"  >>> SIGTERM at epoch {last_epoch} "
+                          f"(PreemptionGuard drill)", flush=True)
+                    proc.send_signal(signal.SIGTERM)
+                    drilled = True
+            if not timed_out and time.time() - t0 > timeout_s:
+                print(f"  >>> phase timeout after {timeout_s:.0f}s: SIGTERM "
+                      f"(guard checkpoints at the next chunk boundary)",
+                      flush=True)
                 proc.send_signal(signal.SIGTERM)
-                sent = True
-            if time.time() - t0 > timeout_s:
-                # never hard-kill a TPU process: SIGTERM → guard → clean
-                # exit; the wait below still bounds us
-                proc.send_signal(signal.SIGTERM)
-                sent = True
-        rc = proc.wait(timeout=1200)
+                timed_out = True
+            if timed_out and time.time() - t0 > timeout_s + drain_s:
+                print("  >>> child ignored SIGTERM past the drain window — "
+                      "SIGKILL (treating it as wedged)", flush=True)
+                proc.kill()
+                hung = True
+                break
+        try:
+            rc = proc.wait(timeout=60 if hung else drain_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc, hung = proc.wait(timeout=60), True
     return {"rc": rc, "wall_s": round(time.time() - t0, 1),
-            "last_epoch": last_epoch, "preempted": sent}
+            "last_epoch": last_epoch, "preempted": drilled,
+            "timed_out": timed_out, "hung": hung}
 
 
 def main() -> int:
@@ -125,6 +161,12 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=546)
     ap.add_argument("--out", default="runs/soak_A5")
     ap.add_argument("--phase-timeout-s", type=float, default=5400)
+    ap.add_argument("--resume-soak", action="store_true",
+                    help="the orchestrator itself is resumable: if a "
+                         "previous invocation completed phase 1 (its log + "
+                         "a preempt checkpoint exist under --out) but died "
+                         "before finishing, reconstruct phase 1's record "
+                         "from the log and continue from the resume phase")
     # production shape by default; shrink for an orchestration smoke test
     ap.add_argument("--syn-cells", type=int, default=20_000)
     ap.add_argument("--syn-genes", type=int, default=5032)
@@ -138,9 +180,14 @@ def main() -> int:
     # phase 1+2: train until the drill point, SIGTERM, let the guard save
     preempt_at = (int(args.n_epoch * args.preempt_frac)
                   if args.preempt_frac > 0 else None)
-    p1 = _run_phase(_train_cmd(args, resume=False),
-                    os.path.join(args.out, "phase1_train.log"),
-                    preempt_at, args.phase_timeout_s)
+    p1 = _reconstruct_phase1(args) if args.resume_soak else None
+    if p1 is not None:
+        print(f"phase 1 (reconstructed from a prior invocation): {p1}",
+              flush=True)
+    else:
+        p1 = _run_phase(_train_cmd(args, resume=False),
+                        os.path.join(args.out, "phase1_train.log"),
+                        preempt_at, args.phase_timeout_s)
     summary["phases"]["train_until_preempt"] = p1
     print(f"phase 1: {p1}", flush=True)
     if p1["rc"] != 0:
@@ -148,8 +195,10 @@ def main() -> int:
         _finish(args, summary, t0, ok=False)
         return 1
 
-    # phase 3: resume to completion (no drill)
-    if preempt_at is not None and p1["last_epoch"] < args.n_epoch:
+    # phase 3: resume to completion — after the drill OR a phase timeout
+    # (both leave a guard checkpoint short of the budget)
+    completed = p1["last_epoch"]
+    if completed < args.n_epoch:
         p2 = _run_phase(_train_cmd(args, resume=True),
                         os.path.join(args.out, "phase2_resume.log"),
                         None, args.phase_timeout_s)
@@ -159,6 +208,13 @@ def main() -> int:
             print("resume trainer exited nonzero — aborting soak")
             _finish(args, summary, t0, ok=False)
             return 1
+        completed = max(completed, p2["last_epoch"])
+    # evaluate under the epoch count actually reached: a timed-out soak
+    # must never publish a partial model under the full-budget .npy name
+    summary["completed_epochs"] = completed
+    if completed < args.n_epoch:
+        print(f"soak incomplete: reached epoch {completed} of "
+              f"{args.n_epoch} — evaluating under E{completed}")
 
     # phase 4+5: reference .npy artifact + north-star metrics
     from glob import glob
@@ -171,7 +227,7 @@ def main() -> int:
            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
     base = [sys.executable, "-m", "dvae_tpu.cli", "evaluate",
             "--saving_folder", folder, "--n_arm", str(args.n_arm),
-            "--n_epoch", str(args.n_epoch),
+            "--n_epoch", str(completed),
             "--batch_size", str(args.batch_size),
             "--seed", str(args.seed),
             "--synthetic", "--syn_cells", str(args.syn_cells),
@@ -199,10 +255,40 @@ def main() -> int:
         print(f"evaluate[{name}] rc={ev.returncode}", flush=True)
     summary["phases"]["evaluate"] = {"rc": rc_all}
     npy = os.path.join(REPO, "evaluation",
-                       f"A{args.n_arm}-RUN0-E{args.n_epoch}.npy")
+                       f"A{args.n_arm}-RUN0-E{completed}.npy")
     summary["evaluation_npy"] = npy if os.path.exists(npy) else None
-    _finish(args, summary, t0, ok=rc_all == 0)
-    return 0 if rc_all == 0 else 1
+    ok = rc_all == 0 and completed >= args.n_epoch
+    _finish(args, summary, t0, ok=ok)
+    return 0 if ok else 1
+
+
+def _reconstruct_phase1(args) -> dict | None:
+    """Rebuild phase 1's record from its log after an orchestrator death.
+
+    Only succeeds when the log shows a clean PreemptionGuard exit (the
+    "preempted: checkpointed at epoch N" line) and the preempt checkpoint
+    is actually on disk — anything less means phase 1 must be rerun.
+    """
+    from glob import glob
+    log_path = os.path.join(args.out, "phase1_train.log")
+    if not os.path.exists(log_path):
+        return None
+    last_epoch, ckpt_epoch = 0, None
+    for line in open(log_path):
+        m = _EPOCH_LINE.search(line)
+        if m:
+            last_epoch = int(m.group(1))
+        m = re.search(r"preempted: checkpointed at epoch (\d+)", line)
+        if m:
+            ckpt_epoch = int(m.group(1))
+    if ckpt_epoch is None:
+        return None
+    pattern = os.path.join(args.out, "*_RUN*",
+                           f"cpl_mixVAE_model_preempt_epoch_{ckpt_epoch}.ckpt")
+    if not glob(pattern):
+        return None
+    return {"rc": 0, "wall_s": None, "last_epoch": last_epoch,
+            "preempted": True, "reconstructed_from_log": True}
 
 
 def _finish(args, summary: dict, t0: float, ok: bool) -> None:
