@@ -88,6 +88,8 @@ _PEAK_BF16_TFLOPS = (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
 
 _EMITTED = False          # has a JSON line been printed yet?
 _PARTIAL: dict = {}       # live child: variants measured so far
+_LIVE_CHILD = None        # parent: the running `--live` subprocess
+_ORPHANED_PID = None      # parent: child left blocked in a C call
 
 
 def _emit(result: dict) -> None:
@@ -138,6 +140,15 @@ def _install_guards(budget_s: float, partial_first: bool) -> None:
     covered by the parent/child split: the parent never touches the
     backend, so IT stays signal-responsive.)"""
     def handler(signum, frame):
+        # the parent must not leave its live child running unawares: pass
+        # the SIGTERM down (never SIGKILL — a mid-claim hard kill wedges
+        # the chip; the child's own handler emits/caches its partial line)
+        child = _LIVE_CHILD
+        if child is not None and child.poll() is None:
+            try:
+                child.terminate()
+            except OSError:
+                pass
         ok = (_emit_partial(f"signal {signum}") if partial_first else False)
         ok = ok or _emit_stale(f"killed by signal {signum} before a "
                                f"live result landed")
@@ -201,10 +212,13 @@ def _write_cache(result: dict) -> None:
     except (OSError, ValueError):
         old = {}
     extra = dict(old.get("extra", {}))
+    fresh = dict(result.get("extra", {}))
+    # stale/partial markers never persist into the cache — strip them from
+    # BOTH sides (the parent caches a partial live line verbatim)
     for k in ("stale_from_cache", "stale_reason", "cached_at", "partial",
               "partial_reason", "carried_keys"):
         extra.pop(k, None)
-    fresh = dict(result.get("extra", {}))
+        fresh.pop(k, None)
     carried = sorted(k for k in extra if k not in fresh)
     extra.update(fresh)
     if carried:
@@ -341,22 +355,9 @@ def _augment_fn(input_dim: int):
     """Random-weight frozen augmenter (forward cost equals a trained one's).
     Weights in bf16 — the bench trains in bf16, and f32 weights against
     bf16 activations would run every augmenter matmul at the 3-pass f32
-    MXU rate (same cast the trainer applies, cpl_mixvae._augment_fn)."""
-    import jax
-    import jax.numpy as jnp
-
-    from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
-                                            cast_augmenter_params,
-                                            init_augmenter)
-
-    acfg = AugmenterConfig(input_dim=input_dim)
-    params, bn = init_augmenter(jax.random.key(7), acfg)
-    params = cast_augmenter_params(params, jnp.bfloat16)
-
-    def fn(key, x, n_arm):
-        return augment_arms(params, bn, acfg, key, x, n_arm, scale=0.1)
-
-    return fn
+    MXU rate.  Delegates to the one shared closure."""
+    from dvae_tpu.augment.augmenter import frozen_random_augment_fn
+    return frozen_random_augment_fn(input_dim, bf16=True)
 
 
 def _infer_throughput(cfg, x_all, n_chunks=10):
@@ -493,18 +494,28 @@ def _run_live_child(budget_s: float):
     """Spawn `bench.py --live` and return its final parsed JSON line (the
     partial line if the child died mid-run), or None.  The parent stays
     out of C-blocking backend calls, so its signal handlers always run."""
+    global _LIVE_CHILD, _ORPHANED_PID
     cmd = [sys.executable, os.path.abspath(__file__), "--live",
            f"--budget={max(budget_s - 45, 60):.0f}"]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    _LIVE_CHILD = proc
     try:
         out, _ = proc.communicate(timeout=max(budget_s - 20, 75))
     except subprocess.TimeoutExpired:
         proc.terminate()  # child's SIGTERM handler emits its partial line
         try:
-            out, _ = proc.communicate(timeout=20)
+            out, _ = proc.communicate(timeout=45)
         except subprocess.TimeoutExpired:
-            proc.kill()
-            out, _ = proc.communicate()
+            # NEVER SIGKILL a live TPU process: a mid-claim hard kill
+            # wedges the chip for ~15-25 min.  A child still alive here is
+            # blocked inside a C call (wedged transfer); its SIGTERM/alarm
+            # handlers fire the moment that call returns or the backend
+            # grant expires, and it exits on its own.  Leave it orphaned
+            # and say so in the emitted line.
+            _ORPHANED_PID = proc.pid
+            out = ""
+    finally:
+        _LIVE_CHILD = None
     return _parse_last_json(out or "")
 
 
@@ -548,8 +559,14 @@ def main() -> None:
         _emit(fresh)  # supersedes any stale line printed at probe time
         if fresh.get("extra", {}).get("partial"):
             _write_cache(fresh)  # child died before caching; merge-carry
-    elif not _emit_stale("live measurement produced no output"):
-        raise RuntimeError("live measurement failed and no cached result")
+    else:
+        why = "live measurement produced no output"
+        if _ORPHANED_PID is not None:
+            why += (f" (live child pid {_ORPHANED_PID} blocked in a C call;"
+                    f" left to exit via its own SIGTERM/alarm — not"
+                    f" SIGKILLed, which would wedge the chip)")
+        if not _emit_stale(why):
+            raise RuntimeError("live measurement failed and no cached result")
 
 
 if __name__ == "__main__":

@@ -422,6 +422,30 @@ def make_augment_apply(params, bn, cfg, dtype=None):
     return fn
 
 
+def frozen_random_augment_fn(input_dim: int, bf16: bool = False,
+                             n_dim=None, seed: int = 7, scale: float = 0.1):
+    """Random-weight frozen augmenter closure: (key, x, n_arm) → (A, B, D).
+
+    Forward cost and sharding behavior equal a trained augmenter's
+    (reference cpl_mixvae.py:422-425), so benches and compile censuses use
+    this instead of shipping a checkpoint.  ``bf16`` casts the weights once
+    (the make_augment_apply cast rule); ``n_dim`` overrides the latent
+    width for small shapes.  The ONE copy — bench.py and parallel/census.py
+    both delegate here.
+    """
+    kw = {"input_dim": input_dim}
+    if n_dim is not None:
+        kw["n_dim"] = n_dim
+    acfg = AugmenterConfig(**kw)
+    params, bn = init_augmenter(jax.random.key(seed), acfg)
+    apply = make_augment_apply(params, bn, acfg,
+                               jnp.bfloat16 if bf16 else None)
+
+    def fn(key, x, n_arm):
+        return apply(key, x, n_arm, scale)
+    return fn
+
+
 def load_augmenter_apply(path: str, dtype=None):
     """``make_augment_apply`` over a checkpoint file (reference
     ``mk_augmenter``, cpl_mixvae.py:128-149)."""

@@ -73,6 +73,17 @@ def prepare_h5ad(path: str, counts: np.ndarray, gene_ids: Sequence[str],
                                   already_normalized)
         return write_h5ad(path, x.astype(np.float32), gene_ids,
                           cluster_labels, obs=obs, sparse=sparse)
+    if sparse is not None:
+        # honor the requested on-disk layout on BOTH paths — a dense X
+        # here would be orders of magnitude bigger than asked for and
+        # differ from the h5py-native writer's output for the same call
+        import scipy.sparse as sp
+
+        if sparse not in ("csr", "csc"):
+            raise ValueError(f"sparse must be 'csr', 'csc' or None: "
+                             f"{sparse!r}")
+        adata.X = (sp.csr_matrix if sparse == "csr"
+                   else sp.csc_matrix)(adata.X)
     return save_h5ad(adata, path)
 
 

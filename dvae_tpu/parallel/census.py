@@ -89,27 +89,10 @@ def small_cfg(mode: str, n_arm: int = 2):
 
 
 def _augment_fn(input_dim: int, bf16: bool, n_dim: Optional[int] = None):
-    """Frozen random-weight augmenter closure (forward cost and sharding
-    behavior equal a trained one's; reference cpl_mixvae.py:422-425)."""
-    import jax
-    import jax.numpy as jnp
-
-    from dvae_tpu.augment.augmenter import (AugmenterConfig, augment_arms,
-                                            cast_augmenter_params,
-                                            init_augmenter)
-
-    kw = {"input_dim": input_dim}
-    if n_dim is not None:
-        kw["n_dim"] = n_dim
-    acfg = AugmenterConfig(**kw)
-    params, bn = init_augmenter(jax.random.key(7), acfg)
-    if bf16:
-        params = cast_augmenter_params(params, jnp.bfloat16)
-
-    def fn(key, x, n_arm):
-        return augment_arms(params, bn, acfg, key, x, n_arm, scale=0.1)
-
-    return fn
+    """Frozen random-weight augmenter closure (the shared helper —
+    augment/augmenter.py frozen_random_augment_fn)."""
+    from dvae_tpu.augment.augmenter import frozen_random_augment_fn
+    return frozen_random_augment_fn(input_dim, bf16=bf16, n_dim=n_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -215,15 +198,18 @@ def production_row(strategy, mode: str, mesh, n_train: int = 20_000,
     dt = time.monotonic() - t0
     warnings = [ln for ln in tap.text.splitlines() if _WARN_PAT.search(ln)]
 
+    # leaf shapes only — abstract init, no production-shape materialization
     tx = make_optimizer(cfg)
-    state = init_train_state(jax.random.key(0), cfg, tx)
-    bound = grad_traffic_lower_bound(state.params, mesh)
+    state_shapes = jax.eval_shape(
+        lambda: init_train_state(jax.random.key(0), cfg, tx))
+    bound = grad_traffic_lower_bound(state_shapes.params, mesh)
     ok, why = analytic_check(strategy, stats, bound, mesh)
-    steps = n_train // batch
+    # the runner's step loop is ROLLED, so the HLO census is already
+    # per-step (collective_cost.predict) — no division by steps
     return CensusRow(
         strategy=strategy.value, mode=mode, counts=dict(stats.counts),
-        wire_bytes=stats.wire_bytes / steps,
-        wire_ms_per_step=stats.ici_seconds(ici_gbps) / steps * 1e3,
+        wire_bytes=stats.wire_bytes,
+        wire_ms_per_step=stats.ici_seconds(ici_gbps) * 1e3,
         warnings=warnings, analytic_ok=ok, analytic_why=why,
         compile_s=round(dt, 1))
 

@@ -61,8 +61,10 @@ class CollectiveStats:
 
     ``counts``/``bytes_by_kind``: per collective kind, number of ops and
     summed local tensor bytes.  ``wire_bytes``: ring-model bytes a single
-    device moves per executable invocation (one epoch *chunk* for the epoch
-    runner — divide by steps for per-step).
+    device moves per *step* — the epoch runner's step/epoch loops are
+    ROLLED (``lax.scan``/``while``), so each in-loop collective appears
+    exactly once in the optimized module no matter how many steps the
+    executable runs (see ``predict``); do NOT divide by steps.
     """
 
     counts: Dict[str, int]

@@ -75,9 +75,13 @@ def xplane_total_device_ms(trace_dir: str) -> float:
     def walk(node, depth):
         nonlocal total_ps
         t = node.get("metrics", {}).get("rawTime", 0)
-        if t and depth >= 3:  # leaf self-times (program → category → op)
+        children = node.get("children", [])
+        # leaves only (program → category → op): a deeper tree (fusion ops
+        # with per-instruction children) carries inclusive times on the
+        # parents — summing those too would double-count the subtree
+        if t and depth >= 3 and not children:
             total_ps += t
-        for ch in node.get("children", []):
+        for ch in children:
             walk(ch, depth + 1)
 
     walk(tree.get("byProgram", tree), 0)

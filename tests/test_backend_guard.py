@@ -205,6 +205,29 @@ def test_write_cache_carries_unmeasured_extras(tmp_path, monkeypatch):
     assert "_measured_at" in got
 
 
+def test_write_cache_strips_markers_from_the_written_result(tmp_path,
+                                                            monkeypatch):
+    """The parent caches a PARTIAL live line verbatim (`main()`:
+    `if fresh.extra.partial: _write_cache(fresh)`) — the markers must be
+    stripped from the result side too, or a later stale replay carries
+    both partial=True and stale_from_cache=True."""
+    cache = tmp_path / "c.json"
+    monkeypatch.setattr(bench, "_CACHE", str(cache))
+    bench._write_cache({"metric": "train_throughput_A5_smartseq",
+                        "value": 300.0, "unit": "cells/sec/chip",
+                        "vs_baseline": 0.01,
+                        "extra": {"partial": True,
+                                  "partial_reason": "signal 15",
+                                  "stale_from_cache": True,
+                                  "infer_throughput_A5": 7.0}})
+    got = json.loads(cache.read_text())
+    assert got["value"] == 300.0
+    assert got["extra"]["infer_throughput_A5"] == 7.0
+    for marker in ("partial", "partial_reason", "stale_from_cache",
+                   "stale_reason", "cached_at", "carried_keys"):
+        assert marker not in got["extra"], marker
+
+
 def test_parse_last_json_takes_last_result_line():
     out = "\n".join([
         json.dumps({"metric": "m", "value": 1.0, "extra": {"partial": True}}),

@@ -37,7 +37,19 @@ def test_production_row_full_shard_mse(mesh):
     assert row.counts.get("all-gather", 0) >= 1      # sharded params
     assert (row.counts.get("all-reduce", 0)
             + row.counts.get("reduce-scatter", 0)) >= 1  # grad reduction
-    assert row.wire_bytes > 0
+    # the REPORTED per-step wire bytes must clear the analytic gradient-
+    # traffic lower bound — the rolled step loop means the HLO census is
+    # already per-step; a physically-impossible row (reported < bound,
+    # as a division by steps once produced) must never ship again
+    import jax as _jax
+
+    from dvae_tpu.train.step import init_train_state, make_optimizer
+    cfg = census.production_cfg("MSE")
+    tx = make_optimizer(cfg)
+    shapes = _jax.eval_shape(
+        lambda: init_train_state(_jax.random.key(0), cfg, tx))
+    bound = census.grad_traffic_lower_bound(shapes.params, mesh)
+    assert row.wire_bytes >= 0.9 * bound, (row.wire_bytes, bound)
 
 
 def _stats(counts, wire):
