@@ -105,13 +105,19 @@ def _run_phase(cmd: list, log_path: str, preempt_at: int | None,
             daemon=True)
         reader.start()
         eof = False
+        term_t = None   # when the timeout SIGTERM was actually sent — the
+        #                 drain window is measured from HERE, not from
+        #                 timeout_s (queue polls can deliver the timeout
+        #                 late on a loaded host; a child that then dies
+        #                 promptly must not be mislabeled hung)
         while not eof:
             try:
-                line = q.get(timeout=5.0)
+                line = q.get(timeout=2.0)
             except queue.Empty:
                 line = ""
             if line is None:
                 eof = True
+                continue
             elif line:
                 log.write(line)
                 log.flush()
@@ -125,13 +131,14 @@ def _run_phase(cmd: list, log_path: str, preempt_at: int | None,
                           f"(PreemptionGuard drill)", flush=True)
                     proc.send_signal(signal.SIGTERM)
                     drilled = True
-            if not timed_out and time.time() - t0 > timeout_s:
+            now = time.time()
+            if not timed_out and now - t0 > timeout_s:
                 print(f"  >>> phase timeout after {timeout_s:.0f}s: SIGTERM "
                       f"(guard checkpoints at the next chunk boundary)",
                       flush=True)
                 proc.send_signal(signal.SIGTERM)
-                timed_out = True
-            if timed_out and time.time() - t0 > timeout_s + drain_s:
+                timed_out, term_t = True, now
+            if timed_out and now - term_t > drain_s:
                 print("  >>> child ignored SIGTERM past the drain window — "
                       "SIGKILL (treating it as wedged)", flush=True)
                 proc.kill()

@@ -68,11 +68,15 @@ class TestRunPhase:
             print("[train] epoch 5: loss=1.0")
             time.sleep(600)
         """)
+        # timeout_s must outlast interpreter startup on a loaded 1-core
+        # host, or SIGTERM lands before the child ever prints
         r = soak._run_phase(cmd, str(tmp_path / "p.log"), None,
-                            timeout_s=2.0, drain_s=3.0)
+                            timeout_s=8.0, drain_s=8.0)
         assert r["timed_out"] is True
         assert r["last_epoch"] == 5
-        assert r["wall_s"] < 30  # bounded, not the child's 600 s sleep
+        # bounded, not the child's 600 s sleep (generous: queue polls and
+        # process scheduling stretch under a saturated 1-core host)
+        assert r["wall_s"] < 180
         # default SIGTERM disposition killed it: nonzero rc, not hung
         assert r["rc"] != 0 and r["hung"] is False
 
@@ -85,9 +89,9 @@ class TestRunPhase:
             time.sleep(600)
         """)
         r = soak._run_phase(cmd, str(tmp_path / "p.log"), None,
-                            timeout_s=1.0, drain_s=2.0)
+                            timeout_s=8.0, drain_s=4.0)
         assert r["timed_out"] is True and r["hung"] is True
-        assert r["wall_s"] < 30
+        assert r["wall_s"] < 180
 
 
 class TestReconstructPhase1:
