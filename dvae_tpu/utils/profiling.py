@@ -74,14 +74,19 @@ def xplane_total_device_ms(trace_dir: str) -> float:
 
     def walk(node, depth):
         nonlocal total_ps
-        t = node.get("metrics", {}).get("rawTime", 0)
-        children = node.get("children", [])
-        # leaves only (program → category → op): a deeper tree (fusion ops
-        # with per-instruction children) carries inclusive times on the
-        # parents — summing those too would double-count the subtree
-        if t and depth >= 3 and not children:
-            total_ps += t
-        for ch in children:
+        if "idle" in str(node.get("name", "")).lower():
+            return  # IDLE branches are not device work
+        # count EXACTLY the op level (program → category → op = depth 3)
+        # and never descend past it.  Verified against a real TPU trace
+        # (2026-08-19): op-group nodes ("X and its duplicate(s)") hold the
+        # INCLUSIVE time of their depth-4 duplicate children (descending
+        # double-counts), while fusion nodes hold all their time THEMSELVES
+        # with zero-rawTime instruction children (a leaves-only sum drops
+        # every fusion — the hot nodes).  Depth-3-only is right for both.
+        if depth >= 3:
+            total_ps += node.get("metrics", {}).get("rawTime", 0)
+            return
+        for ch in node.get("children", []):
             walk(ch, depth + 1)
 
     walk(tree.get("byProgram", tree), 0)

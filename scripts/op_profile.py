@@ -175,19 +175,26 @@ def parse(trace_dir: str, top_k: int, n_steps: int) -> None:
     tree = json.loads(data)
 
     def walk(node, depth, rows):
-        m = node.get("metrics", {})
-        t = m.get("rawTime", 0)
         name = node.get("name", "?")
-        if t and depth >= 2:
-            rows.append((t, name, depth))
+        if "idle" in str(name).lower():
+            return
+        # EXACTLY the op level (program → category → op = depth 3), never
+        # deeper: op groups ("X and its duplicate(s)") are inclusive of
+        # their duplicate children (descending double-counts), fusion
+        # nodes hold all time themselves with zero-rawTime instruction
+        # children (see utils/profiling.xplane_total_device_ms)
+        if depth >= 3:
+            t = node.get("metrics", {}).get("rawTime", 0)
+            if t:
+                rows.append((t, name, depth))
+            return
         for ch in node.get("children", []):
             walk(ch, depth + 1, rows)
 
     by_prog = tree.get("byProgram", tree)
     rows: list = []
     walk(by_prog, 0, rows)
-    # leaf self-times: keep deepest occurrences (category → op)
-    leaves = [(t, n) for t, n, d in rows if d >= 3]
+    leaves = [(t, n) for t, n, d in rows]
     leaves.sort(reverse=True)
     total_ps = sum(t for t, _ in leaves)
     print(f"total device time: {total_ps/1e12*1e3:.3f} ms "
