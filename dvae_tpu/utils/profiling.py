@@ -50,11 +50,39 @@ def memory_snapshot(path: Optional[str] = None) -> dict:
     return snap
 
 
-def xplane_total_device_ms(trace_dir: str) -> float:
-    """Total device self-time (ms) recorded in a ``jax.profiler.trace`` dir.
+def op_profile_total_ps(tree: dict) -> int:
+    """Total device time (picoseconds) of a parsed op_profile tree.
 
-    The xprof op_profile recipe (scripts/op_profile.py): sum the per-op
-    leaf self-times of the converted ``.xplane.pb``.  This is the
+    Sum EXACTLY the op level (byProgram root → program → category → op =
+    depth 3) and never descend past it.  Verified against a real TPU trace
+    (2026-08-19): op-group nodes ("X and its duplicate(s)") hold the
+    INCLUSIVE time of their depth-4 duplicate children (descending
+    double-counts, measured +10%), while fusion nodes hold all their time
+    THEMSELVES with zero-rawTime instruction children (a leaves-only sum
+    drops every fusion — the hot nodes — measured −30%).  Depth-3-only is
+    right for both species; IDLE branches are not device work.
+    """
+    total_ps = 0
+
+    def walk(node, depth):
+        nonlocal total_ps
+        if "idle" in str(node.get("name", "")).lower():
+            return
+        if depth >= 3:
+            total_ps += node.get("metrics", {}).get("rawTime", 0)
+            return
+        for ch in node.get("children", []):
+            walk(ch, depth + 1)
+
+    walk(tree.get("byProgram", tree), 0)
+    return total_ps
+
+
+def xplane_total_device_ms(trace_dir: str) -> float:
+    """Total device time (ms) recorded in a ``jax.profiler.trace`` dir.
+
+    The xprof op_profile recipe (scripts/op_profile.py): convert the
+    ``.xplane.pb`` and apply ``op_profile_total_ps``.  This is the
     dispatch-free ground truth on a tunneled chip — wall clock includes
     the tunnel's RTTs and ``cost_analysis()`` reports 0 for Pallas custom
     calls.  Requires ``PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python`` to
@@ -69,28 +97,7 @@ def xplane_total_device_ms(trace_dir: str) -> float:
     if not xplanes:
         raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
     data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
-    tree = json.loads(data)
-    total_ps = 0
-
-    def walk(node, depth):
-        nonlocal total_ps
-        if "idle" in str(node.get("name", "")).lower():
-            return  # IDLE branches are not device work
-        # count EXACTLY the op level (program → category → op = depth 3)
-        # and never descend past it.  Verified against a real TPU trace
-        # (2026-08-19): op-group nodes ("X and its duplicate(s)") hold the
-        # INCLUSIVE time of their depth-4 duplicate children (descending
-        # double-counts), while fusion nodes hold all their time THEMSELVES
-        # with zero-rawTime instruction children (a leaves-only sum drops
-        # every fusion — the hot nodes).  Depth-3-only is right for both.
-        if depth >= 3:
-            total_ps += node.get("metrics", {}).get("rawTime", 0)
-            return
-        for ch in node.get("children", []):
-            walk(ch, depth + 1)
-
-    walk(tree.get("byProgram", tree), 0)
-    return total_ps / 1e12 * 1e3
+    return op_profile_total_ps(json.loads(data)) / 1e12 * 1e3
 
 
 class StepTimer:
