@@ -215,31 +215,41 @@ def pairwise_confmats_device(labels, K: int):
                       preferred_element_type=jnp.float32)
 
 
-def consensus_device(labels, K: int, active_only: bool = False):
-    """Mean pairwise consensus, fully on device. ``labels``: (A, N) ints.
+def consensus_device_both(labels, K: int):
+    """(reference consensus, active-only consensus) in ONE device pass.
 
-    ``active_only=False`` is the reference metric (mean diagonal over all
-    K categories, mmidas/_utils.py:127) — note its structural ceiling of
-    n_used_categories / K when the model uses fewer than K categories.
-    ``active_only=True`` averages the diagonal over categories with any
-    support in the pair, removing that ceiling (a TPU-build extension)."""
+    ``labels``: (A, N) ints.  The expensive part — the (A, A, K, K)
+    pairwise confusion matrices (one-hot MXU einsums) — is shared; the
+    two variants differ only in the diagonal's denominator.  The first is
+    the reference metric (mean diagonal over all K categories,
+    mmidas/_utils.py:127), with its structural n_used/K ceiling; the
+    second averages over categories with any support in the pair,
+    removing that ceiling (a TPU-build extension).
+    """
     A = labels.shape[0]
+    if A * (A - 1) // 2 == 0:
+        one = jnp.asarray(1.0)
+        return one, one
     cms = pairwise_confmats_device(labels, K)          # (A, A, K, K)
     col = jnp.sum(cms, axis=-2)                        # (A, A, K)
     row = jnp.sum(cms, axis=-1)                        # (A, A, K)
     maxes = jnp.maximum(col, row)
     diag = jnp.diagonal(cms, axis1=-2, axis2=-1)       # (A, A, K)
     norm_diag = jnp.where(maxes != 0, diag / jnp.where(maxes == 0, 1, maxes), 0.0)
-    if active_only:
-        n_active = jnp.maximum(jnp.sum(maxes != 0, axis=-1), 1)
-        per_pair = jnp.sum(norm_diag, axis=-1) / n_active
-    else:
-        per_pair = jnp.mean(norm_diag, axis=-1)        # (A, A)
     iu = jnp.triu_indices(A, k=1)
-    n_pairs = A * (A - 1) // 2
-    if n_pairs == 0:
-        return jnp.asarray(1.0)
-    return jnp.mean(per_pair[iu])
+    per_pair_all = jnp.mean(norm_diag, axis=-1)        # (A, A)
+    n_active = jnp.maximum(jnp.sum(maxes != 0, axis=-1), 1)
+    per_pair_active = jnp.sum(norm_diag, axis=-1) / n_active
+    return jnp.mean(per_pair_all[iu]), jnp.mean(per_pair_active[iu])
+
+
+def consensus_device(labels, K: int, active_only: bool = False):
+    """Mean pairwise consensus, fully on device. ``labels``: (A, N) ints.
+
+    One variant of ``consensus_device_both`` — callers needing both
+    should use that (one confusion-matrix pass instead of two)."""
+    both = consensus_device_both(labels, K)
+    return both[1] if active_only else both[0]
 
 
 def set_seeds(s: int) -> None:

@@ -34,9 +34,11 @@ the z rows (garbage/NaN in the block buffer) and the loss term; the zero
 ``gm₁₁`` rows then propagate zeros through the whole backward chain.
 
 Grid (nb, A), arms innermost: a shared x tile is DMA'd once per i_b.  The
-dW accumulator blocks are revisited non-consecutively (flushed/reloaded per
-arm switch) — the trunk dWs are (F, F) ≈ 40 KB so this costs ~nothing next
-to the (F, D) dW₁₁ recon already pays.
+dW accumulators are constant-index full-(A,·,·) blocks that stay resident
+in VMEM across the whole grid and flush once at the end (see the note at
+``_fwdbwd_call``) — the trunk dWs are (F, F) ≈ 40 KB per arm, so the
+residency costs little VMEM next to the (F, D) dW₁₁ the recon head already
+pays, and there is no per-arm flush/reload DMA traffic.
 
 Used on a single device or an arm-sharded mesh; under batch-sharded SPMD
 the caller falls back to the fc11-only kernel (ops/partitioned.py handles

@@ -10,9 +10,12 @@ chain in one VMEM pass per (B, C) tile with on-chip PRNG
 Gradient: the Gumbel noise is a constant w.r.t. phi, so
     y = softmax((log(phi+eps) + g) / T)
     dL/dphi = (dy - y·Σ(dy⊙y)) ⊙ y / (T·(phi+eps))
-implemented as a second fused kernel (custom_vjp).  The straight-through
-hard path passes the soft gradient unchanged (reference
-mmidas/nn_model.py:487-493).
+    dL/dT   = −Σ (dy − y·Σ(dy⊙y)) ⊙ y ⊙ log y / T
+(the temp formula uses log y in place of the logits: each softmax-jacobian
+row sums to zero, so the per-row log-partition constant drops out — no
+residual beyond y is needed), implemented as a second fused kernel
+(custom_vjp).  The straight-through hard path passes the soft gradient
+unchanged (reference mmidas/nn_model.py:487-493).
 
 Tiles: the batch axis is blocked at 512 rows; C pads to the 128-lane
 boundary implicitly via Pallas block handling (C=92 → one lane tile).
@@ -122,12 +125,26 @@ def _gumbel_fwd_pallas(seed: jax.Array, phi: jax.Array, temp: float,
     return out.reshape(orig_shape)
 
 
-def _soft_bwd_kernel(temp_ref, y_ref, phi_ref, dy_ref, dphi_ref, *, eps):
+def _soft_bwd_kernel(temp_ref, y_ref, phi_ref, dy_ref, dphi_ref, dtemp_ref,
+                     *, eps):
+    i = pl.program_id(0)
     y = y_ref[:]
     dy = dy_ref[:]
     s = jnp.sum(dy * y, axis=-1, keepdims=True)
-    dlogits = (dy - s) * y / temp_ref[0]
-    dphi_ref[:] = dlogits / (phi_ref[:] + eps)
+    t = temp_ref[0]
+    dz = (dy - s) * y                      # dL/d(pre-T logits) · T
+    dphi_ref[:] = dz / t / (phi_ref[:] + eps)
+    # temp cotangent: logits = z/T ⇒ dL/dT = −Σ dz ⊙ logits / T, and since
+    # each dz row sums to zero (softmax jacobian), logits may be replaced
+    # by log y (they differ per row by a constant): dL/dT = −Σ dz⊙log y / T.
+    # Padded rows have y = 0 ⇒ the where() zeroes their contribution.
+    logy = jnp.where(y > 0, jnp.log(jnp.maximum(y, 1e-38)), 0.0)
+
+    @pl.when(i == 0)
+    def _():
+        dtemp_ref[0] = 0.0
+
+    dtemp_ref[0] += -jnp.sum(dz * logy) / t
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -166,17 +183,18 @@ def _gs_bwd(eps, hard, res, dy):
         dy2 = jnp.pad(dy2, ((0, pad), (0, 0)))
     spec = pl.BlockSpec((_BLOCK_B, C), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    dphi = pl.pallas_call(
+    dphi, dtemp = pl.pallas_call(
         functools.partial(_soft_bwd_kernel, eps=eps),
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(y2.shape, y2.dtype),
+        out_specs=(spec, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct(y2.shape, y2.dtype),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)),
         interpret=_interpret(),
     )(temp.reshape(1), y2, phi2, dy2)
     if pad:
         dphi = dphi[:N]
-    return (None, dphi.reshape(phi.shape), None, None)
+    return (None, dphi.reshape(phi.shape), None, dtemp[0])
 
 
 gumbel_softmax_pallas.defvjp(_gs_fwd, _gs_bwd)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvae_tpu.config import MeshConfig, ShardingStrategy, TrainConfig, VAEConfig
-from dvae_tpu.eval.metrics import (consensus_device, consensus_from_labels,
+from dvae_tpu.eval.metrics import (consensus_device_both,
+                                   consensus_from_labels,
                                    per_category_agreement)
 from dvae_tpu.parallel.sharding import (make_mesh, put_dataset, replicated,
                                         strategy_shardings)
@@ -826,12 +827,14 @@ class CplMixVAE:
                 sizes.append(xb.shape[0])
         tot = [float(t) for t in np.asarray(jnp.concatenate(tot))]
         recs = list(np.asarray(jnp.concatenate(recs, axis=0)))
-        labels = np.asarray(jnp.concatenate(labels, axis=1))
-        cons = consensus_from_labels(labels, self.cfg.n_categories)
-        # active-only variant: mean diagonal over supported categories —
-        # removes the structural n_used/K ceiling of the reference metric
-        cons_active = float(np.asarray(consensus_device(
-            jnp.asarray(labels), self.cfg.n_categories, active_only=True)))
+        # both consensus variants from ONE device confusion-matrix pass
+        # while the per-batch label arrays are still on device (the old
+        # form computed them twice: once on host, once re-uploading the
+        # full (A, N) matrix through the tunnel)
+        lab_dev = jnp.concatenate(labels, axis=1)
+        cons, cons_active = (
+            float(v) for v in np.asarray(jnp.stack(consensus_device_both(
+                lab_dev, self.cfg.n_categories))))
         # weight per-batch means by batch size (a trailing partial batch
         # must not get equal weight)
         rec = np.average(recs, axis=0, weights=sizes)

@@ -142,7 +142,7 @@ class Trainer:
         bspec = ("dp",) if self.use_distributed_sampler else (None,)
         batch_sh = NamedSharding(mesh, P(None, *bspec))  # (steps, B, ...)
 
-        def stage(data, bs):
+        def stage(data, bs, sh=batch_sh):
             """(steps, B, ...) device arrays, remainder dropped."""
             n = data[0].shape[0]
             steps = n // bs
@@ -151,7 +151,7 @@ class Trainer:
             return steps, tuple(
                 jax.device_put(
                     jnp.asarray(a[: steps * bs]).reshape(
-                        (steps, bs) + a.shape[1:]), batch_sh)
+                        (steps, bs) + a.shape[1:]), sh)
                 for a in data)
 
         n_steps, tbatches = stage(train_data, batch_size)
@@ -161,9 +161,17 @@ class Trainer:
             # evaluate as one batch, not crash in stage(); the batch axis
             # must stay divisible by the sampler's dp span
             dp = len(devs) if self.use_distributed_sampler else 1
-            vbs = min(val_batch_size, val_data[0].shape[0])
+            n_val = val_data[0].shape[0]
+            vbs = min(val_batch_size, n_val)
             vbs = max(dp, vbs - vbs % dp)
-            _, vbatches = stage(val_data, vbs)
+            if vbs > n_val:
+                # fewer val rows than the dp span: the batch axis cannot
+                # shard evenly, so evaluate the whole set as ONE
+                # replicated batch instead of crashing in stage()
+                _, vbatches = stage(val_data, n_val,
+                                    NamedSharding(mesh, P(None, None)))
+            else:
+                _, vbatches = stage(val_data, vbs)
 
         def grad_step(carry, inp):
             params, opt_state = carry

@@ -208,13 +208,17 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig,
     """
     compute_dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
     aug = augment or expand_arms
+    # the fused kernels' shared-x layout (one target tile DMA per block
+    # instead of A) applies whenever all arms see the same batch — also
+    # when the caller passes expand_arms EXPLICITLY, not only by default
+    shares_x = augment is None or augment is expand_arms
     spmd_axes = _fused_spmd_axes(cfg, tcfg, mesh)
 
     def step(state: TrainState, x: jax.Array,
              prior_c: Optional[jax.Array], temp) -> tuple:
         key, k_aug, k_fwd = jax.random.split(state.key, 3)
         xs = aug(k_aug, x, cfg.n_arm)
-        x_shared = x if augment is None else None
+        x_shared = x if shares_x else None
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (aux, new_bn, labels)), grads = grad_fn(
             state.params, state.bn, cfg, xs, k_fwd, temp, state.mask,
@@ -296,7 +300,7 @@ def make_epoch_runner(cfg: VAEConfig, tcfg: TrainConfig,
                       augment: Optional[AugmentFn] = None,
                       epochs_per_chunk: Optional[int] = None,
                       consensus_every_epoch: bool = True, mesh=None):
-    """Build run_epochs(state, x_all, idx_all, prior_all, temp) jit-able fn.
+    """Build run_epochs(state, x_all, prior_all, temp), a jit-able fn.
 
     Runs ``epochs_per_chunk`` epochs fully on device: per epoch an on-device
     shuffled batch plan ((steps, B) permutation rows, drop_last),
@@ -488,6 +492,7 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
     ``tcfg.bf16=False`` (the reference-exact default) eval is pure f32.
     """
     aug = augment or expand_arms
+    shares_x = augment is None or augment is expand_arms  # see make_train_step
     spmd_axes = _fused_spmd_axes(cfg, tcfg, mesh)
     m = tcfg.mesh
     n_batch_devices = max(m.data * m.fsdp, 1)
@@ -502,7 +507,7 @@ def make_eval_step(cfg: VAEConfig, tcfg: TrainConfig,
                 lambda p: p.astype(compute_dtype), params)
             x = x.astype(compute_dtype)
         xs = aug(k_aug, x, cfg.n_arm)
-        x_shared = x if augment is None else None
+        x_shared = x if shares_x else None
         fused_override = None
         if (spmd_axes is not None and spmd_axes[1]
                 and x.shape[0] % n_batch_devices):

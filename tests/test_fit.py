@@ -85,3 +85,17 @@ def test_small_validation_set_clamps_batch():
                           val_data=synthetic_mnist(100, seed=1),
                           batch_size=64, val_batch_size=1000)
     assert np.isfinite(trainer.history[-1]["val_loss"])
+
+
+def test_val_set_smaller_than_dp_span_evaluates_replicated():
+    """A val set with fewer rows than the distributed sampler's device
+    span cannot shard evenly — it must evaluate as one REPLICATED batch,
+    not crash (the old clamp rounded 5 rows UP to dp=8 and stage() raised
+    'batch_size 8 > dataset size 5')."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 8  # the suite's virtual mesh
+    trainer = Trainer(max_epochs=1, strategy="no")
+    trainer.fit(_mod(), synthetic_mnist(256, seed=0),
+                val_data=synthetic_mnist(n_dev - 3, seed=1),
+                batch_size=64, val_batch_size=256)
+    assert np.isfinite(trainer.history[-1]["val_loss"])

@@ -158,6 +158,39 @@ class TestGumbelPallas:
         fd = (f1 - f0) / (2 * eps_fd)
         assert float(g_pallas[0, 7, 3]) == pytest.approx(float(fd), rel=5e-2)
 
+    @pytest.mark.parametrize("t0", [0.3, 1.0, 3.0])
+    def test_temp_gradient_matches_xla(self, t0):
+        """The temperature cotangent must equal autodiff of the XLA
+        formula — it used to be silently zero (temp-annealing through the
+        Pallas path froze).  Non-512-multiple row count exercises the
+        padded-row guard in the backward kernel."""
+        phi = _probs(1, 700, 12).reshape(700, 12)
+        u = jnp.asarray(rng.random(phi.shape).astype(np.float32))
+
+        def xla(p, t):
+            g = -jnp.log(-jnp.log(u + EPS) + EPS)
+            return jax.nn.softmax((jnp.log(p + EPS) + g) / t, axis=-1)
+
+        def loss(fn):
+            return lambda p, t: jnp.sum(fn(p, t) ** 2)
+
+        pl_fn = lambda p, t: gumbel_softmax_pallas(jnp.int32(0), p, u, t)
+        gp_x, gt_x = jax.grad(loss(xla), argnums=(0, 1))(
+            phi, jnp.float32(t0))
+        gp_p, gt_p = jax.grad(loss(pl_fn), argnums=(0, 1))(
+            phi, jnp.float32(t0))
+        assert float(gt_x) != 0.0
+        np.testing.assert_allclose(float(gt_p), float(gt_x), rtol=3e-4)
+        np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_temp_gradient_hard_path_finite(self):
+        phi = _probs(1, 60, 8)
+        u = jnp.asarray(rng.random(phi.shape).astype(np.float32))
+        g = jax.grad(lambda t: jnp.sum(gumbel_softmax_pallas(
+            jnp.int32(0), phi, u, t, EPS, True) ** 2))(jnp.float32(1.0))
+        assert np.isfinite(float(g))
+
 
 class TestFusedRecon:
     """ops/recon_pallas.fused_recon_mse vs the materializing XLA oracle,
