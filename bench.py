@@ -219,6 +219,9 @@ def _write_cache(result: dict) -> None:
               "partial_reason", "carried_keys"):
         extra.pop(k, None)
         fresh.pop(k, None)
+    # "skipped" describes one specific run — never carry the old run's
+    # annotation into a line whose measurements are all fresh
+    extra.pop("skipped", None)
     carried = sorted(k for k in extra if k not in fresh)
     extra.update(fresh)
     if carried:

@@ -205,6 +205,32 @@ def test_write_cache_carries_unmeasured_extras(tmp_path, monkeypatch):
     assert "_measured_at" in got
 
 
+def test_write_cache_never_carries_old_skipped_list(tmp_path, monkeypatch):
+    """`skipped` describes one specific run; a fully-fresh run must not
+    inherit the previous run's skip annotations (seen live 2026-08-19:
+    a full re-measure replayed 'budget' skips from the prior partial)."""
+    cache = tmp_path / "c.json"
+    cache.write_text(json.dumps(_cache_line(
+        extra={"train_throughput_A5_zinb": 5.0,
+               "skipped": ["train_throughput_A5_zinb: budget"]})))
+    monkeypatch.setattr(bench, "_CACHE", str(cache))
+    bench._write_cache({"metric": "train_throughput_A5_smartseq",
+                        "value": 200.0, "unit": "cells/sec/chip",
+                        "vs_baseline": 0.008,
+                        "extra": {"train_throughput_A5_zinb": 6.0}})
+    got = json.loads(cache.read_text())
+    assert got["extra"]["train_throughput_A5_zinb"] == 6.0
+    assert "skipped" not in got["extra"]
+    assert "carried_keys" not in got["extra"]
+    # ...while a run that itself skipped keeps its own annotation
+    bench._write_cache({"metric": "train_throughput_A5_smartseq",
+                        "value": 210.0, "unit": "cells/sec/chip",
+                        "vs_baseline": 0.008,
+                        "extra": {"skipped": ["device_census: budget"]}})
+    got = json.loads(cache.read_text())
+    assert got["extra"]["skipped"] == ["device_census: budget"]
+
+
 def test_write_cache_strips_markers_from_the_written_result(tmp_path,
                                                             monkeypatch):
     """The parent caches a PARTIAL live line verbatim (`main()`:
@@ -244,7 +270,10 @@ def test_parse_last_json_takes_last_result_line():
 # --------------------------------------------------------------------------
 
 def _run_bench(tmp_path, probe_code, budget="30", extra_env=None,
-               cache=True, timeout=90, sigterm_after=None):
+               cache=True, timeout=90, sigterm_on_file=None):
+    """``sigterm_on_file``: send SIGTERM once this file appears (written by
+    the probe grandchild — proof the parent is past _install_guards; a
+    fixed sleep races python startup on a loaded 1-core box)."""
     cache_path = tmp_path / "cache.json"
     if cache:
         cache_path.write_text(json.dumps(_cache_line()))
@@ -256,8 +285,13 @@ def _run_bench(tmp_path, probe_code, budget="30", extra_env=None,
     proc = subprocess.Popen([sys.executable, BENCH], env=env,
                             stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL, text=True)
-    if sigterm_after is not None:
-        time.sleep(sigterm_after)
+    if sigterm_on_file is not None:
+        deadline = time.monotonic() + 60
+        while not os.path.exists(sigterm_on_file):
+            if time.monotonic() > deadline:
+                proc.kill()
+                raise AssertionError("probe sentinel never appeared")
+            time.sleep(0.1)
         proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=timeout)
     return proc.returncode, out
@@ -292,8 +326,12 @@ def test_bench_emits_stale_line_on_hung_probe(tmp_path):
 def test_bench_emits_stale_line_on_sigterm_while_waiting(tmp_path):
     """Driver kills bench while it waits on a hung probe: the SIGTERM
     handler dumps the cache line before dying, rc=0."""
-    rc, out = _run_bench(tmp_path, "import time; time.sleep(12)",
-                         budget="600", sigterm_after=3.0)
+    sentinel = tmp_path / "probe_started"
+    rc, out = _run_bench(
+        tmp_path,
+        f"import time, pathlib; "
+        f"pathlib.Path({str(sentinel)!r}).write_text('x'); time.sleep(60)",
+        budget="600", sigterm_on_file=str(sentinel))
     assert rc == 0
     line = bench._parse_last_json(out)
     assert line is not None
