@@ -422,3 +422,244 @@ def test_generic_augmenter_import_and_noise_off_forward(tmp_path,
                                  noise=False)
     np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Config-sweep parity: the fixture above pins ONE shape; these cases walk the
+# reference's configuration space (arm count, odd layer widths, coupling /
+# KL hyper-parameters, the ref_prior concat branch) and assert the same
+# forward (and, where the reference's own loss can execute, loss) parity at
+# each point.  Two reference limitations bound the sweep — both verified
+# against /root/reference/mmidas/nn_model.py directly:
+#   * loss at A=1 divides by len(c_dists)==0 (":592-593") → forward-only
+#     here;
+#   * loss with ref_prior=True trips the bare ``assert not self.ref_prior``
+#     (":578") right after its own ref_prior branch → forward-only here
+#     (tests/test_model.py pins our ref_prior loss against the documented
+#     pre-refactor semantics instead).
+# ---------------------------------------------------------------------------
+
+_SWEEP = [
+    # name,            A  B   C   D   FC  LOWD S  tau   beta lam lam_pc ref_prior check_loss
+    ("single_arm",      1, 12, 10, 40, 12, 6,  2, 0.1,  1.0, 1,  1,     False,    False),
+    ("three_arms",      3, 12, 10, 40, 12, 6,  2, 0.1,  1.0, 1,  1,     False,    True),
+    ("odd_dims",        2, 11,  7, 50, 11, 5,  3, 0.1,  1.0, 1,  1,     False,    True),
+    ("hyperparams",     2, 12, 10, 40, 12, 6,  2, 0.67, 2.0, 5,  2,     False,    True),
+    ("ref_prior_fwd",   2, 12, 10, 40, 12, 6,  2, 0.1,  1.0, 1,  1,     True,     False),
+]
+
+
+def _build_sides(A, B, C, D, FC, LOWD, S, tau, beta, lam, lam_pc, ref_prior):
+    """Reference model + our imported twin at an arbitrary config point."""
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from mmidas.nn_model import mixVAE_model
+
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.models import mixvae
+    from dvae_tpu.utils.torch_import import mixvae_from_state_dict
+
+    th.manual_seed(7)
+    model = mixVAE_model(
+        input_dim=D, fc_dim=FC, n_categories=C, state_dim=S, lowD_dim=LOWD,
+        x_drop=0.2, s_drop=0.1, n_arm=A, lam=lam, lam_pc=lam_pc, tau=tau,
+        beta=beta, hard=False, variational=True, device="cpu", eps=1e-8,
+        momentum=0.01, ref_prior=ref_prior, loss_mode="MSE")
+
+    prior_t = []
+    prior_np = None
+    if ref_prior:
+        pr = th.rand(B, C, generator=th.Generator().manual_seed(5))
+        prior_t = pr / pr.sum(1, keepdim=True)
+        prior_np = prior_t.numpy()
+
+    # burn train-mode forwards so BN running stats are non-trivial
+    model.train()
+    with th.no_grad():
+        for i in range(2):
+            xb = th.rand(B, D, generator=th.Generator().manual_seed(i))
+            model(xb.expand(A, -1, -1), 1.0, prior_t)
+    model.eval()
+
+    x = th.rand(B, D, generator=th.Generator().manual_seed(99))
+    with th.no_grad():
+        ref_outs = model(x.expand(A, -1, -1), 1.0, prior_t, eval=True)
+
+    params, bn, _, inferred = mixvae_from_state_dict(model.state_dict())
+    assert inferred["n_arm"] == A and inferred["n_categories"] == C
+    cfg = VAEConfig(n_categories=C, input_dim=D, fc_dim=FC, lowD_dim=LOWD,
+                    state_dim=S, n_arm=A, tau=tau, beta=beta, lam=lam,
+                    lam_pc=lam_pc, ref_prior=ref_prior, eps=1e-8,
+                    fused_recon=False, fused_encoder=False)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    xs = np.repeat(x.numpy()[None], A, axis=0)
+    our_outs, _ = mixvae.apply(
+        params, bn, cfg, jnp.asarray(xs), jax.random.key(0), temp=1.0,
+        train=False,
+        prior_c=jnp.asarray(prior_np) if ref_prior else None)
+    return model, ref_outs, cfg, params, our_outs, x.numpy()
+
+
+@pytest.mark.parametrize(
+    "name,A_,B_,C_,D_,FC_,LOWD_,S_,tau,beta,lam,lam_pc,ref_prior,check_loss",
+    _SWEEP, ids=[c[0] for c in _SWEEP])
+def test_config_sweep_parity(name, A_, B_, C_, D_, FC_, LOWD_, S_, tau, beta,
+                             lam, lam_pc, ref_prior, check_loss):
+    """Eval-forward (all deterministic fields + s_mean-driven decoder) and —
+    where the reference loss can run — full 9-tuple loss parity at each
+    sweep point."""
+    import jax
+    import torch as th
+
+    from dvae_tpu.models.losses import mixvae_loss
+    from dvae_tpu.models.mixvae import MixVAEOutputs, _decode_arm
+
+    model, ref, cfg, params, ours, x = _build_sides(
+        A_, B_, C_, D_, FC_, LOWD_, S_, tau, beta, lam, lam_pc, ref_prior)
+    (_, _, _, x_lows, cs, _, c_smps, s_means, s_logvars, _) = ref
+
+    for a in range(A_):
+        _close(ours.x_low[a], x_lows[a], f"{name}: x_low[{a}]")
+        _close(ours.c[a], cs[a], f"{name}: c[{a}]")
+        _close(ours.c_smp[a], c_smps[a], f"{name}: c_smp[{a}]")
+        _close(ours.s_mean[a], s_means[a], f"{name}: s_mean[{a}]")
+        _close(ours.s_logvar[a], s_logvars[a], f"{name}: s_logvar[{a}]")
+
+    # drive both decoders with (c_smp, s_mean): noise-free reconstructions
+    ref_recs, our_recs = [], []
+    for a in range(A_):
+        with th.no_grad():
+            ref_recs.append(model.decoder(c_smps[a], s_means[a], a))
+        p_a = jax.tree_util.tree_map(lambda v: v[a], params)
+        our_rec, _, _ = _decode_arm(p_a, np.asarray(ours.c_smp[a]),
+                                    np.asarray(ours.s_mean[a]),
+                                    jax.random.key(0), cfg, train=False)
+        our_recs.append(our_rec)
+        _close(our_rec, ref_recs[a], f"{name}: x_rec[{a}]",
+               rtol=5e-4, atol=5e-4)
+
+    if not check_loss:
+        return
+
+    xs_t = [th.as_tensor(x) for _ in range(A_)]
+    (r_total, r_recs, r_joint, r_ent, r_cdist, r_cl2, r_kls, _,
+     _) = model.loss(ref_recs, [], [], xs_t, s_means, s_logvars, cs, c_smps)
+
+    zeros = np.zeros((A_, B_, D_), np.float32)
+    outs = MixVAEOutputs(
+        x_rec=np.stack([np.asarray(r) for r in our_recs]),
+        p_x=zeros, r_x=zeros,
+        x_low=np.asarray(ours.x_low), c=np.asarray(ours.c),
+        s_smp=np.asarray(ours.s_mean), c_smp=np.asarray(ours.c_smp),
+        s_mean=np.asarray(ours.s_mean), s_logvar=np.asarray(ours.s_logvar),
+        c_prob=np.asarray(ours.c_prob))
+    got = mixvae_loss(cfg, outs, np.repeat(x[None], A_, axis=0))
+
+    assert float(got.total) == pytest.approx(float(r_total), rel=3e-4), name
+    _close(got.loss_rec, r_recs, f"{name}: loss_rec", rtol=3e-4, atol=1e-4)
+    assert float(got.loss_joint) == pytest.approx(float(r_joint), rel=3e-4)
+    assert float(got.neg_entropy) == pytest.approx(float(r_ent), rel=3e-4)
+    assert float(got.c_dist) == pytest.approx(float(r_cdist), rel=3e-4)
+    assert float(got.c_l2_dist) == pytest.approx(float(r_cl2), rel=3e-4)
+    np.testing.assert_allclose(np.asarray(got.kl),
+                               np.array([float(k) for k in r_kls]),
+                               rtol=3e-4, atol=1e-5)
+
+
+def test_gradient_parity_full_loss(monkeypatch):
+    """d(total)/d(every weight and bias): torch autograd vs ``jax.grad``
+    on the imported weights, through the identical deterministic graph
+    (eval-mode forward — dropout off, BN running stats, noise-free hard
+    gumbel — with the state reparameterization patched to its mean on both
+    sides).  Value parity cannot see gradient wiring; this pins it: the
+    straight-through gumbel estimator (reference nn_model.py:489-493 vs
+    sampling.py's stop_gradient construction), the zero-gradient binarized
+    -BCE quirk (nn_model.py:544-545), and every coupling/KL backward path
+    land on exactly the same d(total)/dθ.
+
+    Runs at a well-conditioned config point (tau=1.0 so the categorical
+    posterior stays smooth, eps=1e-3): at the production tau=0.1/eps=1e-8
+    the coupling loss's ``inv_var`` weights (nn_model.py:75-77,
+    sqrt(1/(batch-var + eps))) sit on near-zero batch variances whose
+    backward amplifies f32 rounding ~1e5× — both frameworks agree on the
+    gradient's structure there but f32 element-wise comparison is
+    meaningless.  Wiring bugs (a missing term, a wrong straight-through
+    path, a mis-scaled coupling) are condition-independent, so this point
+    pins them at f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from mmidas.nn_model import mixVAE_model
+
+    from dvae_tpu.config import VAEConfig
+    from dvae_tpu.models import mixvae
+    from dvae_tpu.models.losses import mixvae_loss
+    from dvae_tpu.utils.torch_import import mixvae_from_state_dict
+
+    Ag, Bg, Cg, Dg, FCg, LOWDg, Sg = 2, 24, 10, 40, 12, 6, 2
+    TAUg, EPSg = 1.0, 1e-3
+
+    th.manual_seed(13)
+    model = mixVAE_model(
+        input_dim=Dg, fc_dim=FCg, n_categories=Cg, state_dim=Sg,
+        lowD_dim=LOWDg, x_drop=0.2, s_drop=0.1, n_arm=Ag, lam=1, lam_pc=1,
+        tau=TAUg, beta=1.0, hard=False, variational=True, device="cpu",
+        eps=EPSg, momentum=0.01, ref_prior=False, loss_mode="MSE")
+    model.train()
+    with th.no_grad():
+        for i in range(2):
+            xb = th.rand(Bg, Dg, generator=th.Generator().manual_seed(i))
+            model(xb.expand(Ag, -1, -1), 1.0, [])
+    model.eval()
+
+    # --- torch side: eval-mode forward WITH grad, mean reparam
+    monkeypatch.setattr(model, "reparameterize", lambda mu, logvar: mu)
+    xt = th.rand(Bg, Dg, generator=th.Generator().manual_seed(99))
+    outs = model(xt.expand(Ag, -1, -1), 1.0, [], eval=True)
+    (x_recs, _, _, _, cs, _, c_smps, s_means, s_logvars, _) = outs
+    ref_total = model.loss(list(x_recs), [], [], [xt] * Ag,
+                           list(s_means), list(s_logvars), list(cs),
+                           list(c_smps))[0]
+    ref_total.backward()
+    ref_grads = {n: p.grad for n, p in model.named_parameters()}
+
+    # --- jax side: same graph on the imported weights
+    params, bn, _, _ = mixvae_from_state_dict(model.state_dict())
+    cfg = VAEConfig(n_categories=Cg, input_dim=Dg, fc_dim=FCg,
+                    lowD_dim=LOWDg, state_dim=Sg, n_arm=Ag, tau=TAUg,
+                    eps=EPSg, fused_recon=False, fused_encoder=False)
+    xs = jnp.asarray(np.repeat(xt.numpy()[None], Ag, axis=0))
+    monkeypatch.setattr(mixvae, "reparameterize",
+                        lambda key, mu, logvar, noise: mu)
+
+    def total_fn(p):
+        o, _ = mixvae.apply(p, bn, cfg, xs, jax.random.key(0), temp=1.0,
+                            train=False)
+        return mixvae_loss(cfg, o, xs).total
+
+    jparams = jax.tree_util.tree_map(np.asarray, params)
+    grads = jax.grad(total_fn)(jparams)
+
+    assert float(ref_total) == pytest.approx(float(total_fn(jparams)),
+                                             rel=2e-4)
+    checked = 0
+    for name, g in grads.items():
+        for a in range(Ag):
+            rg_w = ref_grads[f"{name}.{a}.weight"]
+            np.testing.assert_allclose(
+                np.asarray(g["w"][a]), rg_w.numpy().T, rtol=1e-3, atol=1e-4,
+                err_msg=f"d total/d {name}.{a}.weight diverges from torch "
+                        f"autograd")
+            rg_b = ref_grads.get(f"{name}.{a}.bias")
+            if rg_b is not None and g.get("b") is not None:
+                np.testing.assert_allclose(
+                    np.asarray(g["b"][a]), rg_b.numpy(), rtol=1e-3,
+                    atol=1e-4,
+                    err_msg=f"d total/d {name}.{a}.bias diverges")
+            checked += 1
+    assert checked >= 14 * Ag  # every layer of every arm was compared
