@@ -410,7 +410,12 @@ def _live_main(budget_s: float) -> None:
 
     from dvae_tpu.config import VAEConfig
     from dvae_tpu.parallel.sharding import put_dataset
+    from dvae_tpu.utils.tools import enable_compile_cache
     import jax.numpy as jnp
+
+    # warm-start the executables from the persistent cache (a cold remote
+    # production-shape compile can eat most of the budget)
+    enable_compile_cache()
 
     # production defaults (C=92, D=5032, F=100) + the fused recon-loss and
     # dropout+fc1 kernels (ops/recon_pallas.py, ops/encoder_pallas.py): no

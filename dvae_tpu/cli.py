@@ -232,6 +232,10 @@ def main(argv=None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # persistent executable cache: repeat invocations (resume, re-evaluate,
+    # bench retries) skip the remote XLA compile — see tools.enable_compile_cache
+    from dvae_tpu.utils.tools import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="dvae_tpu",
                                      description=__doc__.splitlines()[0])
     sub = parser.add_subparsers(dest="cmd", required=True)

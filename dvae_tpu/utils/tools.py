@@ -53,6 +53,44 @@ def get_paths(toml_file: str, sub_file: str = "files",
     return config
 
 
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    On this framework's target topology the XLA compiler is often REMOTE
+    (a TPU-runtime compile service): a cold production-shape executable
+    can take tens of minutes to build, and every fresh process — a resumed
+    training run, the soak orchestrator's second ``cli evaluate``, a bench
+    retry — pays it again.  The persistent cache serializes executables
+    keyed by HLO+options hash, so repeat invocations load instead of
+    recompile.  (The reference world has no analogue — torch CUDA kernels
+    JIT per-op in seconds; an XLA whole-program compile is the price of
+    the fused step, and this is its amortization.)
+
+    Resolution order: explicit ``path`` arg → ``DVAE_COMPILE_CACHE`` env
+    (the value ``0`` disables entirely) → ``<repo>/.jax_cache``.  Only
+    compiles slower than 2 s are written (keeps test-suite noise out).
+    Backends whose PJRT plugin cannot serialize executables simply log a
+    warning and proceed uncached — enabling is always safe.
+
+    Returns the cache dir, or None when disabled.
+    """
+    env = os.environ.get("DVAE_COMPILE_CACHE", "")
+    if env == "0":
+        return None
+    if path is None:
+        path = env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # unknown config name on an old jax: stay uncached
+        return None
+    return path
+
+
 def normalize_cellxgene(x: np.ndarray) -> np.ndarray:
     """L1-normalize each cell's expression row (reference :61-70)."""
     x = np.asarray(x, dtype=np.float64)

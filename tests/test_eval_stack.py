@@ -230,6 +230,33 @@ class TestTools:
         assert cfg["ds"]["anndata_file"] == "x.h5ad"
         assert str(cfg["ds"]["data_path"]) == "data"  # existing → Path
 
+    def test_enable_compile_cache(self, tmp_path, monkeypatch):
+        """Persistent-cache wiring: explicit path wins, DVAE_COMPILE_CACHE
+        overrides the repo default, and the value ``0`` disables."""
+        import jax
+
+        from dvae_tpu.utils.tools import enable_compile_cache
+
+        orig = jax.config.jax_compilation_cache_dir
+        try:
+            p = str(tmp_path / "cache")
+            assert enable_compile_cache(p) == p
+            assert jax.config.jax_compilation_cache_dir == p
+
+            monkeypatch.setenv("DVAE_COMPILE_CACHE", "0")
+            assert enable_compile_cache() is None
+            assert jax.config.jax_compilation_cache_dir == p  # untouched
+
+            env_p = str(tmp_path / "from_env")
+            monkeypatch.setenv("DVAE_COMPILE_CACHE", env_p)
+            assert enable_compile_cache() == env_p
+
+            monkeypatch.delenv("DVAE_COMPILE_CACHE")
+            default = enable_compile_cache()
+            assert default is not None and default.endswith(".jax_cache")
+        finally:
+            jax.config.update("jax_compilation_cache_dir", orig)
+
 
 class TestNBParameterizationConversions:
     def test_roundtrip_and_gamma_moments(self):
