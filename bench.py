@@ -172,35 +172,49 @@ def wait_for_backend(budget_s: float, probe_timeout_s: float = 150.0,
     only touches the backend after a probe succeeds.
 
     ``on_first_failure(why)`` fires once, at the first non-success — the
-    emit-the-stale-line-immediately hook.  Returns False as soon as the
-    remaining budget cannot cover another wait + a measurement
-    (``reserve_s``): after a HUNG probe the next wait is the ~20 min
-    wedge window (the killed probe may have claimed the chip), which a
-    driver-safe budget never covers, so a hang effectively returns False
-    right after the hook fires.
+    emit-the-stale-line-immediately hook.  A probe that HANGS is never
+    killed (a mid-claim kill is what CREATES the next ~15-25 min wedge —
+    observed live 2026-08-19, each killed probe re-wedging the chip for
+    the following caller); instead this keeps waiting on the SAME probe,
+    which answers within seconds of the tunnel recovering.  A probe that
+    fails FAST is retried fresh every ``poll_s``.  Returns False once the
+    remaining budget cannot cover a measurement (``reserve_s``), leaving
+    any pending probe orphaned — it exits on its own.
     """
-    from dvae_tpu.utils.backend_probe import probe_backend
+    from dvae_tpu.utils.backend_probe import start_probe
 
     deadline = time.monotonic() + budget_s
     notified = False
-    while True:
-        hung = False
-        try:
-            if probe_backend(probe_timeout_s):
-                return True
-        except subprocess.TimeoutExpired:
-            hung = True
+
+    def notify(why: str) -> None:
+        nonlocal notified
         if not notified:
             notified = True
             if on_first_failure is not None:
-                on_first_failure("probe hung (possible chip wedge)" if hung
-                                 else "probe failed fast")
-        wait = 1200.0 if hung else poll_s
-        if time.monotonic() + wait + reserve_s > deadline:
+                on_first_failure(why)
+
+    proc = start_probe()
+    while True:
+        try:
+            rc = proc.wait(timeout=probe_timeout_s)
+        except subprocess.TimeoutExpired:
+            rc = None
+        if rc == 0:
+            return True
+        if rc is None:  # hung: wait it out on the SAME probe, never kill
+            notify("probe hung (waiting it out, not killing)")
+            if time.monotonic() + reserve_s > deadline:
+                return False
+            print("bench: probe still pending (outage or wedge); waiting "
+                  "on it — not killing", file=sys.stderr, flush=True)
+            continue
+        notify("probe failed fast")  # backend answered with an error
+        if time.monotonic() + poll_s + reserve_s > deadline:
             return False
-        print(f"bench: JAX backend unavailable, retrying in {wait:.0f}s",
+        print(f"bench: JAX backend unavailable, retrying in {poll_s:.0f}s",
               file=sys.stderr, flush=True)
-        time.sleep(wait)
+        time.sleep(poll_s)
+        proc = start_probe()
 
 
 def _write_cache(result: dict) -> None:

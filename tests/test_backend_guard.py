@@ -19,7 +19,6 @@ import signal
 import subprocess
 import sys
 import time
-import types
 
 import pytest
 
@@ -39,100 +38,147 @@ def _reset_bench_state():
     bench._PARTIAL.clear()
 
 
-def _fake_run(rc=0, raise_timeout=False):
-    calls = {"n": 0}
+class _FakeClock:
+    """Deterministic stand-in for time.monotonic/time.sleep: probe waits
+    and sleeps advance it, so outage timelines run instantly."""
 
-    def run(cmd, capture_output=True, timeout=None):
-        calls["n"] += 1
-        if raise_timeout:
-            raise subprocess.TimeoutExpired(cmd, timeout)
-        return types.SimpleNamespace(returncode=rc)
+    def __init__(self):
+        self.t = 0.0
+        self.slept = []
 
-    return run, calls
+    def monotonic(self):
+        return self.t
+
+    def sleep(self, s):
+        self.slept.append(s)
+        self.t += s
+
+
+class _FakeProbe:
+    """One probe subprocess: ``waits`` is a list consumed per .wait() call —
+    an int exits with that rc; "hang" burns the full timeout and raises.
+    The probe is NEVER killed, so a later .wait() may still succeed."""
+
+    def __init__(self, waits, clock):
+        self.waits, self.clock = list(waits), clock
+        self.killed = False
+
+    def wait(self, timeout=None):
+        step = self.waits.pop(0) if self.waits else "hang"
+        if step == "hang":
+            self.clock.t += timeout
+            raise subprocess.TimeoutExpired("probe", timeout)
+        return step
+
+    def kill(self):  # pragma: no cover - the point is this never runs
+        self.killed = True
+
+    terminate = kill
+
+
+def _fake_probes(probe_waits):
+    """(start_probe, clock, spawned): each start_probe() call consumes the
+    next waits-list from ``probe_waits``."""
+    clock = _FakeClock()
+    spawned = []
+
+    def start_probe():
+        spawned.append(_FakeProbe(probe_waits[len(spawned)], clock))
+        return spawned[-1]
+
+    return start_probe, clock, spawned
+
+
+@pytest.fixture
+def probe_env(monkeypatch):
+    def install(probe_waits):
+        start_probe, clock, spawned = _fake_probes(probe_waits)
+        from dvae_tpu.utils import backend_probe
+        monkeypatch.setattr(backend_probe, "start_probe", start_probe)
+        monkeypatch.setattr(bench.time, "monotonic", clock.monotonic)
+        monkeypatch.setattr(bench.time, "sleep", clock.sleep)
+        return clock, spawned
+
+    return install
 
 
 # --------------------------------------------------------------------------
 # wait_for_backend units (probe mocked)
 # --------------------------------------------------------------------------
 
-def test_wait_for_backend_immediate_success(monkeypatch):
-    run, calls = _fake_run(rc=0)
-    monkeypatch.setattr(bench.subprocess, "run", run)
+def test_wait_for_backend_immediate_success(probe_env):
+    clock, spawned = probe_env([[0]])
     hooks = []
     assert bench.wait_for_backend(budget_s=600,
                                   on_first_failure=hooks.append) is True
-    assert calls["n"] == 1
+    assert len(spawned) == 1
     assert hooks == []  # hook fires only on failure
 
 
-def test_wait_for_backend_fast_fail_small_budget_fires_hook(monkeypatch):
+def test_wait_for_backend_fast_fail_small_budget_fires_hook(probe_env):
     """A fast-failing probe with no budget for retry+measurement must
     return False after ONE probe — but only after firing the
     emit-stale-now hook."""
-    run, calls = _fake_run(rc=1)
-    slept = []
+    clock, spawned = probe_env([[1]])
     hooks = []
-    monkeypatch.setattr(bench.subprocess, "run", run)
-    monkeypatch.setattr(bench.time, "sleep", slept.append)
     assert bench.wait_for_backend(budget_s=30.0, poll_s=60.0,
                                   on_first_failure=hooks.append) is False
-    assert calls["n"] == 1
-    assert slept == []
+    assert len(spawned) == 1
+    assert clock.slept == []
     assert hooks == ["probe failed fast"]
 
 
-def test_wait_for_backend_retries_then_succeeds(monkeypatch):
-    attempts = {"n": 0}
-
-    def run(cmd, capture_output=True, timeout=None):
-        attempts["n"] += 1
-        return types.SimpleNamespace(returncode=0 if attempts["n"] >= 3
-                                     else 1)
-
-    slept = []
+def test_wait_for_backend_retries_then_succeeds(probe_env):
+    clock, spawned = probe_env([[1], [1], [0]])
     hooks = []
-    monkeypatch.setattr(bench.subprocess, "run", run)
-    monkeypatch.setattr(bench.time, "sleep", slept.append)
     assert bench.wait_for_backend(budget_s=3600, poll_s=7.0,
                                   on_first_failure=hooks.append) is True
-    assert attempts["n"] == 3
-    assert slept == [7.0, 7.0]
+    assert len(spawned) == 3
+    assert clock.slept == [7.0, 7.0]
     assert hooks == ["probe failed fast"]  # fires ONCE, not per retry
 
 
-def test_wait_for_backend_hung_probe_gives_up_within_driver_budget(monkeypatch):
-    """A probe killed on timeout may have wedged the chip (~15-25 min):
-    the next retry must wait out the wedge window, which a driver-safe
-    budget never covers — so a hang returns False immediately after the
-    hook fires, WITHOUT sleeping."""
-    run, calls = _fake_run(raise_timeout=True)
-    slept = []
+def test_wait_for_backend_hung_probe_waits_it_out_never_kills(probe_env):
+    """A hung probe is NEVER killed (a mid-claim kill is what creates the
+    next ~20 min wedge — observed live 2026-08-19) and NEVER replaced:
+    wait_for_backend keeps waiting on the same handle in probe_timeout_s
+    slices until the budget (minus the measurement reserve) runs out,
+    then returns False leaving the probe orphaned."""
+    clock, spawned = probe_env([["hang"] * 50])
     hooks = []
-    monkeypatch.setattr(bench.subprocess, "run", run)
-    monkeypatch.setattr(bench.time, "sleep", slept.append)
-    assert bench.wait_for_backend(budget_s=600, poll_s=60.0,
+    assert bench.wait_for_backend(budget_s=600, probe_timeout_s=150.0,
+                                  poll_s=60.0, reserve_s=420.0,
                                   on_first_failure=hooks.append) is False
-    assert calls["n"] == 1
-    assert slept == []
+    # hook fired at the FIRST timeout (stale line goes out ~150 s in)
+    assert hooks and "hung" in hooks[0]
+    assert hooks == [hooks[0]]
+    assert len(spawned) == 1          # same probe throughout
+    assert not spawned[0].killed      # and it was never killed
+    assert clock.slept == []          # the probe's own wait paces the loop
+    # two 150 s waits fit before 600-420; the third check bails
+    assert clock.t == 300.0
+
+
+def test_wait_for_backend_hung_probe_succeeds_on_recovery(probe_env):
+    """The tunnel comes back mid-outage: the SAME hung probe completes
+    (measured live: within a second of recovery) and wait_for_backend
+    returns True without ever having spawned a second TPU process."""
+    clock, spawned = probe_env([["hang", "hang", 0]])
+    hooks = []
+    assert bench.wait_for_backend(budget_s=7200, probe_timeout_s=150.0,
+                                  on_first_failure=hooks.append) is True
+    assert len(spawned) == 1
+    assert not spawned[0].killed
     assert hooks and "hung" in hooks[0]
 
 
-def test_wait_for_backend_hung_probe_backs_off_with_large_budget(monkeypatch):
-    """With budget to spare, a hung probe backs off past the wedge window
-    (not poll_s) before re-probing."""
-    attempts = {"n": 0}
-
-    def run(cmd, capture_output=True, timeout=None):
-        attempts["n"] += 1
-        if attempts["n"] == 1:
-            raise subprocess.TimeoutExpired(cmd, timeout)
-        return types.SimpleNamespace(returncode=0)
-
-    slept = []
-    monkeypatch.setattr(bench.subprocess, "run", run)
-    monkeypatch.setattr(bench.time, "sleep", slept.append)
+def test_wait_for_backend_hung_probe_late_failure_retries_fresh(probe_env):
+    """A hung probe that eventually exits NONZERO (backend returned but
+    errored) falls back to the fast-fail retry path with a fresh probe."""
+    clock, spawned = probe_env([["hang", 1], [0]])
     assert bench.wait_for_backend(budget_s=7200, poll_s=60.0) is True
-    assert slept == [1200.0]
+    assert len(spawned) == 2
+    assert clock.slept == [60.0]
 
 
 # --------------------------------------------------------------------------
@@ -311,10 +357,11 @@ def test_bench_emits_stale_line_on_fast_probe_failure(tmp_path):
 
 
 def test_bench_emits_stale_line_on_hung_probe(tmp_path):
-    """Backend hangs (probe killed at timeout): stale line immediately,
-    rc=0, no 1200 s wedge-window wait."""
-    rc, out = _run_bench(tmp_path, "import time; time.sleep(30)",
-                         budget="600",
+    """Backend hangs: stale line as soon as the first probe wait times
+    out, rc=0 within the (small) budget.  The hung probe is left running
+    — never killed — and exits on its own when its sleep ends."""
+    rc, out = _run_bench(tmp_path, "import time; time.sleep(45)",
+                         budget="20",
                          extra_env={"BENCH_PROBE_TIMEOUT_S": "1"})
     assert rc == 0
     line = bench._parse_last_json(out)
@@ -363,5 +410,8 @@ def test_ensure_backend_skips_probe_when_initialized(monkeypatch):
     def boom(*a, **k):
         raise AssertionError("probe subprocess spawned despite live backend")
 
+    from dvae_tpu.utils import backend_probe
+
+    monkeypatch.setattr(backend_probe, "start_probe", boom)
     monkeypatch.setattr(graft.subprocess, "run", boom)
     graft._ensure_backend()  # must not raise
