@@ -194,16 +194,30 @@ def wait_for_backend(budget_s: float, probe_timeout_s: float = 150.0,
                 on_first_failure(why)
 
     proc = start_probe()
+    first = True
     while True:
+        # cap every wait slice so a probe success can never land INSIDE
+        # the reserve window (a live child launched with <reserve_s left
+        # is doomed to die on the alarm backstop).  The shorter wait only
+        # raises TimeoutExpired sooner; the probe is never killed.  The
+        # FIRST slice gets a small floor even when the budget is already
+        # inside the reserve: a fast-FAILING backend must report as such
+        # ("probe failed fast"), not be misread as hung by a zero-width
+        # check against a probe that hasn't finished starting.
+        slice_s = min(probe_timeout_s,
+                      deadline - reserve_s - time.monotonic())
+        if first:
+            slice_s = max(slice_s, 5.0)
+            first = False
         try:
-            rc = proc.wait(timeout=probe_timeout_s)
+            rc = proc.wait(timeout=slice_s)
         except subprocess.TimeoutExpired:
             rc = None
         if rc == 0:
             return True
         if rc is None:  # hung: wait it out on the SAME probe, never kill
             notify("probe hung (waiting it out, not killing)")
-            if time.monotonic() + reserve_s > deadline:
+            if slice_s <= 0 or time.monotonic() + reserve_s > deadline:
                 return False
             print("bench: probe still pending (outage or wedge); waiting "
                   "on it — not killing", file=sys.stderr, flush=True)
@@ -314,23 +328,33 @@ def _throughput(cfg, x_all, augment=None, n_chunks=6, rng_impl="rbg",
     return cells
 
 
-def _device_census(run, state, x_all, steps_per_call, flops_per_step):
-    """Trace ONE call of the already-compiled headline runner and parse the
-    per-op device self-time (xprof op_profile recipe — wall clock includes
-    tunnel RTTs; cost_analysis() reports 0 for Pallas custom calls).
-    Returns (device_ms_per_step, mfu_pct, peak_tflops or None)."""
+def _trace_device_ms(run_once, steps: int) -> float:
+    """Trace ONE call of an already-compiled runner and return the per-op
+    device self-time per step (xprof op_profile recipe — wall clock
+    includes tunnel RTTs; cost_analysis() reports 0 for Pallas calls)."""
     import tempfile
 
     import jax
-    import numpy as np
 
     from dvae_tpu.utils.profiling import xplane_total_device_ms
 
     trace_dir = tempfile.mkdtemp(prefix="bench_census_")
     with jax.profiler.trace(trace_dir):
-        state, ems = run(state, x_all, None, 1.0)
+        run_once()
+    return xplane_total_device_ms(trace_dir) / steps
+
+
+def _device_census(run, state, x_all, steps_per_call, flops_per_step):
+    """Device-time census of the headline training runner.
+    Returns (device_ms_per_step, mfu_pct, peak_tflops or None)."""
+    import jax
+    import numpy as np
+
+    def once():
+        _, ems = run(state, x_all, None, 1.0)
         np.asarray(ems.total)
-    ms = xplane_total_device_ms(trace_dir) / steps_per_call
+
+    ms = _trace_device_ms(once, steps_per_call)
     kind = jax.devices()[0].device_kind.lower()
     peak = next((v for k, v in _PEAK_BF16_TFLOPS if k in kind), None)
     mfu = (100.0 * flops_per_step / (ms / 1e3) / (peak * 1e12)
@@ -377,7 +401,7 @@ def _augment_fn(input_dim: int):
     return frozen_random_augment_fn(input_dim, bf16=True)
 
 
-def _infer_throughput(cfg, x_all, n_chunks=10):
+def _infer_throughput(cfg, x_all, n_chunks=10, keep=False):
     """Serving-path cells/sec: the scanned eval runner (make_eval_runner —
     how eval_model drives batches; reference hot loop
     cpl_mixvae.py:1450-1619) at the production shape, training compute
@@ -407,7 +431,13 @@ def _infer_throughput(cfg, x_all, n_chunks=10):
         aux, f = run(state, chunk, 1.0)
     np.asarray(f.lab)
     dt = time.perf_counter() - t0
-    return n_chunks * K * B / dt  # single-device runner: per chip as-is
+    cells = n_chunks * K * B / dt  # single-device runner: per chip as-is
+    if keep:
+        def once():
+            _, ff = run(state, chunk, 1.0)
+            np.asarray(ff.lab)
+        return cells, (once, K)
+    return cells
 
 
 def _live_main(budget_s: float) -> None:
@@ -480,10 +510,6 @@ def _live_main(budget_s: float) -> None:
             ("train_throughput_A5_zinb", 300,
              lambda: _throughput(cfg.replace(mode="ZINB"), n_chunks=3,
                                  x_all=x_all)),
-            ("infer_throughput_A5", 200,
-             lambda: _infer_throughput(cfg, x_all)),
-            ("train_throughput_A5_stream", 240,
-             lambda: _stream_throughput(cfg)),
     ):
         if left() < need:
             skipped.append(f"{name}: budget")
@@ -494,6 +520,55 @@ def _live_main(budget_s: float) -> None:
                   f"({left():.0f}s left)", file=sys.stderr, flush=True)
         except Exception as e:
             skipped.append(f"{name}: {type(e).__name__}: {e}")
+
+    # streaming capacity path: the e2e number (tunnel-bound liveness) plus
+    # the ENVIRONMENT-INDEPENDENT feed census — host gather cost per batch
+    # and the predicted overlap vs the measured device step (the figure
+    # that transfers to real hardware; data/stream.feed_census)
+    if left() < 240:
+        skipped.append("train_throughput_A5_stream: budget")
+    else:
+        try:
+            extra["train_throughput_A5_stream"] = round(
+                _stream_throughput(cfg), 1)
+            print(f"bench: train_throughput_A5_stream "
+                  f"{extra['train_throughput_A5_stream']:,.0f} cells/s "
+                  f"({left():.0f}s left)", file=sys.stderr, flush=True)
+        except Exception as e:
+            skipped.append(
+                f"train_throughput_A5_stream: {type(e).__name__}: {e}")
+    try:
+        from dvae_tpu.data.stream import feed_census
+        xh = np.maximum(np.random.default_rng(2).normal(
+            1.0, 1.0, (4 * B, cfg.input_dim)), 0.0).astype(np.float32)
+        fc = feed_census(xh, B, dtype=jnp.bfloat16, commit=False,
+                         device_ms_per_step=extra.get("device_ms_per_step"),
+                         link_gbps=16.0)
+        extra["stream_host_gather_ms"] = fc["host_gather_ms"]
+        if "predicted_overlap_pct" in fc:
+            extra["stream_overlap_pct_this_host"] = fc[
+                "predicted_overlap_pct"]
+            extra["stream_bound_by"] = fc["bound_by"]
+    except Exception as e:
+        skipped.append(f"stream_feed_census: {type(e).__name__}: {e}")
+
+    # serving path + its own device census: eval regressions must be
+    # attributable dispatch-free, like training's device_ms_per_step
+    if left() < 200:
+        skipped.append("infer_throughput_A5: budget")
+    else:
+        try:
+            cells_i, (once, K) = _infer_throughput(cfg, x_all, keep=True)
+            extra["infer_throughput_A5"] = round(cells_i, 1)
+            print(f"bench: infer_throughput_A5 {cells_i:,.0f} cells/s "
+                  f"({left():.0f}s left)", file=sys.stderr, flush=True)
+            if left() > 90:
+                extra["eval_device_ms_per_batch"] = round(
+                    _trace_device_ms(once, K), 3)
+            else:
+                skipped.append("eval_device_census: budget")
+        except Exception as e:
+            skipped.append(f"infer_throughput_A5: {type(e).__name__}: {e}")
     for k, rk in (("train_throughput_A5_smartseq_aug", "aug_vs_baseline"),
                   ("train_throughput_A5_zinb", "zinb_vs_baseline")):
         if k in extra:

@@ -270,19 +270,36 @@ def small_equality(mode: str, mesh, strategies=None,
 # orchestration
 # ---------------------------------------------------------------------------
 
-def census_cells(strategies=None,
-                 modes: Sequence[str] = MODES) -> list:
-    """(strategy, mode) cells in priority order: the headline FULL_SHARD
-    column first, then the remaining strategies for MSE, then the rest."""
+def census_cells(strategies=None, modes: Sequence[str] = MODES,
+                 small: bool = True) -> list:
+    """Census cells in execution-priority order, tagged by kind:
+    ``("prod", strategy, mode)`` compile cells and ``("small", None,
+    mode)`` executed strategy-equality cells.
+
+    Executed equality outranks every NON-headline production compile: the
+    per-round driver record must prove executed strategy numerics, not
+    just compile facts (round-3 verdict) — so a budget too small for the
+    full matrix still lands ``small:MSE`` right after the headline
+    FULL_SHARD/MSE compile, and the remaining equality cells land before
+    the non-headline strategies' compiles."""
     from dvae_tpu.config import ShardingStrategy
 
     strategies = list(strategies or ShardingStrategy)
-    cells = [(s, m) for m in modes for s in strategies
-             if s == ShardingStrategy.FULL_SHARD]
-    cells += [(s, "MSE") for s in strategies
-              if s != ShardingStrategy.FULL_SHARD and "MSE" in modes]
-    cells += [(s, m) for m in modes if m != "MSE"
-              for s in strategies if s != ShardingStrategy.FULL_SHARD]
+    FS = ShardingStrategy.FULL_SHARD
+    head = [m for m in modes] if FS in strategies else []
+    cells: list = []
+    if "MSE" in modes:
+        if FS in strategies:
+            cells.append(("prod", FS, "MSE"))
+        if small:
+            cells.append(("small", None, "MSE"))
+    cells += [("prod", FS, m) for m in head if m != "MSE"]
+    if small:
+        cells += [("small", None, m) for m in modes if m != "MSE"]
+    cells += [("prod", s, "MSE") for s in strategies
+              if s is not FS and "MSE" in modes]
+    cells += [("prod", s, m) for m in modes if m != "MSE"
+              for s in strategies if s is not FS]
     return cells
 
 
@@ -291,37 +308,43 @@ def run_census(mesh, budget_s: Optional[float] = None,
                do_small: bool = True, log=print) -> dict:
     """Run the census within ``budget_s`` (None = unbounded), highest-value
     cells first; raise on any warning / analytic / equality failure; return
-    the summary dict (rows + equality losses + what was skipped)."""
+    the summary dict (rows + equality losses + what was skipped).
+
+    ``clean`` requires BOTH every production compile that ran to be
+    warning-free/ring-consistent AND (when ``do_small``) at least one
+    executed equality cell to have run and passed — a census that proved
+    only compile facts is not a clean record (round-3 verdict: a wrong
+    psum placement producing different losses must fail the dryrun)."""
     deadline = (time.monotonic() + budget_s) if budget_s is not None else None
 
     def left() -> float:
         return float("inf") if deadline is None else deadline - time.monotonic()
 
     rows, skipped = [], []
-    # production compiles: ~30-45 s each on a 1-core host; reserve ~60 s
-    for strat, mode in census_cells(strategies, modes):
-        if left() < 60:
-            skipped.append(f"prod:{strat.value}/{mode}")
-            continue
-        row = production_row(strat, mode, mesh)
-        rows.append(row)
-        log(f"census: prod {strat.value}/{mode}: "
-            f"wire {row.wire_bytes / 1e6:.1f} MB/step "
-            f"({row.wire_ms_per_step:.3f} ms @90GB/s), "
-            f"warnings={len(row.warnings)}, analytic={row.analytic_why} "
-            f"[{row.compile_s}s]")
-        if row.warnings:
-            raise AssertionError(
-                f"SPMD warnings at {strat.value}/{mode}:\n"
-                + "\n".join(row.warnings[:5]))
-        if not row.analytic_ok:
-            raise AssertionError(
-                f"collective census inconsistent with the ring model at "
-                f"{strat.value}/{mode}: {row.analytic_why}")
-
-    equality = {}
-    if do_small:
-        for mode in modes:
+    equality: dict = {}
+    # production compiles: ~30-45 s each on a 1-core host (reserve 60 s);
+    # a small-equality cell executes all strategies (reserve 120 s)
+    for kind, strat, mode in census_cells(strategies, modes, small=do_small):
+        if kind == "prod":
+            if left() < 60:
+                skipped.append(f"prod:{strat.value}/{mode}")
+                continue
+            row = production_row(strat, mode, mesh)
+            rows.append(row)
+            log(f"census: prod {strat.value}/{mode}: "
+                f"wire {row.wire_bytes / 1e6:.1f} MB/step "
+                f"({row.wire_ms_per_step:.3f} ms @90GB/s), "
+                f"warnings={len(row.warnings)}, analytic={row.analytic_why} "
+                f"[{row.compile_s}s]")
+            if row.warnings:
+                raise AssertionError(
+                    f"SPMD warnings at {strat.value}/{mode}:\n"
+                    + "\n".join(row.warnings[:5]))
+            if not row.analytic_ok:
+                raise AssertionError(
+                    f"collective census inconsistent with the ring model at "
+                    f"{strat.value}/{mode}: {row.analytic_why}")
+        else:
             if left() < 120:
                 skipped.append(f"small:{mode}")
                 continue
@@ -336,10 +359,12 @@ def run_census(mesh, budget_s: Optional[float] = None,
         "rows": [r.to_json() for r in rows],
         "equality": equality,
         "skipped": skipped,
-        "clean": all(not r.warnings and r.analytic_ok for r in rows),
+        "clean": (all(not r.warnings and r.analytic_ok for r in rows)
+                  and (bool(equality) or not do_small)),
     }
-    n_cells = len(census_cells(strategies, modes))
-    log(f"census summary: {len(rows)}/{n_cells} production compiles clean "
+    n_prod = sum(1 for k, *_ in census_cells(strategies, modes, small=False)
+                 if k == "prod")
+    log(f"census summary: {len(rows)}/{n_prod} production compiles clean "
         f"(0 SPMD warnings, ring-model consistent), "
         f"{len(equality)}/{len(list(modes))} modes strategy-loss-equal"
         + (f", skipped={skipped}" if skipped else ""))

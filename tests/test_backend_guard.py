@@ -155,8 +155,10 @@ def test_wait_for_backend_hung_probe_waits_it_out_never_kills(probe_env):
     assert len(spawned) == 1          # same probe throughout
     assert not spawned[0].killed      # and it was never killed
     assert clock.slept == []          # the probe's own wait paces the loop
-    # two 150 s waits fit before 600-420; the third check bails
-    assert clock.t == 300.0
+    # slices are capped at deadline - reserve: one full 150 s slice, one
+    # 30 s capped slice (600-420-150), then a zero-width check bails —
+    # a success can never land inside the 420 s measurement reserve
+    assert clock.t == 180.0
 
 
 def test_wait_for_backend_hung_probe_succeeds_on_recovery(probe_env):
@@ -315,6 +317,25 @@ def test_parse_last_json_takes_last_result_line():
 # end-to-end driver contract (real bench.py subprocess, probe overridden)
 # --------------------------------------------------------------------------
 
+def _reap_probe(pidfile):
+    """Kill the SLEEPING probe grandchild a bench e2e test left behind.
+
+    Test probes are plain ``time.sleep`` processes (never TPU claims), so
+    killing is safe — and it's by exact pid + kernel starttime from the
+    registration file, never by pattern."""
+    from dvae_tpu.utils.backend_probe import _proc_starttime, _read_pidfile
+
+    rec = _read_pidfile(str(pidfile))
+    if rec is None:
+        return
+    pid, start, _, _ = rec
+    if _proc_starttime(pid) == start:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+
+
 def _run_bench(tmp_path, probe_code, budget="30", extra_env=None,
                cache=True, timeout=90, sigterm_on_file=None):
     """``sigterm_on_file``: send SIGTERM once this file appears (written by
@@ -323,23 +344,31 @@ def _run_bench(tmp_path, probe_code, budget="30", extra_env=None,
     cache_path = tmp_path / "cache.json"
     if cache:
         cache_path.write_text(json.dumps(_cache_line()))
+    pidfile = tmp_path / "probe.pid"
     env = dict(os.environ)
     env.update({"DVAE_PROBE_CODE": probe_code,
                 "BENCH_BUDGET_S": budget,
-                "BENCH_CACHE": str(cache_path)})
+                "BENCH_CACHE": str(cache_path),
+                # private registration: the test probe must never touch a
+                # real probe's pidfile, and the sleeping grandchild gets
+                # reaped at the end instead of outliving the test
+                "DVAE_PROBE_PIDFILE": str(pidfile)})
     env.update(extra_env or {})
     proc = subprocess.Popen([sys.executable, BENCH], env=env,
                             stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL, text=True)
-    if sigterm_on_file is not None:
-        deadline = time.monotonic() + 60
-        while not os.path.exists(sigterm_on_file):
-            if time.monotonic() > deadline:
-                proc.kill()
-                raise AssertionError("probe sentinel never appeared")
-            time.sleep(0.1)
-        proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=timeout)
+    try:
+        if sigterm_on_file is not None:
+            deadline = time.monotonic() + 60
+            while not os.path.exists(sigterm_on_file):
+                if time.monotonic() > deadline:
+                    proc.kill()
+                    raise AssertionError("probe sentinel never appeared")
+                time.sleep(0.1)
+            proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=timeout)
+    finally:
+        _reap_probe(pidfile)
     return proc.returncode, out
 
 
@@ -393,6 +422,89 @@ def test_bench_fails_loudly_without_cache(tmp_path):
                          budget="10")
     assert rc != 0
     assert bench._parse_last_json(out) is None
+
+
+# --------------------------------------------------------------------------
+# probe adoption (the orphan-dedup pidfile)
+# --------------------------------------------------------------------------
+
+class TestProbeAdoption:
+    """During an outage every caller must share the ONE pending probe
+    (each probe is a full Python+JAX process; without dedup they pile up
+    and all fire TPU ops at once on recovery)."""
+
+    @pytest.fixture(autouse=True)
+    def _isolated(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("DVAE_PROBE_PIDFILE", str(tmp_path / "p.pid"))
+        self.tmp = tmp_path
+
+    def test_pending_probe_adopted_not_duplicated(self, monkeypatch):
+        monkeypatch.setenv("DVAE_PROBE_CODE", "import time; time.sleep(60)")
+        from dvae_tpu.utils import backend_probe as bp
+        p1 = bp.start_probe()
+        try:
+            p2 = bp.start_probe()
+            assert isinstance(p2, bp.AdoptedProbe)
+            assert p2.pid == p1.pid
+            assert p2.poll() is None
+            with pytest.raises(subprocess.TimeoutExpired):
+                p2.wait(timeout=0.3)
+        finally:
+            p1.kill()      # a sleep process, never a TPU claim
+            p1.wait()
+        # died without the done-file: the adopted handle reports failure,
+        # and the NEXT caller spawns fresh instead of adopting a corpse
+        assert p2.wait(timeout=5) == 1
+        p3 = bp.start_probe()
+        try:
+            assert not isinstance(p3, bp.AdoptedProbe)
+            assert p3.pid != p1.pid
+        finally:
+            p3.kill()
+            p3.wait()
+
+    def test_adopted_handle_sees_success_via_done_file(self, monkeypatch):
+        monkeypatch.setenv("DVAE_PROBE_CODE", "import time; time.sleep(1)")
+        from dvae_tpu.utils import backend_probe as bp
+        p1 = bp.start_probe()
+        p2 = bp.start_probe()
+        assert isinstance(p2, bp.AdoptedProbe)
+        assert p1.wait(timeout=30) == 0
+        assert p2.wait(timeout=10) == 0
+
+    def test_finished_probe_never_adopted(self, monkeypatch):
+        """A completed probe is a STALE answer — a fresh caller must probe
+        fresh, not inherit a success from minutes ago."""
+        monkeypatch.setenv("DVAE_PROBE_CODE", "x = 1")
+        from dvae_tpu.utils import backend_probe as bp
+        p1 = bp.start_probe()
+        assert p1.wait(timeout=30) == 0
+        p2 = bp.start_probe()
+        try:
+            assert not isinstance(p2, bp.AdoptedProbe)
+            assert p2.wait(timeout=30) == 0
+        finally:
+            pass
+
+    def test_different_probe_body_not_adopted(self, monkeypatch):
+        """The DVAE_PROBE_CODE test seam and the real probe must never
+        adopt each other (hash mismatch)."""
+        monkeypatch.setenv("DVAE_PROBE_CODE", "import time; time.sleep(60)")
+        from dvae_tpu.utils import backend_probe as bp
+        p1 = bp.start_probe()
+        try:
+            monkeypatch.setenv("DVAE_PROBE_CODE",
+                               "import time; time.sleep(2)")
+            p2 = bp.start_probe()
+            try:
+                assert not isinstance(p2, bp.AdoptedProbe)
+                assert p2.pid != p1.pid
+            finally:
+                p2.kill()
+                p2.wait()
+        finally:
+            p1.kill()
+            p1.wait()
 
 
 # --------------------------------------------------------------------------

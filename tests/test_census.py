@@ -103,17 +103,25 @@ def test_run_census_budget_zero_skips_everything(mesh):
     logs = []
     summary = census.run_census(mesh, budget_s=0.0, log=logs.append)
     assert summary["rows"] == [] and summary["equality"] == {}
-    assert summary["clean"] is True
+    # clean now REQUIRES at least one executed equality cell (round-3
+    # verdict): a census that ran nothing is not a clean record
+    assert summary["clean"] is False
     assert len(summary["skipped"]) == 21  # 18 prod cells + 3 small modes
 
 
 def test_census_cells_priority_order():
     cells = census.census_cells()
-    assert len(cells) == 18  # 6 strategies × 3 modes
-    # the headline FULL_SHARD column runs first, one cell per mode
-    head = [(s.value, m) for s, m in cells[:3]]
-    assert head == [("full", "MSE"), ("full", "ZINB"), ("full", "aug")]
-    assert len(set(cells)) == 18
+    assert len(cells) == 21  # 18 prod (6 strategies × 3 modes) + 3 small
+    # the headline FULL_SHARD/MSE compile runs first, then the EXECUTED
+    # MSE equality cell — before any other compile — then the rest of the
+    # FULL_SHARD column, then the remaining equality cells, and only then
+    # the non-headline strategies' compiles
+    head = [(k, getattr(s, "value", None), m) for k, s, m in cells[:6]]
+    assert head == [("prod", "full", "MSE"), ("small", None, "MSE"),
+                    ("prod", "full", "ZINB"), ("prod", "full", "aug"),
+                    ("small", None, "ZINB"), ("small", None, "aug")]
+    assert all(k == "prod" for k, _, _ in cells[6:])
+    assert len(set(cells)) == 21
 
 
 def test_committed_census_matrix_is_full_and_clean():
