@@ -417,6 +417,115 @@ def load_data(
     return ds
 
 
+def hard_synthetic_dataset(
+    n_cells: int = 20000,
+    n_genes: int = 5032,
+    n_types: int = 92,
+    seed: int = 0,
+    n_roots: int = 12,
+    marker_frac: float = 0.03,
+    root_frac: float = 0.4,
+    lib_mu: float = 9.2,          # exp(9.2) ≈ 10k counts/cell median
+    lib_sigma: float = 0.6,
+    theta_scale: float = 2.0,     # NB inverse dispersion (low = noisy)
+    zi_max: float = 0.5,          # dropout ceiling for silent genes
+    eps: float = 1e-1,
+    tau: float = 1.0,
+    chunk: int = 2000,
+) -> CellDataset:
+    """Hard-mode synthetic scRNA-seq: ZINB counts with the failure modes
+    real Smart-seq has and the planted-Gaussian easy set lacks.
+
+    The easy ``synthetic_dataset`` below plants well-separated Gaussian-ish
+    programs directly in log1p space — the regime every README quality
+    number before round 4 was scored on.  Real Smart-seq
+    (``Mouse_ALM-VISp_cpm.h5ad``, reference mmidas.toml:21-28, unreachable
+    in this container) is count data: overdispersed, zero-inflated,
+    library-size confounded, with *hierarchically overlapping* types.
+    This generator samples all of that from the framework's OWN count
+    models (``models/distributions.ZeroInflatedNegativeBinomial`` — the
+    same family as the reference's scvi-style
+    ``mmidas/utils/distributions.py``):
+
+      * **hierarchy/overlap**: ``n_roots`` root expression programs; each
+        leaf type perturbs only ``marker_frac`` of its root's genes, so
+        sibling types share ~97% of their program (real taxonomy siblings,
+        reference celltype_hierarchy.py);
+      * **abundance imbalance**: Dirichlet type proportions (real atlases
+        are far from uniform);
+      * **library size**: per-cell total counts ~ LogNormal(lib_mu,
+        lib_sigma), a nuisance factor the model must see through;
+      * **overdispersion**: per-gene NB theta ~ LogNormal around
+        ``theta_scale``;
+      * **dropout**: per-gene zero-inflation, strongest for low-expression
+        genes (the observed scRNA dropout-vs-mean relationship).
+
+    Counts are then put through the reference's own input transform —
+    ``logcpm`` (log1p counts-per-million, reference
+    mmidas/utils/tools.py:73-83) — exactly as the reference prepares its
+    ``.h5ad`` (notebooks/1_data_prep).  Leaf labels are
+    ``r{root:02d}_t{leaf:03d}``; the root is recoverable as the prefix for
+    parent-level scoring.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dvae_tpu.models.distributions import ZeroInflatedNegativeBinomial
+
+    rng = np.random.default_rng(seed)
+
+    # root programs: sparse heavy-tailed base, per-root fold changes on a
+    # root_frac subset of genes
+    base = rng.gamma(0.3, 1.0, n_genes)
+    roots = np.tile(base, (n_roots, 1))
+    for r in range(n_roots):
+        sel = rng.random(n_genes) < root_frac
+        roots[r, sel] *= rng.lognormal(0.0, 1.5, sel.sum())
+
+    # leaves: each type perturbs marker_frac of its root's genes only
+    leaf_root = np.sort(rng.integers(0, n_roots, n_types))
+    progs = roots[leaf_root].copy()
+    for t in range(n_types):
+        sel = rng.random(n_genes) < marker_frac
+        progs[t, sel] *= rng.lognormal(0.0, 1.0, sel.sum())
+    props = progs / progs.sum(axis=1, keepdims=True)      # (T, D)
+
+    # imbalanced type abundances (floored so the stratified split holds)
+    abund = rng.dirichlet(np.full(n_types, 1.5))
+    abund = np.maximum(abund, 0.3 / n_types)
+    abund /= abund.sum()
+    assign = rng.choice(n_types, size=n_cells, p=abund)
+
+    lib = rng.lognormal(lib_mu, lib_sigma, n_cells)       # counts/cell
+
+    # per-gene dispersion + expression-dependent dropout
+    theta_g = rng.lognormal(np.log(theta_scale), 0.5, n_genes)
+    mean_prop = (abund[:, None] * props).sum(axis=0)      # dataset mean
+    zi_prob = np.clip(zi_max * np.exp(-2e4 * mean_prop), 0.01, zi_max)
+    zi_logits = np.log(zi_prob / (1.0 - zi_prob)).astype(np.float32)
+
+    theta_j = jnp.asarray(theta_g, jnp.float32)
+    zi_j = jnp.asarray(zi_logits)
+    key = jax.random.key(seed)
+    X = np.empty((n_cells, n_genes), np.float32)
+    from dvae_tpu.utils.tools import logcpm
+    for lo in range(0, n_cells, chunk):
+        hi = min(lo + chunk, n_cells)
+        key, sub = jax.random.split(key)
+        mu = (lib[lo:hi, None] * props[assign[lo:hi]]).astype(np.float32)
+        d = ZeroInflatedNegativeBinomial(mu=jnp.asarray(mu), theta=theta_j,
+                                         zi_logits=zi_j)
+        counts = np.asarray(d.sample(sub))
+        X[lo:hi] = logcpm(counts).astype(np.float32)
+
+    labels = np.array([f"r{leaf_root[t]:02d}_t{t:03d}" for t in assign])
+    cluster_id, onehot, c_p, K = _encode_labels(labels, eps, tau)
+    return CellDataset(
+        log1p=X, gene_id=np.array([f"g{j}" for j in range(n_genes)]),
+        cluster_label=labels, cluster_id=cluster_id, c_onehot=onehot,
+        c_p=c_p, n_type=K)
+
+
 def synthetic_dataset(
     n_cells: int = 2000,
     n_genes: int = 500,

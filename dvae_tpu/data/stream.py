@@ -43,7 +43,9 @@ its process's row span of each batch through
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import time
 from collections import deque
 from typing import Iterator, NamedTuple, Optional
 
@@ -55,6 +57,24 @@ import numpy as np
 class StreamBatch(NamedTuple):
     x: jax.Array
     prior: Optional[jax.Array]
+
+
+@dataclasses.dataclass
+class StreamStats:
+    """Per-batch pipeline instrumentation (``record_stats=True``).
+
+    ``gather_s``: host time to materialize one batch (fancy-index +
+    densify + cast) — the CPU-bound half of the feed path.
+    ``commit_s``: host time spent in the ``device_put`` CALL (dispatch;
+    on real hardware the DMA itself runs async on its own engine, so this
+    is near-zero there — through the dev tunnel it blocks on the copy).
+    ``ahead``: depth of the in-flight queue at each yield — the
+    issue-ahead invariant that lets transfers hide behind compute.
+    """
+
+    gather_s: list = dataclasses.field(default_factory=list)
+    commit_s: list = dataclasses.field(default_factory=list)
+    ahead: list = dataclasses.field(default_factory=list)
 
 
 class BatchStreamer:
@@ -84,7 +104,8 @@ class BatchStreamer:
     def __init__(self, x, batch_size: int, *,
                  prior: Optional[np.ndarray] = None, seed: int = 0,
                  shuffle: bool = True, dtype=None, sharding=None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, record_stats: bool = False):
+        self.stats = StreamStats() if record_stats else None
         if batch_size > x.shape[0]:
             raise ValueError(
                 f"batch_size {batch_size} > dataset size {x.shape[0]}")
@@ -184,7 +205,16 @@ class BatchStreamer:
 
         def issue(i: int) -> None:
             sel = self._local_span(order[i])
-            xb = self._commit(self._gather(self.x, sel), self.batch_size)
+            if self.stats is not None:
+                t0 = time.perf_counter()
+                h = self._gather(self.x, sel)
+                t1 = time.perf_counter()
+                xb = self._commit(h, self.batch_size)
+                self.stats.gather_s.append(t1 - t0)
+                self.stats.commit_s.append(time.perf_counter() - t1)
+            else:
+                xb = self._commit(self._gather(self.x, sel),
+                                  self.batch_size)
             pb = (None if self.prior is None
                   else self._commit(self._gather(self.prior, sel,
                                                  cast=False),
@@ -197,7 +227,76 @@ class BatchStreamer:
         for i in range(steps):
             if i + depth < steps:
                 issue(i + depth)
+            if self.stats is not None:
+                self.stats.ahead.append(len(pending))
             yield pending.popleft()
+
+
+def feed_census(x, batch_size: int, *, dtype=None, n_batches: int = 8,
+                seed: int = 0, sharding=None,
+                device_ms_per_step: Optional[float] = None,
+                link_gbps: Optional[float] = None,
+                commit: bool = True) -> dict:
+    """Environment-independent capacity figures for the streaming path.
+
+    The tunnel-bound end-to-end number (bench ``train_throughput_A5_stream``)
+    says nothing about real hardware; what DOES transfer is the three-stage
+    steady-state pipeline bound — per batch:
+
+      * ``host_gather_ms``: CPU cost to materialize one batch (fancy-index
+        + densify + cast), measured HERE by draining a recording streamer
+        (median over ``n_batches``, first batch dropped).  Scales ~linearly
+        with host cores (the reference provisions 32,
+        train-scripts/run-train-A5-E500000-a100.sh).
+      * ``link_ms``: batch_bytes / ``link_gbps`` — the DMA stage at a real
+        host→device link (PCIe-class ~16-32 GB/s), NOT the dev tunnel's
+        8-30 MB/s.
+      * ``device_ms_per_step``: the compute stage (pass the op-profile
+        figure, e.g. 2.58 for the A=5 production step).
+
+    Steady-state throughput is bound by the slowest stage; the feed is
+    fully hidden (streaming == resident throughput) iff
+    max(host, link) <= device.  ``predicted_overlap_pct`` =
+    100·min(1, device / max(host, link)).  The issue-ahead invariant this
+    prediction rests on (the streamer keeps ``prefetch`` batches in
+    flight; JAX dispatch is async) is pinned by tests/test_stream_overlap.
+    """
+    bs = BatchStreamer(x, batch_size, seed=seed, dtype=dtype,
+                       sharding=sharding, prefetch=1, record_stats=True)
+    if not commit:
+        # host-cost-only mode: never touch the device — through the dev
+        # tunnel one 50 MB device_put costs seconds and would bury the
+        # portable host figure under a non-portable link number
+        bs._commit = lambda h, global_rows=None: h
+    n = min(max(n_batches, 2), bs.steps_per_epoch)
+    for i, _ in enumerate(bs.epoch(0)):
+        if i + 1 >= n:
+            break
+    gather = sorted(bs.stats.gather_s[1:])   # drop the cold first batch
+    commits = sorted(bs.stats.commit_s[1:])
+    host_ms = 1e3 * gather[len(gather) // 2]
+    itemsize = np.dtype(bs.dtype).itemsize if bs.dtype is not None \
+        else x.dtype.itemsize
+    batch_mb = batch_size * int(np.prod(x.shape[1:])) * itemsize / 1e6
+    out = {"host_gather_ms": round(host_ms, 3),
+           "batch_mb": round(batch_mb, 2)}
+    if commit:
+        out["commit_ms"] = round(1e3 * commits[len(commits) // 2], 3)
+    link_ms = None
+    if link_gbps:
+        link_ms = batch_mb / link_gbps  # MB / (GB/s) = ms
+        out["link_ms"] = round(link_ms, 3)
+        out["link_gbps_assumed"] = link_gbps
+    if device_ms_per_step is not None:
+        feed_ms = max(host_ms, link_ms or 0.0)
+        out["device_ms_per_step"] = device_ms_per_step
+        out["predicted_overlap_pct"] = round(
+            100.0 * min(1.0, device_ms_per_step / feed_ms)
+            if feed_ms > 0 else 100.0, 1)
+        stages = {"host": host_ms, "link": link_ms or 0.0,
+                  "device": device_ms_per_step}
+        out["bound_by"] = max(stages, key=stages.get)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""Hard-mode quality study: the production recipe on ZINB-count synthetic
+data with real-scRNA failure modes.
+
+Every quality number before round 4 was scored on planted-Gaussian
+synthetic data (well-separated programs written directly in log1p space —
+``examples/production_scale.py``).  The reference's north-star is AMI /
+consensus on REAL Smart-seq (reference evaluation.py:25-41,92-127,
+mmidas.toml:21-28 → ``Mouse_ALM-VISp_cpm.h5ad``), which is unreachable in
+this container — so this study closes as much of that difficulty gap as
+possible in-container: it trains the exact production recipe on data
+sampled from the framework's OWN count models
+(``data/anndata_io.hard_synthetic_dataset``: ZINB counts, library-size
+variation, expression-dependent dropout, hierarchically overlapping
+types) and scores the same metrics.
+
+Scored levels:
+  * **leaf AMI** — against the 92 planted leaf types.  Sibling leaves
+    overlap by construction (~97% shared program), so leaf recovery is
+    intrinsically bounded below 1.0 — exactly the regime real taxonomies
+    live in.
+  * **root AMI** — against the 12 root programs (the "recovered level" a
+    taxonomy merge-sweep would report, examples/taxonomy_study.py).
+
+Run: ``python -m dvae_tpu.examples.hard_synthetic
+[--epochs 25000 --mode MSE|ZINB --seed 3]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+
+
+def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
+        verbose: bool = True, mode: str = "MSE") -> dict:
+    import numpy as np
+
+    from dvae_tpu.data.anndata_io import hard_synthetic_dataset
+    from dvae_tpu.data.pipeline import stratified_split_indices
+    from dvae_tpu.train.cpl_mixvae import CplMixVAE
+
+    t0 = time.time()
+    ds = hard_synthetic_dataset(n_cells=20000, n_genes=5032, n_types=92,
+                                seed=seed)
+    zero_frac = float((ds.log1p == 0).mean())
+    tr, te = stratified_split_indices(ds.cluster_label, 0.9, seed)
+    folder = folder or tempfile.mkdtemp(prefix="hard_syn_")
+    cpl = CplMixVAE(saving_folder=folder, seed=seed)
+    # the exact production recipe (examples/production_scale.py /
+    # scripts/run-train-A2-*.sh): only the data is harder
+    cpl.init_model(n_categories=92, input_dim=5032, n_arm=2, lam=5.0,
+                   batch_size=5000, epochs_per_jit=500, bf16=True,
+                   rng_impl="rbg", shuffle_block=8, mode=mode)
+    cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
+              early_stop_consensus=0.75, save_plots=False)
+
+    cpl.load_model(f"{folder}/cpl_mixVAE_model_best_train.ckpt")
+    from sklearn.metrics import adjusted_mutual_info_score
+
+    labels = cpl._predict_labels(ds.log1p[te], 1.0)
+    leaf_true = ds.cluster_id[te]
+    root_true = np.array([l.split("_")[0] for l in ds.cluster_label[te]])
+    res = cpl.eval_model(ds.log1p[te])
+    out = {
+        "folder": folder,
+        "mode": mode,
+        "zero_frac": round(zero_frac, 3),
+        "wall_min": round((time.time() - t0) / 60, 1),
+        "final_epoch": int(cpl.state.epoch),
+        "test_consensus": float(res["consensus"]),
+        "ami_leaf": [
+            float(adjusted_mutual_info_score(leaf_true, labels[a]))
+            for a in range(labels.shape[0])],
+        "ami_root": [
+            float(adjusted_mutual_info_score(root_true, labels[a]))
+            for a in range(labels.shape[0])],
+        "ami_arm_arm": float(
+            adjusted_mutual_info_score(labels[0], labels[1])),
+    }
+    if verbose:
+        print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=25000)
+    ap.add_argument("--folder", type=str, default="")
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--mode", type=str, default="MSE",
+                    choices=["MSE", "ZINB"])
+    args = ap.parse_args()
+    run(n_epoch=args.epochs, folder=args.folder, seed=args.seed,
+        mode=args.mode)
