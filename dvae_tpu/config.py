@@ -78,11 +78,18 @@ class VAEConfig:
     # --- TPU-build extensions (not present in the reference) ---
     reparam_noise: ReparamNoise = ReparamNoise.GAUSSIAN
     dtype: str = "float32"          # compute dtype for activations
-    use_pallas: bool = False        # fused gumbel-softmax sampling kernel —
-                                    # measured SLOWER than XLA + the rbg
-                                    # hardware RNG at the production shape
-                                    # (3.14 vs 2.66 ms/step, v5e-1
-                                    # 2026-08-17); keep off
+    use_pallas: bool = False        # fused gumbel-softmax sampling kernel
+                                    # AND the fused coupling-distance
+                                    # kernel — both measured SLOWER than
+                                    # XLA at the production shape: the
+                                    # bundle 3.14 vs 2.66 ms/step (v5e-1
+                                    # 2026-08-17); the coupling kernel
+                                    # ALONE 0.77x fwd / 0.98x grad vs the
+                                    # XLA Gram path at (5,5000,92) f32
+                                    # (scripts/bench_coupling.py, v5e-1
+                                    # 2026-08-20).  Keep off; kernels stay
+                                    # oracle-tested for the day shapes
+                                    # change (much larger C would revisit)
     recon_bce_metric: bool = True   # include the zero-gradient binarized-BCE
                                     # term in the recon loss VALUE (reference
                                     # nn_model.py:544-545); costs ~14% step
