@@ -55,6 +55,12 @@ def _add_data_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n_gene", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
                    help="force synthetic data")
+    p.add_argument("--syn_hard", action="store_true",
+                   help="use the hard-mode ZINB-count synthetic generator "
+                        "(library-size variation, dropout, hierarchically "
+                        "overlapping types; data/anndata_io."
+                        "hard_synthetic_dataset) instead of the planted-"
+                        "Gaussian one")
     p.add_argument("--syn_cells", type=int, default=5000)
     p.add_argument("--syn_genes", type=int, default=500)
     p.add_argument("--syn_types", type=int, default=20)
@@ -62,9 +68,15 @@ def _add_data_flags(p: argparse.ArgumentParser) -> None:
 
 def _load_dataset(args):
     """TOML-resolved h5ad when available, else synthetic."""
-    from dvae_tpu.data.anndata_io import load_data, synthetic_dataset
+    from dvae_tpu.data.anndata_io import (hard_synthetic_dataset, load_data,
+                                          synthetic_dataset)
     from dvae_tpu.utils.tools import get_paths
 
+    if getattr(args, "syn_hard", False):
+        print("using HARD synthetic dataset (ZINB counts)")
+        return hard_synthetic_dataset(
+            n_cells=args.syn_cells, n_genes=args.syn_genes,
+            n_types=args.syn_types, seed=args.seed)
     if not args.synthetic and os.path.exists(args.toml):
         config = get_paths(toml_file=args.toml, sub_file=args.dataset)
         sec = config.get(args.dataset, {})

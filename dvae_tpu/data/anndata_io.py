@@ -425,7 +425,9 @@ def hard_synthetic_dataset(
     n_roots: int = 12,
     marker_frac: float = 0.03,
     root_frac: float = 0.4,
-    lib_mu: float = 9.2,          # exp(9.2) ≈ 10k counts/cell median
+    lib_mu: Optional[float] = None,  # median log library size; default
+                                     # log(2·n_genes) ≈ 2 counts/gene
+                                     # (exp(9.2) ≈ 10k at D=5032)
     lib_sigma: float = 0.6,
     theta_scale: float = 2.0,     # NB inverse dispersion (low = noisy)
     zi_max: float = 0.5,          # dropout ceiling for silent genes
@@ -496,6 +498,8 @@ def hard_synthetic_dataset(
     abund /= abund.sum()
     assign = rng.choice(n_types, size=n_cells, p=abund)
 
+    if lib_mu is None:
+        lib_mu = float(np.log(2.0 * n_genes))
     lib = rng.lognormal(lib_mu, lib_sigma, n_cells)       # counts/cell
 
     # per-gene dispersion + expression-dependent dropout

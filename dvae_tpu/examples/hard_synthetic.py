@@ -33,17 +33,43 @@ import tempfile
 import time
 
 
+def _dataset(seed: int):
+    """hard_synthetic_dataset(20000, 5032, 92) with a disk cache: the ZINB
+    sampling round-trips device chunks, which through the dev tunnel costs
+    minutes — the MSE and ZINB studies share one generation."""
+    import numpy as np
+
+    from dvae_tpu.data.anndata_io import CellDataset, hard_synthetic_dataset
+
+    path = f"/tmp/hard_syn_{seed}_20000x5032x92.npz"
+    try:
+        z = np.load(path, allow_pickle=False)
+        return CellDataset(
+            log1p=z["log1p"], gene_id=z["gene_id"],
+            cluster_label=z["cluster_label"], cluster_id=z["cluster_id"],
+            c_onehot=z["c_onehot"], c_p=z["c_p"], n_type=int(z["n_type"]))
+    except (OSError, KeyError):
+        pass
+    ds = hard_synthetic_dataset(n_cells=20000, n_genes=5032, n_types=92,
+                                seed=seed)
+    try:
+        np.savez(path, log1p=ds.log1p, gene_id=ds.gene_id,
+                 cluster_label=ds.cluster_label, cluster_id=ds.cluster_id,
+                 c_onehot=ds.c_onehot, c_p=ds.c_p, n_type=ds.n_type)
+    except OSError:
+        pass
+    return ds
+
+
 def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         verbose: bool = True, mode: str = "MSE") -> dict:
     import numpy as np
 
-    from dvae_tpu.data.anndata_io import hard_synthetic_dataset
     from dvae_tpu.data.pipeline import stratified_split_indices
     from dvae_tpu.train.cpl_mixvae import CplMixVAE
 
     t0 = time.time()
-    ds = hard_synthetic_dataset(n_cells=20000, n_genes=5032, n_types=92,
-                                seed=seed)
+    ds = _dataset(seed)
     zero_frac = float((ds.log1p == 0).mean())
     tr, te = stratified_split_indices(ds.cluster_label, 0.9, seed)
     folder = folder or tempfile.mkdtemp(prefix="hard_syn_")

@@ -24,6 +24,16 @@ def test_train_cli(tmp_path, monkeypatch):
     assert glob.glob(str(tmp_path) + "/*RUN0/metrics.jsonl")
 
 
+def test_train_cli_hard_synthetic(tmp_path, monkeypatch):
+    """--syn_hard routes to the ZINB-count hard-mode generator."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["train", *_TINY, "--syn_hard", "--n_epoch", "2",
+               "--epochs_per_jit", "2", "--batch_size", "40",
+               "--saving_folder", str(tmp_path) + "/"])
+    assert rc == 0
+    assert glob.glob(str(tmp_path) + "/*RUN0/*.ckpt")
+
+
 def test_evaluate_cli(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     rc = main(["train", *_TINY, "--n_epoch", "2", "--epochs_per_jit", "2",

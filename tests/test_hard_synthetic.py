@@ -14,11 +14,10 @@ from dvae_tpu.data.anndata_io import hard_synthetic_dataset
 
 @pytest.fixture(scope="module")
 def ds():
-    # lib_mu scaled down with n_genes to keep counts-per-gene (hence the
-    # zero fraction) at the production-shape level: exp(9.2)/5032 ≈
-    # exp(6.2)/240 ≈ 2 counts/gene
+    # default lib_mu scales with n_genes (≈2 counts/gene), so the zero
+    # fraction at D=240 matches the production-shape regime
     return hard_synthetic_dataset(n_cells=600, n_genes=240, n_types=12,
-                                  n_roots=4, seed=7, chunk=200, lib_mu=6.2)
+                                  n_roots=4, seed=7, chunk=200)
 
 
 def test_shapes_and_encoding(ds):
