@@ -61,6 +61,7 @@ VPU transcendental floor (~5.6 ms kernel).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import signal
@@ -631,6 +632,20 @@ def _parse_last_json(out: str):
     return None
 
 
+def _cache_is_warm() -> bool:
+    """True when the persistent compile cache already holds the headline
+    runner's executable — a live measurement then needs ~2 min of healthy
+    chip (backend init + cache load + timed chunks) instead of a cold
+    multi-minute remote compile, so the parent can keep probing deeper
+    into the budget before giving up on a fresh line."""
+    d = os.environ.get("DVAE_COMPILE_CACHE", "")
+    if d == "0":
+        return False
+    d = d or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+    return bool(glob.glob(os.path.join(d, "jit_run_epochs-*")))
+
+
 def main() -> None:
     if "--live" in sys.argv:
         budget = next((float(a.split("=", 1)[1]) for a in sys.argv
@@ -642,9 +657,12 @@ def main() -> None:
     deadline = time.monotonic() + budget
     _install_guards(budget + 60, partial_first=False)
 
+    reserve = float(os.environ.get("BENCH_RESERVE_S", "0")) or (
+        240.0 if _cache_is_warm() else 420.0)
     ok = wait_for_backend(
         budget_s=budget,
         probe_timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "150")),
+        reserve_s=reserve,
         on_first_failure=lambda why: _emit_stale(f"backend outage: {why}"))
     if not ok:
         if not _emit_stale("backend never came up within the budget"):

@@ -424,6 +424,22 @@ def test_bench_fails_loudly_without_cache(tmp_path):
     assert bench._parse_last_json(out) is None
 
 
+class TestCacheWarmReserve:
+    """With the headline executable in the persistent compile cache, the
+    parent keeps probing 180 s deeper into the budget (reserve 240 vs
+    420) before settling for a stale line."""
+
+    def test_warm_cache_detected(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("DVAE_COMPILE_CACHE", str(tmp_path))
+        assert bench._cache_is_warm() is False
+        (tmp_path / "jit_run_epochs-abc123-cache").write_bytes(b"x")
+        assert bench._cache_is_warm() is True
+
+    def test_cache_disabled_is_cold(self, monkeypatch):
+        monkeypatch.setenv("DVAE_COMPILE_CACHE", "0")
+        assert bench._cache_is_warm() is False
+
+
 # --------------------------------------------------------------------------
 # probe adoption (the orphan-dedup pidfile)
 # --------------------------------------------------------------------------
