@@ -62,7 +62,7 @@ def _dataset(seed: int):
 
 
 def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
-        verbose: bool = True, mode: str = "MSE") -> dict:
+        verbose: bool = True, mode: str = "MSE", n_arm: int = 2) -> dict:
     import numpy as np
 
     from dvae_tpu.data.pipeline import stratified_split_indices
@@ -76,7 +76,7 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
     cpl = CplMixVAE(saving_folder=folder, seed=seed)
     # the exact production recipe (examples/production_scale.py /
     # scripts/run-train-A2-*.sh): only the data is harder
-    cpl.init_model(n_categories=92, input_dim=5032, n_arm=2, lam=5.0,
+    cpl.init_model(n_categories=92, input_dim=5032, n_arm=n_arm, lam=5.0,
                    batch_size=5000, epochs_per_jit=500, bf16=True,
                    rng_impl="rbg", shuffle_block=8, mode=mode)
     cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
@@ -102,8 +102,9 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         "ami_root": [
             float(adjusted_mutual_info_score(root_true, labels[a]))
             for a in range(labels.shape[0])],
-        "ami_arm_arm": float(
-            adjusted_mutual_info_score(labels[0], labels[1])),
+        "ami_arm_arm": float(np.mean([
+            adjusted_mutual_info_score(labels[a], labels[b])
+            for a in range(labels.shape[0]) for b in range(a)])),
     }
     if verbose:
         print(json.dumps(out, indent=2))
@@ -117,6 +118,7 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--mode", type=str, default="MSE",
                     choices=["MSE", "ZINB"])
+    ap.add_argument("--arms", type=int, default=2)
     args = ap.parse_args()
     run(n_epoch=args.epochs, folder=args.folder, seed=args.seed,
-        mode=args.mode)
+        mode=args.mode, n_arm=args.arms)
