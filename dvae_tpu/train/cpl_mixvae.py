@@ -141,6 +141,12 @@ class CplMixVAE:
             os.makedirs(saving_folder, exist_ok=True)
         self.seed = seed
         self.use_wandb = use_wandb
+        # persistent compile cache for EVERY trainer entry (examples,
+        # studies, soaks — not just the CLI): a cold production-shape
+        # remote compile costs minutes; repeat runs load the executable.
+        # Idempotent; DVAE_COMPILE_CACHE=0 disables.
+        from dvae_tpu.utils.tools import enable_compile_cache
+        enable_compile_cache()
         self.aug_apply = None          # (key, x, n_arm) -> (A,B,D)
         self._aug_loaded = None        # (params, bn, cfg) of the augmenter
         self._aug_bf16_apply = None    # cached bf16-weights closure

@@ -72,16 +72,28 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     Backends whose PJRT plugin cannot serialize executables simply log a
     warning and proceed uncached — enabling is always safe.
 
+    The implicit repo default is NOT enabled when jax is pinned to the
+    CPU platform (the test/dryrun mesh): XLA:CPU serializes AOT machine
+    code, so a repo-local cache shared across hosts would load executables
+    compiled for another machine's ISA (observed: avx512/amx feature
+    mismatch warnings, documented SIGILL risk) — and CPU compiles are
+    cheap to redo anyway.  An explicit ``path`` or env value still forces
+    caching on any platform.
+
     Returns the cache dir, or None when disabled.
     """
     env = os.environ.get("DVAE_COMPILE_CACHE", "")
     if env == "0":
         return None
-    if path is None:
-        path = env or os.path.join(
+    import jax
+    if path is None and not env:
+        if (jax.config.jax_platforms or "").split(",")[0] == "cpu":
+            return None
+        path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache")
-    import jax
+    elif path is None:
+        path = env
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -251,9 +251,11 @@ class TestTools:
             monkeypatch.setenv("DVAE_COMPILE_CACHE", env_p)
             assert enable_compile_cache() == env_p
 
+            # implicit repo default is CPU-gated (the suite pins cpu):
+            # cross-host XLA:CPU AOT entries are an ISA-mismatch hazard
             monkeypatch.delenv("DVAE_COMPILE_CACHE")
-            default = enable_compile_cache()
-            assert default is not None and default.endswith(".jax_cache")
+            assert enable_compile_cache() is None
+            assert jax.config.jax_compilation_cache_dir == env_p  # untouched
         finally:
             jax.config.update("jax_compilation_cache_dir", orig)
 
