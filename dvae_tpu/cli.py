@@ -138,7 +138,7 @@ def cmd_train(args) -> int:
         fused={"auto": None, "on": True, "off": False}[args.fused],
         shuffle_block=args.shuffle_block, stream=args.stream,
         ckpt_every=args.ckpt_every, eval_every=args.eval_every,
-        rng_impl=args.rng_impl)
+        rng_impl=args.rng_impl, align_arms_every=args.align_every)
     done = 0
     if args.resume:
         from dvae_tpu.utils.checkpoint import newest_checkpoint
@@ -303,6 +303,12 @@ def main(argv=None) -> int:
                     help="keep the dataset on the host and double-buffer "
                          "batches to the device per step (for datasets "
                          "larger than HBM; data/stream.py)")
+    pt.add_argument("--align_every", type=int, default=0,
+                    help="cadence (epochs) of Hungarian cross-arm category "
+                         "alignment (0 = off, reference semantics; "
+                         "train/alignment.py — collapses the category-"
+                         "index search that dominates consensus "
+                         "convergence on hard data)")
     pt.add_argument("--wandb", action="store_true")
     pt.set_defaults(fn=cmd_train)
 

@@ -192,6 +192,15 @@ class TrainConfig:
                                     # memory (data/stream.py; the
                                     # reference's DataLoader-per-batch
                                     # semantics, dataloader.py:123-132)
+    align_arms_every: int = 0       # cadence (epochs) of Hungarian cross-arm
+                                    # category alignment (train/alignment.py):
+                                    # permutes each arm's category-indexed
+                                    # params (+ Adam moments) to match arm 0's
+                                    # labeling — per-arm loss-neutral, collapses
+                                    # the index-search part of consensus
+                                    # convergence that SGD does glacially.
+                                    # 0 = off (reference semantics); ignored
+                                    # under ref_prior or a pruned mask.
     shuffle_block: int = 1          # epoch-shuffle granularity in rows: 1 =
                                     # exact per-row reshuffle every epoch
                                     # (reference DataLoader semantics); >1

@@ -1,0 +1,157 @@
+"""Cross-arm category alignment (TPU-build extension; off by default).
+
+The coupling loss (models/losses.coupling_distance — reference
+mmidas/nn_model.py:557-569) is a per-category L2 between arms'
+categorical posteriors, so *consensus* requires every arm to use the
+same category INDEX for the same cluster.  Gradient descent does align
+arms eventually, but the index-matching part of that convergence is a
+permutation search done by SGD: on hard data the arms each recover the
+structure (pairwise-label AMI plateaus) tens of thousands of epochs
+before they agree on a labeling of it (the round-4 hard-mode A=5 study:
+per-arm AMI 0.71 at 30k epochs, consensus 0.034 — the easy-mode flagship
+needed 408k epochs for consensus 0.756).
+
+This module closes that gap with an exact discrete move the optimizer
+cannot make: Hungarian-match every arm's labels to a reference arm's and
+apply the matched permutation to the (few) parameter tensors indexed by
+the category axis.  The permutation is *loss-neutral per arm* — each
+arm's reconstruction, KL, and entropy terms are exactly invariant (its
+categories are only renamed) — while the cross-arm coupling term drops
+to its aligned value instantly.  Adam's first/second moments are
+permuted identically so optimization resumes as if the arm had always
+used the new labeling.
+
+Category-indexed tensors (models/mixvae._arm_shapes):
+
+  * ``fcc``      (L, C)   — logits head: weight columns + bias
+  * ``fc_mu``    (L+C, S) — state head: input rows L..L+C (y = [x_low, c])
+  * ``fc_sigma`` (L+C, S) — same rows
+  * ``fc6``      (C+S, L) — decoder input rows 0..C (z = [c_smp, s])
+
+Batch-norm carries no category axis.  Not applicable under ``ref_prior``
+(category indices are pinned by the external prior table) or a partially
+pruned mask (the (C,) mask is shared across arms, a per-arm permutation
+would decouple it); the trainer gates on both.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "match_to_reference",
+    "permute_categories",
+    "permute_opt_state",
+    "align_state",
+]
+
+
+def match_to_reference(labels: np.ndarray, K: int,
+                       ref_arm: int = 0) -> np.ndarray:
+    """(A, K) relabeling table ``m`` with ``m[a, old] = new``.
+
+    For each arm, Hungarian-matches its label histogram against
+    ``ref_arm``'s (maximum-agreement assignment on the (K, K) confusion
+    matrix); the reference arm maps to identity.  ``labels``: (A, N)
+    ints in [0, K).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    labels = np.asarray(labels)
+    A = labels.shape[0]
+    ref = labels[ref_arm]
+    m = np.tile(np.arange(K), (A, 1))
+    for a in range(A):
+        if a == ref_arm:
+            continue
+        conf = np.zeros((K, K), np.int64)
+        np.add.at(conf, (labels[a], ref), 1)
+        rows, cols = linear_sum_assignment(-conf)
+        m[a, rows] = cols
+    return m
+
+
+def _inv(m: np.ndarray) -> np.ndarray:
+    """Row-wise inverse permutation: ``inv[a, new] = old``."""
+    return np.argsort(m, axis=1)
+
+
+def _like(new: jax.Array, old) -> jax.Array:
+    """Pin the permuted leaf back onto the original leaf's sharding —
+    a gather's output placement is the partitioner's choice otherwise."""
+    if isinstance(old, jax.Array) and hasattr(old, "sharding"):
+        return jax.device_put(new, old.sharding)
+    return new
+
+
+def permute_categories(params, m: np.ndarray, cfg) -> dict:
+    """Apply per-arm category relabeling ``m`` to a stacked-arm param
+    pytree (params, or an Adam moment tree of the same structure).
+
+    With ``inv = argsort(m)``, new slot ``j`` takes old slot ``inv[j]``,
+    so post-permutation argmax labels satisfy ``new = m[a, old]`` and
+    every per-arm output is exactly invariant (categories renamed only).
+    """
+    L, C, S = cfg.lowD_dim, cfg.n_categories, cfg.state_dim
+    A = cfg.n_arm
+    inv = jnp.asarray(_inv(np.asarray(m)))            # (A, C)
+    out = {k: dict(v) for k, v in params.items()}
+
+    fcc = out["fcc"]
+    fcc["w"] = _like(jnp.take_along_axis(fcc["w"], inv[:, None, :], axis=2),
+                     fcc["w"])
+    fcc["b"] = _like(jnp.take_along_axis(fcc["b"], inv, axis=1), fcc["b"])
+
+    head_rows = jnp.concatenate(
+        [jnp.tile(jnp.arange(L), (A, 1)), L + inv], axis=1)      # (A, L+C)
+    for name in ("fc_mu", "fc_sigma"):
+        d = out[name]
+        d["w"] = _like(jnp.take_along_axis(
+            d["w"], head_rows[:, :, None], axis=1), d["w"])
+
+    dec_rows = jnp.concatenate(
+        [inv, C + jnp.tile(jnp.arange(S), (A, 1))], axis=1)      # (A, C+S)
+    fc6 = out["fc6"]
+    fc6["w"] = _like(jnp.take_along_axis(
+        fc6["w"], dec_rows[:, :, None], axis=1), fc6["w"])
+    return out
+
+
+def permute_opt_state(opt_state, m: np.ndarray, cfg):
+    """Permute the Adam moments inside an optax state the same way the
+    params were — the moment entries for a category must follow it.
+    Handles adam/adamw (any chain containing ScaleByAdamState); states
+    without per-param leaves pass through untouched.
+    """
+    import optax
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(mu=permute_categories(s.mu, m, cfg),
+                              nu=permute_categories(s.nu, m, cfg))
+        return s
+
+    return jax.tree_util.tree_map(
+        fix, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
+
+
+def align_state(state, labels: np.ndarray, cfg,
+                ref_arm: int = 0) -> Tuple[object, np.ndarray, int]:
+    """Hungarian-align every arm to ``ref_arm`` and permute params +
+    Adam moments.  Returns ``(new_state, m, moved)`` where ``moved`` is
+    the total number of categories whose index changed (0 = already
+    aligned, state returned unchanged).
+    """
+    K = cfg.n_categories
+    m = match_to_reference(labels, K, ref_arm)
+    moved = int((m != np.arange(K)).sum())
+    if moved == 0:
+        return state, m, 0
+    return state._replace(
+        params=permute_categories(state.params, m, cfg),
+        opt_state=permute_opt_state(state.opt_state, m, cfg)), m, moved

@@ -205,6 +205,7 @@ class CplMixVAE:
                    fused: Optional[bool] = None,
                    shuffle_block: int = 1, stream: bool = False,
                    ckpt_every: int = 10, eval_every: int = 10,
+                   align_arms_every: int = 0,
                    **extra) -> None:
         """Build config + mesh + optimizer + initial state
         (reference ``init_model``, cpl_mixvae.py:193-286).
@@ -233,7 +234,8 @@ class CplMixVAE:
             sharding=ShardingStrategy(sharding),
             mesh=mesh or MeshConfig(), bf16=bf16, seed=self.seed,
             rng_impl=rng_impl, shuffle_block=shuffle_block, stream=stream,
-            ckpt_every=ckpt_every, eval_every=eval_every)
+            ckpt_every=ckpt_every, eval_every=eval_every,
+            align_arms_every=align_arms_every)
         self.temp = temp
 
         self.mesh = make_mesh(self.tcfg.mesh) \
@@ -696,6 +698,32 @@ class CplMixVAE:
                 # phase, the final checkpoint save, and the plot pass
                 self._halted = True
                 break
+
+            # cross-arm category alignment (train/alignment.py; TPU-build
+            # extension, off by default): main phase only — a pruned mask
+            # is shared across arms and ref_prior pins the index space
+            if (phase == "train" and tcfg.align_arms_every
+                    and cfg.n_arm > 1 and not cfg.ref_prior
+                    and crossed(tcfg.align_arms_every)):
+                mask_np = np.asarray(self.state.mask)
+                if bool(np.all(mask_np > 0)):
+                    from dvae_tpu.train.alignment import align_state
+                    from dvae_tpu.eval.metrics import consensus_from_labels
+                    n_sub = min(x_all.shape[0], 4 * tcfg.batch_size)
+                    lab = self._predict_labels(x_all[:n_sub], temp,
+                                               batch_size=tcfg.batch_size)
+                    self.state, m, moved = align_state(self.state, lab, cfg)
+                    if moved:
+                        con0 = consensus_from_labels(lab, cfg.n_categories)
+                        lab_new = np.take_along_axis(m, lab, axis=1)
+                        con1 = consensus_from_labels(lab_new,
+                                                     cfg.n_categories)
+                        mprint(f"[align] epoch {epoch}: remapped {moved} "
+                               f"category indices; label consensus "
+                               f"{con0:.3f} -> {con1:.3f}")
+                        logger.log({f"{phase}/align_moved": moved,
+                                    f"{phase}/align_consensus": con1},
+                                   step=epoch)
 
             if x_val is not None and crossed(tcfg.eval_every):
                 val = self.validate(x_val, temp, c_p=prior_val)
