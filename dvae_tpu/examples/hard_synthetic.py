@@ -63,7 +63,7 @@ def _dataset(seed: int):
 
 def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         verbose: bool = True, mode: str = "MSE", n_arm: int = 2,
-        x_drop: float = 0.5) -> dict:
+        x_drop: float = 0.5, align_every: int = 0) -> dict:
     import numpy as np
 
     from dvae_tpu.data.pipeline import stratified_split_indices
@@ -80,7 +80,7 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
     cpl.init_model(n_categories=92, input_dim=5032, n_arm=n_arm, lam=5.0,
                    batch_size=5000, epochs_per_jit=500, bf16=True,
                    rng_impl="rbg", shuffle_block=8, mode=mode,
-                   x_drop=x_drop)
+                   x_drop=x_drop, align_arms_every=align_every)
     cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
               early_stop_consensus=0.75, save_plots=False)
 
@@ -96,6 +96,7 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         "mode": mode,
         "n_arm": n_arm,
         "x_drop": x_drop,
+        "align_every": align_every,
         "seed": seed,
         "zero_frac": round(zero_frac, 3),
         "wall_min": round((time.time() - t0) / 60, 1),
@@ -127,6 +128,10 @@ if __name__ == "__main__":
     ap.add_argument("--xdrop", type=float, default=0.5,
                     help="input dropout (reference default 0.5; the "
                          "round-4 sensitivity run used 0.2)")
+    ap.add_argument("--align_every", type=int, default=0,
+                    help="Hungarian cross-arm category alignment cadence "
+                         "(train/alignment.py; 0 = off)")
     args = ap.parse_args()
     run(n_epoch=args.epochs, folder=args.folder, seed=args.seed,
-        mode=args.mode, n_arm=args.arms, x_drop=args.xdrop)
+        mode=args.mode, n_arm=args.arms, x_drop=args.xdrop,
+        align_every=args.align_every)

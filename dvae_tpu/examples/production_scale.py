@@ -33,7 +33,7 @@ import time
 
 def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
         folder: str = "", seed: int = 3, verbose: bool = True,
-        mode: str = "MSE") -> dict:
+        mode: str = "MSE", n_arm: int = 2, align_every: int = 0) -> dict:
     import numpy as np
 
     from dvae_tpu.data.anndata_io import synthetic_dataset
@@ -46,9 +46,10 @@ def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
     tr, te = stratified_split_indices(ds.cluster_label, 0.9, seed)
     folder = folder or tempfile.mkdtemp(prefix="prod_scale_")
     cpl = CplMixVAE(saving_folder=folder, seed=seed)
-    cpl.init_model(n_categories=92, input_dim=5032, n_arm=2, lam=5.0,
+    cpl.init_model(n_categories=92, input_dim=5032, n_arm=n_arm, lam=5.0,
                    batch_size=5000, epochs_per_jit=500, bf16=True,
-                   rng_impl="rbg", shuffle_block=8, mode=mode)
+                   rng_impl="rbg", shuffle_block=8, mode=mode,
+                   align_arms_every=align_every)
     cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
               n_epoch_p=n_epoch_p if prune_iters else 0,
               max_prun_it=prune_iters, early_stop_consensus=0.75,
@@ -62,6 +63,8 @@ def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
     res = cpl.eval_model(ds.log1p[te])
     out = {
         "folder": folder,
+        "n_arm": n_arm,
+        "align_every": align_every,
         "wall_min": round((time.time() - t0) / 60, 1),
         "final_epoch": int(cpl.state.epoch),
         "categories_remaining": int(np.asarray(cpl.state.mask).sum()),
@@ -69,8 +72,9 @@ def run(n_epoch: int = 20000, prune_iters: int = 0, n_epoch_p: int = 1000,
         "ami_vs_truth": [
             float(adjusted_mutual_info_score(true, labels[a]))
             for a in range(labels.shape[0])],
-        "ami_arm_arm": float(
-            adjusted_mutual_info_score(labels[0], labels[1])),
+        "ami_arm_arm": float(np.mean([
+            adjusted_mutual_info_score(labels[a], labels[b])
+            for a in range(labels.shape[0]) for b in range(a)])),
     }
     if verbose:
         print(json.dumps(out, indent=2))
@@ -88,6 +92,11 @@ if __name__ == "__main__":
                     help="reconstruction mode (ZINB: the three-head "
                          "zero-inflated NB loss, reference "
                          "nn_model.py:642-676)")
+    ap.add_argument("--arms", type=int, default=2)
+    ap.add_argument("--align_every", type=int, default=0,
+                    help="Hungarian cross-arm category alignment cadence "
+                         "(train/alignment.py; 0 = off)")
     args = ap.parse_args()
     run(n_epoch=args.epochs, prune_iters=args.prune_iters,
-        folder=args.folder, seed=args.seed, mode=args.mode)
+        folder=args.folder, seed=args.seed, mode=args.mode,
+        n_arm=args.arms, align_every=args.align_every)

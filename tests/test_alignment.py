@@ -236,3 +236,42 @@ class TestTrainerHook:
         cpl.train(ds.log1p, n_epoch=4, save_plots=False)
         np.testing.assert_array_equal(np.asarray(cpl.state.mask), mask_before)
         assert int(cpl.state.epoch) == 4
+
+
+class TestShardedAlignment:
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 virtual devices")
+    def test_full_shard_alignment_preserves_shardings(self):
+        import optax
+
+        from dvae_tpu.config import MeshConfig, ShardingStrategy
+        from dvae_tpu.parallel.sharding import make_mesh, strategy_shardings
+        from dvae_tpu.train.step import init_train_state
+
+        cfg = _cfg(n_categories=8, n_arm=2, input_dim=64, fc_dim=16,
+                   lowD_dim=8)
+        mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+        tx = optax.adam(1e-3)
+        st = init_train_state(jax.random.key(3), cfg, tx)
+        shs = strategy_shardings(ShardingStrategy.FULL_SHARD, mesh,
+                                 st.params, st.bn, st.opt_state)
+        st = st._replace(params=jax.device_put(st.params, shs[0]),
+                         opt_state=jax.device_put(st.opt_state, shs[2]))
+        rng = np.random.default_rng(4)
+        ref = rng.integers(0, 8, size=500)
+        labels = np.stack([ref, rng.permutation(8)[ref]])
+        new, m, moved = align_state(st, labels, cfg)
+        assert moved > 0
+        # every permuted leaf keeps the sharding layout it had (the _like
+        # re-pin): the next donated runner call must not re-layout state
+        for name in ("fcc", "fc_mu", "fc_sigma", "fc6"):
+            assert new.params[name]["w"].sharding == \
+                st.params[name]["w"].sharding, name
+        # values actually moved: arm 1's fcc bias is permuted, arm 0's not
+        inv1 = np.argsort(m[1])
+        np.testing.assert_array_equal(
+            np.asarray(new.params["fcc"]["b"][1]),
+            np.asarray(st.params["fcc"]["b"][1])[inv1])
+        np.testing.assert_array_equal(
+            np.asarray(new.params["fcc"]["b"][0]),
+            np.asarray(st.params["fcc"]["b"][0]))
