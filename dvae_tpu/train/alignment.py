@@ -140,6 +140,21 @@ def permute_opt_state(opt_state, m: np.ndarray, cfg):
         is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
 
 
+def moved_counts(m: np.ndarray, labels: np.ndarray) -> Tuple[int, int]:
+    """(total, active) remapped-index counts for relabeling ``m``.
+
+    ``active`` counts only categories that have ≥1 cell assigned in the
+    arm whose index moved — the number that matters: a Hungarian row for
+    an unused category is a near-tie, and its index shuffles freely from
+    one alignment to the next without touching any cell's label.
+    """
+    K = m.shape[1]
+    changed = m != np.arange(K)
+    support = np.stack([np.bincount(lab, minlength=K) > 0
+                        for lab in np.asarray(labels)])
+    return int(changed.sum()), int((changed & support).sum())
+
+
 def align_state(state, labels: np.ndarray, cfg,
                 ref_arm: int = 0) -> Tuple[object, np.ndarray, int]:
     """Hungarian-align every arm to ``ref_arm`` and permute params +

@@ -714,14 +714,17 @@ class CplMixVAE:
                                                batch_size=tcfg.batch_size)
                     self.state, m, moved = align_state(self.state, lab, cfg)
                     if moved:
+                        from dvae_tpu.train.alignment import moved_counts
+                        _, active = moved_counts(m, lab)
                         con0 = consensus_from_labels(lab, cfg.n_categories)
                         lab_new = np.take_along_axis(m, lab, axis=1)
                         con1 = consensus_from_labels(lab_new,
                                                      cfg.n_categories)
                         mprint(f"[align] epoch {epoch}: remapped {moved} "
-                               f"category indices; label consensus "
-                               f"{con0:.3f} -> {con1:.3f}")
+                               f"category indices ({active} active); "
+                               f"label consensus {con0:.3f} -> {con1:.3f}")
                         logger.log({f"{phase}/align_moved": moved,
+                                    f"{phase}/align_moved_active": active,
                                     f"{phase}/align_consensus": con1},
                                    step=epoch)
 

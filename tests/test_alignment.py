@@ -275,3 +275,16 @@ class TestShardedAlignment:
         np.testing.assert_array_equal(
             np.asarray(new.params["fcc"]["b"][0]),
             np.asarray(st.params["fcc"]["b"][0]))
+
+
+class TestMovedCounts:
+    def test_active_excludes_unused_categories(self):
+        from dvae_tpu.train.alignment import moved_counts
+
+        # arms use only categories {0,1,2} of K=7; m swaps 1<->2 (active in
+        # both arms) and shuffles the unused 4,5,6
+        labels = np.array([[0, 1, 2, 1, 0], [0, 2, 1, 2, 0]])
+        m = np.stack([np.arange(7), np.array([0, 2, 1, 3, 5, 6, 4])])
+        total, active = moved_counts(m, labels)
+        assert total == 5       # indices 1,2,4,5,6 moved in arm 1
+        assert active == 2      # only 1 and 2 carry cells in arm 1
