@@ -82,10 +82,25 @@ def _inv(m: np.ndarray) -> np.ndarray:
 
 def _like(new: jax.Array, old) -> jax.Array:
     """Pin the permuted leaf back onto the original leaf's sharding —
-    a gather's output placement is the partitioner's choice otherwise."""
+    a gather's output placement is the partitioner's choice otherwise.
+    Restores memory_kind too (host-offloaded Adam state stays offloaded)."""
     if isinstance(old, jax.Array) and hasattr(old, "sharding"):
         return jax.device_put(new, old.sharding)
     return new
+
+
+def _gatherable(x):
+    """Stage a host-offloaded leaf (``memory_kind='pinned_host'``, the
+    CPU-offload opt-state placement) into device memory for the gather —
+    XLA's gather requires all operands in one memory space.  ``_like``
+    pins the result back to the original (host) sharding afterwards."""
+    try:
+        sh = x.sharding
+        if sh.memory_kind not in (None, "device"):
+            return jax.device_put(x, sh.with_memory_kind("device"))
+    except AttributeError:
+        pass
+    return x
 
 
 def permute_categories(params, m: np.ndarray, cfg) -> dict:
@@ -102,22 +117,23 @@ def permute_categories(params, m: np.ndarray, cfg) -> dict:
     out = {k: dict(v) for k, v in params.items()}
 
     fcc = out["fcc"]
-    fcc["w"] = _like(jnp.take_along_axis(fcc["w"], inv[:, None, :], axis=2),
-                     fcc["w"])
-    fcc["b"] = _like(jnp.take_along_axis(fcc["b"], inv, axis=1), fcc["b"])
+    fcc["w"] = _like(jnp.take_along_axis(
+        _gatherable(fcc["w"]), inv[:, None, :], axis=2), fcc["w"])
+    fcc["b"] = _like(jnp.take_along_axis(_gatherable(fcc["b"]), inv, axis=1),
+                     fcc["b"])
 
     head_rows = jnp.concatenate(
         [jnp.tile(jnp.arange(L), (A, 1)), L + inv], axis=1)      # (A, L+C)
     for name in ("fc_mu", "fc_sigma"):
         d = out[name]
         d["w"] = _like(jnp.take_along_axis(
-            d["w"], head_rows[:, :, None], axis=1), d["w"])
+            _gatherable(d["w"]), head_rows[:, :, None], axis=1), d["w"])
 
     dec_rows = jnp.concatenate(
         [inv, C + jnp.tile(jnp.arange(S), (A, 1))], axis=1)      # (A, C+S)
     fc6 = out["fc6"]
     fc6["w"] = _like(jnp.take_along_axis(
-        fc6["w"], dec_rows[:, :, None], axis=1), fc6["w"])
+        _gatherable(fc6["w"]), dec_rows[:, :, None], axis=1), fc6["w"])
     return out
 
 

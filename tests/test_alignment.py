@@ -277,6 +277,36 @@ class TestShardedAlignment:
             np.asarray(st.params["fcc"]["b"][0]))
 
 
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 virtual devices")
+    def test_host_offloaded_opt_state_aligns(self):
+        # CPU-offload places Adam moments in pinned_host memory; the gather
+        # must stage through device memory and re-pin (memory_kind survives)
+        import optax
+
+        from dvae_tpu.config import MeshConfig, ShardingStrategy
+        from dvae_tpu.parallel.sharding import make_mesh, opt_state_shardings
+        from dvae_tpu.train.step import init_train_state
+
+        cfg = _cfg(n_categories=8, n_arm=2, input_dim=64, fc_dim=16,
+                   lowD_dim=8)
+        mesh = make_mesh(MeshConfig(data=2, arm=2, fsdp=2))
+        st = init_train_state(jax.random.key(3), cfg, optax.adam(1e-3))
+        oshs = opt_state_shardings(st.opt_state, mesh,
+                                   ShardingStrategy.FULL_SHARD,
+                                   offload_host=True)
+        st = st._replace(opt_state=jax.device_put(st.opt_state, oshs))
+        rng = np.random.default_rng(4)
+        ref = rng.integers(0, 8, size=400)
+        labels = np.stack([ref, rng.permutation(8)[ref]])
+        new, m, moved = align_state(st, labels, cfg)
+        assert moved > 0
+        got = new.opt_state[0].mu["fcc"]["w"].sharding
+        assert got == st.opt_state[0].mu["fcc"]["w"].sharding
+        assert got.memory_kind == "pinned_host"
+
+
+
 class TestMovedCounts:
     def test_active_excludes_unused_categories(self):
         from dvae_tpu.train.alignment import moved_counts
