@@ -22,7 +22,11 @@ Scored levels:
     taxonomy merge-sweep would report, examples/taxonomy_study.py).
 
 Run: ``python -m dvae_tpu.examples.hard_synthetic
-[--epochs 25000 --mode MSE|ZINB --seed 3]``
+[--epochs 25000 --mode MSE|ZINB --seed 3]``; add
+``--categories 100 --prune_iters 8 --prune_epochs 2000`` for the
+pruning K-selection loop (reference cpl_mixvae.py:996-1444) on the same
+data — pair with ``--align_every 500`` to de-confound the cross-arm
+agreement criterion the pruner scores.
 """
 
 from __future__ import annotations
@@ -63,7 +67,9 @@ def _dataset(seed: int):
 
 def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         verbose: bool = True, mode: str = "MSE", n_arm: int = 2,
-        x_drop: float = 0.5, align_every: int = 0) -> dict:
+        x_drop: float = 0.5, align_every: int = 0,
+        n_categories: int = 92, n_epoch_p: int = 0, max_prun_it: int = 0,
+        min_con: float = 0.99) -> dict:
     import numpy as np
 
     from dvae_tpu.data.pipeline import stratified_split_indices
@@ -77,26 +83,40 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
     cpl = CplMixVAE(saving_folder=folder, seed=seed)
     # the exact production recipe (examples/production_scale.py /
     # scripts/run-train-A2-*.sh): only the data is harder
-    cpl.init_model(n_categories=92, input_dim=5032, n_arm=n_arm, lam=5.0,
-                   batch_size=5000, epochs_per_jit=500, bf16=True,
+    cpl.init_model(n_categories=n_categories, input_dim=5032, n_arm=n_arm,
+                   lam=5.0, batch_size=5000, epochs_per_jit=500, bf16=True,
                    rng_impl="rbg", shuffle_block=8, mode=mode,
                    x_drop=x_drop, align_arms_every=align_every)
-    cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
-              early_stop_consensus=0.75, save_plots=False)
+    last = cpl.train(ds.log1p[tr], x_val=ds.log1p[te], n_epoch=n_epoch,
+                     n_epoch_p=n_epoch_p, max_prun_it=max_prun_it,
+                     min_con=min_con, early_stop_consensus=0.75,
+                     save_plots=False)
 
-    cpl.load_model(f"{folder}/cpl_mixVAE_model_best_train.ckpt")
+    # with a pruning phase the masked final state IS the result (the
+    # reference's K-selection workflow, cpl_mixvae.py:996-1444); without
+    # one, score the best-consensus checkpoint of the main phase
+    if max_prun_it > 0:
+        cpl.load_model(last)
+    else:
+        cpl.load_model(f"{folder}/cpl_mixVAE_model_best_train.ckpt")
     from sklearn.metrics import adjusted_mutual_info_score
 
     labels = cpl._predict_labels(ds.log1p[te], 1.0)
     leaf_true = ds.cluster_id[te]
     root_true = np.array([l.split("_")[0] for l in ds.cluster_label[te]])
     res = cpl.eval_model(ds.log1p[te])
+    mask = np.asarray(cpl.state.mask)
     out = {
         "folder": folder,
         "mode": mode,
         "n_arm": n_arm,
         "x_drop": x_drop,
         "align_every": align_every,
+        "n_categories": n_categories,
+        "prune": {"n_epoch_p": n_epoch_p, "max_prun_it": max_prun_it,
+                  "min_con": min_con, "active": int(mask.sum()),
+                  "pruned_idx": np.flatnonzero(mask == 0).tolist()}
+        if max_prun_it > 0 else None,
         "seed": seed,
         "zero_frac": round(zero_frac, 3),
         "wall_min": round((time.time() - t0) / 60, 1),
@@ -131,7 +151,19 @@ if __name__ == "__main__":
     ap.add_argument("--align_every", type=int, default=0,
                     help="Hungarian cross-arm category alignment cadence "
                          "(train/alignment.py; 0 = off)")
+    ap.add_argument("--categories", type=int, default=92,
+                    help="model categories K (set above the 92 planted "
+                         "types to exercise the pruning K-selection loop)")
+    ap.add_argument("--prune_epochs", type=int, default=0,
+                    help="retraining epochs per prune iteration (n_epoch_p)")
+    ap.add_argument("--prune_iters", type=int, default=0,
+                    help="max pruning iterations (0 = no pruning phase)")
+    ap.add_argument("--min_con", type=float, default=0.99,
+                    help="prune while the worst per-category cross-arm "
+                         "agreement is at or below this (reference default)")
     args = ap.parse_args()
     run(n_epoch=args.epochs, folder=args.folder, seed=args.seed,
         mode=args.mode, n_arm=args.arms, x_drop=args.xdrop,
-        align_every=args.align_every)
+        align_every=args.align_every, n_categories=args.categories,
+        n_epoch_p=args.prune_epochs, max_prun_it=args.prune_iters,
+        min_con=args.min_con)

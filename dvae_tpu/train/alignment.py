@@ -28,10 +28,18 @@ Category-indexed tensors (models/mixvae._arm_shapes):
   * ``fc_sigma`` (L+C, S) — same rows
   * ``fc6``      (C+S, L) — decoder input rows 0..C (z = [c_smp, s])
 
-Batch-norm carries no category axis.  Not applicable under ``ref_prior``
-(category indices are pinned by the external prior table) or a partially
-pruned mask (the (C,) mask is shared across arms, a per-arm permutation
-would decouple it); the trainer gates on both.
+Batch-norm carries no category axis.  Under a partially pruned mask
+(the (C,) mask is shared across arms) the Hungarian match is restricted
+to the ACTIVE category set — each arm's permutation maps active→active
+and fixes every pruned index, so the shared mask is exactly invariant
+and per-arm semantics (pruned categories stay -inf in every arm) are
+preserved.  This matters during the pruning phase itself: the prune
+criterion is per-category CROSS-ARM agreement
+(train/cpl_mixvae.per_category_agreement), which conflates "bad
+category" with "index not yet aligned across arms" — aligning first
+makes the criterion measure what it means.  Not applicable under
+``ref_prior`` (category indices are pinned by the external prior
+table); the trainer gates on it.
 """
 
 from __future__ import annotations
@@ -50,14 +58,20 @@ __all__ = [
 ]
 
 
-def match_to_reference(labels: np.ndarray, K: int,
-                       ref_arm: int = 0) -> np.ndarray:
+def match_to_reference(labels: np.ndarray, K: int, ref_arm: int = 0,
+                       active: np.ndarray | None = None) -> np.ndarray:
     """(A, K) relabeling table ``m`` with ``m[a, old] = new``.
 
     For each arm, Hungarian-matches its label histogram against
     ``ref_arm``'s (maximum-agreement assignment on the (K, K) confusion
     matrix); the reference arm maps to identity.  ``labels``: (A, N)
     ints in [0, K).
+
+    ``active``: optional (K,) boolean keep-mask (a pruned-category mask).
+    When given, matching runs on the active×active confusion submatrix
+    and every pruned index maps to itself — the returned permutations
+    fix the mask's partition exactly (an unrestricted match could send
+    an empty active row to a pruned column, silently un-pruning it).
     """
     from scipy.optimize import linear_sum_assignment
 
@@ -65,13 +79,18 @@ def match_to_reference(labels: np.ndarray, K: int,
     A = labels.shape[0]
     ref = labels[ref_arm]
     m = np.tile(np.arange(K), (A, 1))
+    act = None if active is None else np.flatnonzero(np.asarray(active))
     for a in range(A):
         if a == ref_arm:
             continue
         conf = np.zeros((K, K), np.int64)
         np.add.at(conf, (labels[a], ref), 1)
-        rows, cols = linear_sum_assignment(-conf)
-        m[a, rows] = cols
+        if act is None:
+            rows, cols = linear_sum_assignment(-conf)
+            m[a, rows] = cols
+        else:
+            rows, cols = linear_sum_assignment(-conf[np.ix_(act, act)])
+            m[a, act[rows]] = act[cols]
     return m
 
 
@@ -171,15 +190,25 @@ def moved_counts(m: np.ndarray, labels: np.ndarray) -> Tuple[int, int]:
     return int(changed.sum()), int((changed & support).sum())
 
 
-def align_state(state, labels: np.ndarray, cfg,
-                ref_arm: int = 0) -> Tuple[object, np.ndarray, int]:
+def align_state(state, labels: np.ndarray, cfg, ref_arm: int = 0,
+                mask: np.ndarray | None = None
+                ) -> Tuple[object, np.ndarray, int]:
     """Hungarian-align every arm to ``ref_arm`` and permute params +
     Adam moments.  Returns ``(new_state, m, moved)`` where ``moved`` is
     the total number of categories whose index changed (0 = already
     aligned, state returned unchanged).
+
+    ``mask``: optional (C,) pruning keep-mask.  Matching is restricted
+    to active categories (pruned indices are fixed points), so the
+    shared mask needs no update — it is invariant under ``m``.
     """
     K = cfg.n_categories
-    m = match_to_reference(labels, K, ref_arm)
+    active = None
+    if mask is not None:
+        mask = np.asarray(mask)
+        if not bool(np.all(mask > 0)):
+            active = mask > 0
+    m = match_to_reference(labels, K, ref_arm, active=active)
     moved = int((m != np.arange(K)).sum())
     if moved == 0:
         return state, m, 0

@@ -700,33 +700,34 @@ class CplMixVAE:
                 break
 
             # cross-arm category alignment (train/alignment.py; TPU-build
-            # extension, off by default): main phase only — a pruned mask
-            # is shared across arms and ref_prior pins the index space
-            if (phase == "train" and tcfg.align_arms_every
-                    and cfg.n_arm > 1 and not cfg.ref_prior
+            # extension, off by default): main + prune phases — under a
+            # pruned mask the match restricts to active categories (the
+            # shared mask is invariant under the permutation); ref_prior
+            # pins the index space, so it stays gated
+            if (tcfg.align_arms_every and cfg.n_arm > 1
+                    and not cfg.ref_prior
                     and crossed(tcfg.align_arms_every)):
-                mask_np = np.asarray(self.state.mask)
-                if bool(np.all(mask_np > 0)):
-                    from dvae_tpu.train.alignment import align_state
-                    from dvae_tpu.eval.metrics import consensus_from_labels
-                    n_sub = min(x_all.shape[0], 4 * tcfg.batch_size)
-                    lab = self._predict_labels(x_all[:n_sub], temp,
-                                               batch_size=tcfg.batch_size)
-                    self.state, m, moved = align_state(self.state, lab, cfg)
-                    if moved:
-                        from dvae_tpu.train.alignment import moved_counts
-                        _, active = moved_counts(m, lab)
-                        con0 = consensus_from_labels(lab, cfg.n_categories)
-                        lab_new = np.take_along_axis(m, lab, axis=1)
-                        con1 = consensus_from_labels(lab_new,
-                                                     cfg.n_categories)
-                        mprint(f"[align] epoch {epoch}: remapped {moved} "
-                               f"category indices ({active} active); "
-                               f"label consensus {con0:.3f} -> {con1:.3f}")
-                        logger.log({f"{phase}/align_moved": moved,
-                                    f"{phase}/align_moved_active": active,
-                                    f"{phase}/align_consensus": con1},
-                                   step=epoch)
+                from dvae_tpu.train.alignment import align_state
+                from dvae_tpu.eval.metrics import consensus_from_labels
+                n_sub = min(x_all.shape[0], 4 * tcfg.batch_size)
+                lab = self._predict_labels(x_all[:n_sub], temp,
+                                           batch_size=tcfg.batch_size)
+                self.state, m, moved = align_state(
+                    self.state, lab, cfg, mask=np.asarray(self.state.mask))
+                if moved:
+                    from dvae_tpu.train.alignment import moved_counts
+                    _, active = moved_counts(m, lab)
+                    con0 = consensus_from_labels(lab, cfg.n_categories)
+                    lab_new = np.take_along_axis(m, lab, axis=1)
+                    con1 = consensus_from_labels(lab_new,
+                                                 cfg.n_categories)
+                    mprint(f"[align] epoch {epoch}: remapped {moved} "
+                           f"category indices ({active} active); "
+                           f"label consensus {con0:.3f} -> {con1:.3f}")
+                    logger.log({f"{phase}/align_moved": moved,
+                                f"{phase}/align_moved_active": active,
+                                f"{phase}/align_consensus": con1},
+                               step=epoch)
 
             if x_val is not None and crossed(tcfg.eval_every):
                 val = self.validate(x_val, temp, c_p=prior_val)

@@ -64,6 +64,36 @@ class TestMatchToReference:
         m = match_to_reference(np.stack([ref, noisy]), K)
         assert np.array_equal(m[1], np.argsort(perm))  # m[perm[c]] == c
 
+    def test_active_mask_fixes_pruned_indices(self):
+        # categories 2 and 5 pruned: labels live on {0,1,3,4,6}; the match
+        # must recover the planted permutation ON the active set and map
+        # every pruned index to itself (active->active bijection)
+        rng = np.random.default_rng(5)
+        act = np.array([0, 1, 3, 4, 6])
+        active = np.zeros(K, bool)
+        active[act] = True
+        ref = act[rng.integers(0, len(act), size=1500)]
+        # planted permutation OF THE ACTIVE SET: 0->4, 1->6, 3->0, 4->3, 6->1
+        perm = np.arange(K)
+        perm[act] = act[[2, 4, 1, 0, 3]]
+        m = match_to_reference(np.stack([ref, perm[ref]]), K, active=active)
+        assert np.array_equal(m[0], np.arange(K))
+        assert np.array_equal(m[1][perm[ref]], ref)     # relabels back
+        assert np.array_equal(m[1][~active], np.flatnonzero(~active))
+        assert set(m[1][active]) == set(act)            # active bijection
+
+    def test_empty_active_row_cannot_unprune(self):
+        # an active category with NO cells in either arm is a Hungarian
+        # near-tie; without the restriction it could be matched to a pruned
+        # column.  With it, every arm's permutation must fix the pruned set.
+        rng = np.random.default_rng(6)
+        active = np.array([1, 1, 1, 1, 0, 0, 0], bool)  # 4 active, cat 3 empty
+        ref = rng.integers(0, 3, size=300)
+        other = (ref + 1) % 3
+        m = match_to_reference(np.stack([ref, other]), K, active=active)
+        assert np.array_equal(m[1][4:], np.arange(4, K))
+        assert set(m[1][:4]) == {0, 1, 2, 3}
+
 
 class TestPermutationInvariance:
     @pytest.fixture(scope="class")
@@ -202,6 +232,47 @@ class TestAlignState:
         assert consensus_from_labels(relabeled, K) > \
             consensus_from_labels(labels, K)
 
+    def test_pruned_mask_restricts_and_forward_invariant(self):
+        # align under a pruned mask: pruned indices are fixed points of m,
+        # the mask needs no update, and the MASKED forward is invariant up
+        # to renaming of the active categories
+        import optax
+
+        from dvae_tpu.train.step import init_train_state
+
+        cfg = _cfg()
+        st = init_train_state(jax.random.key(4), cfg, optax.adam(1e-3))
+        mask = np.ones(K, np.float32)
+        mask[[2, 5]] = 0.0
+        act = np.flatnonzero(mask)
+        rng = np.random.default_rng(9)
+        ref = act[rng.integers(0, len(act), size=500)]
+        perm = np.arange(K)
+        perm[act] = act[rng.permutation(len(act))]
+        labels = np.stack([ref] + [perm[ref]] * (A - 1))
+        new, m, moved = align_state(st, labels, cfg, mask=mask)
+        assert np.array_equal(m[:, mask == 0],
+                              np.tile([2, 5], (A, 1)))   # pruned fixed
+        for a in range(A):
+            assert set(m[a][act]) == set(act)            # active bijection
+        if moved:
+            xs = jax.random.normal(jax.random.key(8), (A, B, D))
+            kmask = jnp.asarray(mask)
+            out0, _ = mixvae.apply(st.params, st.bn, cfg, xs,
+                                   jax.random.key(3), train=False, mask=kmask)
+            out1, _ = mixvae.apply(new.params, new.bn, cfg, xs,
+                                   jax.random.key(3), train=False, mask=kmask)
+            inv = np.argsort(m, axis=1)
+            for a in range(A):
+                np.testing.assert_allclose(np.asarray(out1.c[a]),
+                                           np.asarray(out0.c[a])[:, inv[a]],
+                                           rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(out1.x_rec),
+                                       np.asarray(out0.x_rec),
+                                       rtol=1e-5, atol=1e-5)
+            # pruned columns stay exactly zero after the permutation
+            assert np.all(np.asarray(out1.c)[:, :, mask == 0] == 0.0)
+
 
 class TestTrainerHook:
     def test_end_to_end_alignment_fires(self, tmp_path):
@@ -220,10 +291,11 @@ class TestTrainerHook:
         lab = cpl._predict_labels(ds.log1p, temp=1.0, batch_size=64)
         assert lab.shape == (3, 256)
 
-    def test_ref_prior_and_pruned_mask_gate(self, tmp_path):
-        # alignment must NOT fire under a pruned mask: run with n_pr>0 and
-        # assert the mask (shared across arms) is untouched and training
-        # completes
+    def test_pruned_mask_aligns_within_active_set(self, tmp_path):
+        # alignment DOES fire under a pruned mask (restricted to the active
+        # set): the shared mask must come through exactly untouched —
+        # pruned indices are fixed points of every arm's permutation — and
+        # training completes with labels confined to active categories
         from dvae_tpu.data.anndata_io import synthetic_dataset
         from dvae_tpu.train.cpl_mixvae import CplMixVAE
 
@@ -233,9 +305,12 @@ class TestTrainerHook:
                        n_arm=2, batch_size=64, epochs_per_jit=2, n_pr=2,
                        align_arms_every=2, ckpt_every=1000, eval_every=1000)
         mask_before = np.asarray(cpl.state.mask).copy()
+        assert mask_before.sum() == 4  # n_pr=2 of 6 pruned from the start
         cpl.train(ds.log1p, n_epoch=4, save_plots=False)
         np.testing.assert_array_equal(np.asarray(cpl.state.mask), mask_before)
         assert int(cpl.state.epoch) == 4
+        lab = cpl._predict_labels(ds.log1p, temp=1.0, batch_size=64)
+        assert np.isin(lab, np.flatnonzero(mask_before)).all()
 
 
 class TestShardedAlignment:
