@@ -38,7 +38,14 @@ the vjp-forward runs a single **fused loss+gradient kernel**
 lgamma+digamma evaluation computed once) and the vjp-backward is just a
 scalar scale of the stashed unscaled gradients: 10.1 → 8.5 ms/step
 measured at the production shape (the separate forward kernel still
-serves value-only/eval calls).  The construction is also transparent to JAX autodiff, and
+serves value-only/eval calls).  Last, the loss/gradient consume the
+lgamma/digamma pair only as DIFFERENCES, so ``_lgdg_diff`` merges the
+two shift-polynomial logs into one log of a clamped ratio and the
+zero/nonzero branch logs merge into one log of a where-selected
+argument — 11 → 9 transcendentals per element; the same-day A/B census
+measured 5.63 → 5.49 ms kernel (8.01 → 7.88 ms step), establishing the
+kernel's bound as total VPU op count rather than log count.
+The construction is also transparent to JAX autodiff, and
 ``digamma`` is the exact analytic derivative of ``lgamma`` (same series,
 differentiated term by term), so the hand-written backward kernel is
 consistent with jax.grad of the forward to well inside the oracle-test
@@ -174,6 +181,53 @@ def digamma(x, div=_div):
             - div(_horner(_P4D, x), p4))
 
 
+def _lgdg_diff(k, r, div, want_dg=True):
+    """(lnΓ(r) − lnΓ(k+r), ψ(r) − ψ(k+r)) — the only forms the ZINB loss
+    and its gradient consume (nn_model.py:662's lgamma pair, always as a
+    difference).  Evaluating the DIFFERENCE of the two shifted-Stirling
+    expansions merges their shift-polynomial logs into one log of the
+    ratio q = P4(k+r)/P4(r), and the ±u terms collapse to the exact +k:
+    3 logs + 3 divisions instead of the 4 logs + 2 divisions of two
+    ``lgamma`` calls (plus, fused, the digamma pair rides the same pieces
+    for 2 more divisions and no further log).  q is clipped to
+    [1, _P4_CLAMP]: mathematically q ≥ 1 (k ≥ 0, P4 increasing), and the
+    lower clip also absorbs the approximate reciprocal's flush-to-zero
+    when P4(r) ≳ 1e38 (r > 5.6e9 — where both P4s sit at _P4_CLAMP and
+    the true clamped ratio IS 1, matching the two-log form exactly); the
+    upper clip caps the ratio where P4(k+r) saturates first, same error
+    envelope as the _P4_CLAMP note above.  ``want_dg=False`` (eval) skips
+    the digamma arithmetic at trace time."""
+    u1 = k + r + 4.0
+    u2 = r + 4.0
+    inv1 = div(1.0, u1)
+    inv2 = div(1.0, u2)
+    i1sq = inv1 * inv1
+    i2sq = inv2 * inv2
+    logu1 = jnp.log(u1)
+    logu2 = jnp.log(u2)
+    s1 = inv1 * (1.0 / 12.0 - i1sq * (1.0 / 360.0 - i1sq / 1260.0))
+    s2 = inv2 * (1.0 / 12.0 - i2sq * (1.0 / 360.0 - i2sq / 1260.0))
+    p41 = jnp.minimum(_horner(_P4, k + r), _P4_CLAMP)  # see _P4_CLAMP
+    p42 = jnp.minimum(_horner(_P4, r), _P4_CLAMP)
+    # q's division is Newton-refined even when the caller passes the raw
+    # reciprocal for the bounded 1/u series args: p42 ≈ 6e-6 at r = eps
+    # makes raw-reciprocal noise on the large ratio land as ~1e-4
+    # absolute on log q (measured vs an f64 oracle), two orders above
+    # the old two-log form's error.  Outside a kernel (div=_div) plain
+    # division is already exact — pl.reciprocal only lowers in-kernel.
+    q_div = _div if div is _div else _recip_div_refined
+    q = jnp.clip(q_div(p41, p42), 1.0, _P4_CLAMP)
+    dlg = ((u2 - 0.5) * logu2 - (u1 - 0.5) * logu1 + k + (s2 - s1)
+           + jnp.log(q))
+    if not want_dg:
+        return dlg, None
+    d1 = i1sq * (1.0 / 12.0 - i1sq * (1.0 / 120.0 - i1sq / 252.0))
+    d2 = i2sq * (1.0 / 12.0 - i2sq * (1.0 / 120.0 - i2sq / 252.0))
+    ddg = (logu2 - logu1 - 0.5 * (inv2 - inv1) - (d2 - d1)
+           - div(_horner(_P4D, r), p42) + div(_horner(_P4D, k + r), p41))
+    return dlg, ddg
+
+
 def _tile_heads(h, w_r, b_r, w_p, b_p, w_z, b_z):
     def head(w, b):
         y = jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
@@ -194,11 +248,13 @@ def _tile_zinb_sum(y_r, y_p, y_z, k, valid, eps):
     z = (1.0 - eps) * (_sigmoid(y_z, _recip_div_refined) + eps)
     log1mp = jnp.log(1.0 - p)
     pow_term = jnp.exp(r * log1mp)                      # (1-p)^r
-    loss_zero = -jnp.log(z + (1.0 - z) * pow_term)
-    loss_nonzero = (-lgamma(k + r, _recip_div) + lgamma(r, _recip_div)
-                    - k * jnp.log(p) - r * log1mp - jnp.log(1.0 - z))
     nz = k > 0
-    loss = jnp.where(nz, loss_nonzero, loss_zero)
+    dlg, _ = _lgdg_diff(k, r, _recip_div, want_dg=False)
+    # −log(1−z) (nonzero) and −log(z+(1−z)(1−p)^r) (zero) share ONE log
+    # of a selected argument: a VPU lane evaluates both where-branches
+    # anyway, so selecting BEFORE the transcendental deletes a log pass
+    log_sel = jnp.log(jnp.where(nz, 1.0 - z, z + (1.0 - z) * pow_term))
+    loss = jnp.where(nz, dlg - k * jnp.log(p) - r * log1mp, 0.0) - log_sel
     return jnp.sum(jnp.where(valid, loss, 0.0))
 
 
@@ -387,21 +443,6 @@ def _bwd_call(g, h, heads, x, eps):
 # Fused forward+backward (training path)
 # ---------------------------------------------------------------------------
 
-def _lg_dg(x, div):
-    """(lgamma(x), digamma(x)) sharing u, 1/u, log u, and the P4 Horner —
-    together they cost ~1 log + a few fma more than either alone."""
-    u = x + 4.0
-    inv = div(1.0, u)
-    inv2 = inv * inv
-    p4 = jnp.minimum(_horner(_P4, x), _P4_CLAMP)  # see _P4_CLAMP
-    logu = jnp.log(u)
-    lg_series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
-    dg_series = inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
-    lg = ((u - 0.5) * logu - u + _HALF_LOG_2PI + lg_series - jnp.log(p4))
-    dg = logu - 0.5 * inv - dg_series - div(_horner(_P4D, x), p4)
-    return lg, dg
-
-
 def _fwdbwd_kernel(h_ref, wr_ref, br_ref, wp_ref, bp_ref, wz_ref, bz_ref,
                    x_ref, loss_ref, dh_ref, dwr_ref, dbr_ref, dwp_ref,
                    dbp_ref, dwz_ref, dbz_ref, *, tile_b, n_rows, eps,
@@ -432,20 +473,22 @@ def _fwdbwd_kernel(h_ref, wr_ref, br_ref, wp_ref, bp_ref, wz_ref, bz_ref,
     z = (1.0 - eps) * (sigz + eps)
     log1mp = jnp.log(1.0 - p)
     E = jnp.exp(r * log1mp)                       # (1-p)^r
-    invD0 = _recip_div_refined(1.0, z + (1.0 - z) * E)
+    D0 = z + (1.0 - z) * E
+    invD0 = _recip_div_refined(1.0, D0)
     inv_p1mp = _recip_div_refined(1.0, p * (1.0 - p))
     inv1mp = p * inv_p1mp
     common = invD0 * (1.0 - z) * E
     nz = k > 0
-    lg_kr, dg_kr = _lg_dg(k + r, _recip_div_refined)
-    lg_r, dg_r = _lg_dg(r, _recip_div_refined)
-    log_1mz = jnp.log(1.0 - z)
+    dlg, ddg = _lgdg_diff(k, r, _recip_div_refined)
 
-    # ---- loss value (shares every intermediate above) ----
-    # loss_zero = −log(D0) = +log(invD0): the refined reciprocal's ~1e-7
-    # relative error lands as 1e-7 absolute on the log
-    loss_nonzero = (-lg_kr + lg_r - k * jnp.log(p) - r * log1mp - log_1mz)
-    loss = jnp.where(nz, loss_nonzero, jnp.log(invD0))
+    # ---- loss value (shares every intermediate above): the lgamma pair
+    # enters only as a difference (_lgdg_diff), and the zero/nonzero
+    # branch logs −log(1−z) / −log(D0) merge into one log of a selected
+    # argument — 11 → 9 transcendentals per element vs evaluating the
+    # two lgamma+digamma pairs and both branch logs independently (see
+    # _tile_zinb_sum for the same eval-path trick) ----
+    log_sel = jnp.log(jnp.where(nz, 1.0 - z, D0))
+    loss = jnp.where(nz, dlg - k * jnp.log(p) - r * log1mp, 0.0) - log_sel
 
     @pl.when(i_b == 0)
     def _():
@@ -456,7 +499,7 @@ def _fwdbwd_kernel(h_ref, wr_ref, br_ref, wp_ref, bp_ref, wz_ref, bz_ref,
     loss_ref[a, 0] += jnp.sum(jnp.where(valid, loss, 0.0))
 
     # ---- unscaled cotangents (identical math to _bwd_kernel, g = 1) ----
-    dr = jnp.where(nz, -dg_kr + dg_r - log1mp, -common * log1mp)
+    dr = jnp.where(nz, ddg - log1mp, -common * log1mp)
     dp = jnp.where(nz, (r * p - k * (1.0 - p)) * inv_p1mp,
                    common * r * inv1mp)
     dz = jnp.where(nz, _recip_div_refined(1.0, 1.0 - z), -invD0 * (1.0 - E))

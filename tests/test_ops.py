@@ -395,6 +395,38 @@ class TestFusedZINB:
                                    np.asarray(jax.lax.digamma(xs)),
                                    rtol=2e-4, atol=3e-4)
 
+    def test_lgdg_diff_accuracy_and_totality(self):
+        # the difference form the kernels consume: lnГ(r)−lnГ(k+r),
+        # ψ(r)−ψ(k+r) (one ratio log instead of two shift-polynomial logs)
+        from scipy.special import digamma as sp_dg, gammaln
+
+        from dvae_tpu.ops.zinb_pallas import _div, _lgdg_diff
+
+        r = np.asarray(10 ** np.linspace(-6, 6, 200), np.float32)
+        r64 = r.astype(np.float64)
+        for k in (0.0, 1.0, 7.0, 1e3, 1e6):
+            dlg, ddg = _lgdg_diff(jnp.float32(k), jnp.asarray(r), _div)
+            want_lg = gammaln(r64) - gammaln(r64 + k)
+            want_dg = sp_dg(r64) - sp_dg(r64 + k)
+            # the difference cancels intermediates of size ~lnГ(r+k): an
+            # f32 evaluation (either form — the old two-lgamma one
+            # identically) carries that magnitude's rounding, so the
+            # tolerance scales with it on top of the usual rtol/atol
+            big = np.abs(gammaln(r64 + k))
+            err = np.abs(np.asarray(dlg, np.float64) - want_lg)
+            tol = 3e-4 + 3e-5 * np.abs(want_lg) + 4e-7 * big
+            assert (err <= tol).all(), \
+                f"k={k}: worst {err.max()} at r={r[np.argmax(err - tol)]}"
+            np.testing.assert_allclose(np.asarray(ddg), want_dg,
+                                       rtol=2e-4, atol=4e-4, err_msg=f"k={k}")
+        # totality at the clamp extremes: huge counts against tiny rates
+        # (the q-ratio overflows f32 — must clip, not inf/NaN) and huge
+        # rates (P4(r) at _P4_CLAMP — the ratio clips to its true 1)
+        for k, rr in ((1e12, 1e-6), (1e12, 1e6), (0.0, 5e9), (1e12, 5e9)):
+            dlg, ddg = _lgdg_diff(jnp.float32(k), jnp.float32(rr), _div)
+            assert np.isfinite(float(dlg)) and np.isfinite(float(ddg)), \
+                (k, rr, float(dlg), float(ddg))
+
     def _data(self, A=2, B=70, F=16, D=40):
         r = np.random.default_rng(11)
         h = jnp.asarray(r.normal(size=(A, B, F)).astype(np.float32))
