@@ -214,13 +214,20 @@ def train_augmenter(x_train: np.ndarray,
                     lr: float = 1e-3, lambdas=(1.0, 0.5, 0.1, 0.5),
                     alpha: float = 0.2, mode: str = "MSE",
                     seed: int = 0, saving_path: Optional[str] = None,
-                    verbose: bool = True, bf16: bool = False):
+                    verbose: bool = True, bf16: bool = False,
+                    epochs_per_jit: int = 1):
     """Full GAN training (reference train_augmenter, augmentation/train.py).
 
     Returns (params, bn, cfg, history).  Epochs run as one jitted
     ``lax.scan`` over on-device shuffled batches.  ``bf16``: run the
     matmuls in bf16 with f32 loss math and master weights (a modest win —
     the step is HBM-bandwidth-bound; see make_gan_step).
+
+    ``epochs_per_jit`` scans that many epochs inside ONE dispatch (an
+    outer ``lax.scan`` over the per-epoch scan) — at the reference's
+    production cadence (n_epoch=10000, dist/train_agumenter.py:14) a
+    per-epoch dispatch through a tunneled device would cost more host
+    round-trips than device compute; metrics still land per epoch.
     """
     D = x_train.shape[1]
     a_cfg = a_cfg or AugmenterConfig(input_dim=D)
@@ -247,8 +254,7 @@ def train_augmenter(x_train: np.ndarray,
     step_fn = make_gan_step(a_cfg, d_cfg, a_tx, d_tx, lambdas, alpha, mode,
                             bf16=bf16)
 
-    @jax.jit
-    def run_epoch(state: GanState, x_all):
+    def one_epoch(state: GanState, x_all):
         key, k_perm = jax.random.split(state.key)
         state = state._replace(key=key)
         plan = jax.random.permutation(k_perm, n)[: steps * batch_size]
@@ -260,17 +266,40 @@ def train_augmenter(x_train: np.ndarray,
         state, ms = jax.lax.scan(body, state, plan)
         return state, jax.tree_util.tree_map(jnp.mean, ms)
 
+    E = max(int(epochs_per_jit), 1)
+
+    @jax.jit
+    def run_chunk(state: GanState, x_all):
+        def epoch_body(st, _):
+            return one_epoch(st, x_all)
+
+        return jax.lax.scan(epoch_body, state, None, length=E)
+
+    run_one = jax.jit(one_epoch)  # remainder epochs when E ∤ n_epochs
+
     history = []
-    for e in range(n_epochs):
+    e0 = 0
+    while e0 < n_epochs:
         t0 = time.perf_counter()
-        state, m = run_epoch(state, x_all)
-        m = jax.tree_util.tree_map(lambda v: float(np.asarray(v)), m)
-        history.append(m._asdict())
-        if verbose:
-            print(f"=====> Epoch:{e}, Generator Loss: {m.a_loss:.4f}, "
-                  f"Discriminator Loss: {m.d_loss:.4f}, Recon Loss: "
-                  f"{m.recon_loss:.4f}, Trip Loss: {m.triplet_loss:.4f}, "
-                  f"Elapsed Time:{time.perf_counter() - t0:.2f}")
+        if n_epochs - e0 >= E:
+            state, ms = run_chunk(state, x_all)
+            k = E
+        else:
+            state, m1 = run_one(state, x_all)
+            ms = jax.tree_util.tree_map(lambda v: jnp.asarray(v)[None], m1)
+            k = 1
+        ms = jax.tree_util.tree_map(np.asarray, ms)
+        dt = (time.perf_counter() - t0) / k
+        for i in range(k):
+            m = GanMetrics(*(float(v[i]) for v in ms))
+            history.append(m._asdict())
+            if verbose:
+                print(f"=====> Epoch:{e0 + i}, Generator Loss: "
+                      f"{m.a_loss:.4f}, Discriminator Loss: "
+                      f"{m.d_loss:.4f}, Recon Loss: {m.recon_loss:.4f}, "
+                      f"Trip Loss: {m.triplet_loss:.4f}, "
+                      f"Elapsed Time:{dt:.2f}")
+        e0 += k
 
     if saving_path:
         save_augmenter(saving_path, state.a_params, state.a_bn, a_cfg,

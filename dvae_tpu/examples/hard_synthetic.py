@@ -27,6 +27,19 @@ Run: ``python -m dvae_tpu.examples.hard_synthetic
 pruning K-selection loop (reference cpl_mixvae.py:996-1444) on the same
 data — pair with ``--align_every 500`` to de-confound the cross-arm
 agreement criterion the pruner scores.
+
+``--aug_file`` runs the reference's canonical production configuration —
+the pretrained frozen VAE-GAN augmenter in the training loop (reference
+train.py:97-113 loads ``aug_file``; the trainer applies it every batch,
+cpl_mixvae.py:422-425).  Train the artifact first with
+``python -m dvae_tpu.examples.hard_augmenter``.  With the augmenter in
+the loop the per-epoch train consensus IS the reference's augmentation
+consensus (``train/consensus_aug``, cpl_mixvae.py:515-552): each arm
+labels its own independently-augmented view of the batch.
+
+``--data_seed`` decouples the dataset draw from the training seed so
+seed-variance studies re-train on the IDENTICAL planted taxonomy
+(default: follow ``--seed``).
 """
 
 from __future__ import annotations
@@ -69,18 +82,21 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
         verbose: bool = True, mode: str = "MSE", n_arm: int = 2,
         x_drop: float = 0.5, align_every: int = 0,
         n_categories: int = 92, n_epoch_p: int = 0, max_prun_it: int = 0,
-        min_con: float = 0.99) -> dict:
+        min_con: float = 0.99, aug_file: str = "",
+        data_seed: int | None = None) -> dict:
     import numpy as np
 
     from dvae_tpu.data.pipeline import stratified_split_indices
     from dvae_tpu.train.cpl_mixvae import CplMixVAE
 
     t0 = time.time()
-    ds = _dataset(seed)
+    data_seed = seed if data_seed is None else data_seed
+    ds = _dataset(data_seed)
     zero_frac = float((ds.log1p == 0).mean())
-    tr, te = stratified_split_indices(ds.cluster_label, 0.9, seed)
+    tr, te = stratified_split_indices(ds.cluster_label, 0.9, data_seed)
     folder = folder or tempfile.mkdtemp(prefix="hard_syn_")
-    cpl = CplMixVAE(saving_folder=folder, seed=seed)
+    cpl = CplMixVAE(saving_folder=folder, seed=seed,
+                    aug_file=aug_file or None)
     # the exact production recipe (examples/production_scale.py /
     # scripts/run-train-A2-*.sh): only the data is harder
     cpl.init_model(n_categories=n_categories, input_dim=5032, n_arm=n_arm,
@@ -96,6 +112,18 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
     # reference's K-selection workflow, cpl_mixvae.py:996-1444); without
     # one, score the best-consensus checkpoint of the main phase
     if max_prun_it > 0:
+        if not last:
+            # train() returns "" on a NaN halt / checkpointing disabled:
+            # fall back to the newest checkpoint any completed chunk wrote
+            # instead of crashing on load_model("")
+            import glob
+            cands = sorted(glob.glob(f"{folder}/cpl_mixVAE_model_*.ckpt"),
+                           key=lambda p: __import__("os").path.getmtime(p))
+            if not cands:
+                raise RuntimeError(
+                    f"training halted before any checkpoint landed in "
+                    f"{folder}; nothing to score")
+            last = cands[-1]
         cpl.load_model(last)
     else:
         cpl.load_model(f"{folder}/cpl_mixVAE_model_best_train.ckpt")
@@ -106,12 +134,29 @@ def run(n_epoch: int = 25000, folder: str = "", seed: int = 3,
     root_true = np.array([l.split("_")[0] for l in ds.cluster_label[te]])
     res = cpl.eval_model(ds.log1p[te])
     mask = np.asarray(cpl.state.mask)
+
+    # with the augmenter in the loop, the train-phase consensus is the
+    # reference's augmentation consensus (train/consensus_aug,
+    # cpl_mixvae.py:515-552): labels come from per-arm AUGMENTED views
+    train_consensus = None
+    try:
+        with open(f"{folder}/metrics.jsonl") as fh:
+            for line in fh:
+                row = json.loads(line)
+                if "train/consensus" in row:
+                    train_consensus = float(row["train/consensus"])
+    except OSError:
+        pass
+
     out = {
         "folder": folder,
         "mode": mode,
         "n_arm": n_arm,
         "x_drop": x_drop,
         "align_every": align_every,
+        "aug_file": aug_file or None,
+        "data_seed": data_seed,
+        "train_consensus": train_consensus,
         "n_categories": n_categories,
         "prune": {"n_epoch_p": n_epoch_p, "max_prun_it": max_prun_it,
                   "min_con": min_con, "active": int(mask.sum()),
@@ -161,9 +206,17 @@ if __name__ == "__main__":
     ap.add_argument("--min_con", type=float, default=0.99,
                     help="prune while the worst per-category cross-arm "
                          "agreement is at or below this (reference default)")
+    ap.add_argument("--aug_file", type=str, default="",
+                    help="pretrained frozen augmenter checkpoint — the "
+                         "reference's production configuration "
+                         "(train.py:97-113); see examples/hard_augmenter")
+    ap.add_argument("--data_seed", type=int, default=None,
+                    help="dataset seed (default: --seed); fix it across "
+                         "--seed values for seed-variance studies")
     args = ap.parse_args()
     run(n_epoch=args.epochs, folder=args.folder, seed=args.seed,
         mode=args.mode, n_arm=args.arms, x_drop=args.xdrop,
         align_every=args.align_every, n_categories=args.categories,
         n_epoch_p=args.prune_epochs, max_prun_it=args.prune_iters,
-        min_con=args.min_con)
+        min_con=args.min_con, aug_file=args.aug_file,
+        data_seed=args.data_seed)

@@ -194,9 +194,13 @@ def _lgdg_diff(k, r, div, want_dg=True):
     lower clip also absorbs the approximate reciprocal's flush-to-zero
     when P4(r) ≳ 1e38 (r > 5.6e9 — where both P4s sit at _P4_CLAMP and
     the true clamped ratio IS 1, matching the two-log form exactly); the
-    upper clip caps the ratio where P4(k+r) saturates first, same error
-    envelope as the _P4_CLAMP note above.  ``want_dg=False`` (eval) skips
-    the digamma arithmetic at trace time."""
+    upper clip caps the ratio where P4(k+r) saturates first.  Note the
+    ratio form saturates EARLIER than the two-log form when P4(r) < 1
+    with k+r large (r near eps and k+r ≳ 2e8: q overflows the clamp while
+    P4(k+r) itself is still below it), losing up to ~12 absolute on dlg
+    there — at those count magnitudes dlg is ~1e10, so the relative loss
+    error is ~1e-9, below f32 resolution of the summed loss; counts that
+    large don't occur in expm1(log1p) data anyway."""
     u1 = k + r + 4.0
     u2 = r + 4.0
     inv1 = div(1.0, u1)

