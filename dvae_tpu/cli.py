@@ -138,7 +138,8 @@ def cmd_train(args) -> int:
         fused={"auto": None, "on": True, "off": False}[args.fused],
         shuffle_block=args.shuffle_block, stream=args.stream,
         ckpt_every=args.ckpt_every, eval_every=args.eval_every,
-        rng_impl=args.rng_impl, align_arms_every=args.align_every)
+        rng_impl=args.rng_impl, align_arms_every=args.align_every,
+        local_bn_stats=args.local_bn_stats)
     done = 0
     if args.resume:
         from dvae_tpu.utils.checkpoint import newest_checkpoint
@@ -309,6 +310,13 @@ def main(argv=None) -> int:
                          "train/alignment.py — collapses the category-"
                          "index search that dominates consensus "
                          "convergence on hard data)")
+    pt.add_argument("--local_bn_stats", action="store_true",
+                    help="reference-DDP BN fidelity: per-shard (ghost) "
+                         "batch-norm statistics over the data-parallel "
+                         "row blocks instead of the default global "
+                         "SyncBatchNorm-style stats (models/mixvae.py "
+                         "_batch_norm; mmidas/nn_model.py:208-255 under "
+                         "DDP)")
     pt.add_argument("--wandb", action="store_true")
     pt.set_defaults(fn=cmd_train)
 

@@ -120,6 +120,20 @@ class VAEConfig:
                                     # all-arm weight/accumulator blocks choke
                                     # the kernel pipeline.  May win at much
                                     # larger fc_dim; benchmark before use.
+    bn_groups: int = 1              # ghost-batch-norm group count: train-mode
+                                    # BN statistics computed per contiguous
+                                    # row-block of the batch.  Set to the
+                                    # data-parallel device count (the
+                                    # trainer's local_bn_stats flag) to
+                                    # reproduce the reference's NEVER-synced
+                                    # per-rank DDP BatchNorm statistics
+                                    # (mmidas/nn_model.py:208-255 under
+                                    # train.py:141-143 DDP wrapping) for
+                                    # bit-faithful multi-device loss-curve
+                                    # comparison.  1 = global (SyncBatchNorm-
+                                    # style) statistics, the default and the
+                                    # statistically cleaner choice (see
+                                    # models/mixvae._batch_norm).
 
     def replace(self, **kw) -> "VAEConfig":
         return dataclasses.replace(self, **kw)

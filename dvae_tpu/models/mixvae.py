@@ -143,7 +143,8 @@ def _linear(p, x):
     return x @ p["w"] + p["b"]
 
 
-def _batch_norm(x, stats, train: bool, momentum: float, eps: float):
+def _batch_norm(x, stats, train: bool, momentum: float, eps: float,
+                groups: int = 1):
     """BatchNorm1d(affine=False) with torch semantics.
 
     Train: normalize with the *biased* batch variance; update running var
@@ -154,17 +155,46 @@ def _batch_norm(x, stats, train: bool, momentum: float, eps: float):
     reference never syncs BN stats across ranks, but that is an artifact
     of its DDP wrapping; global statistics are the statistically cleaner
     choice and make the loss placement-invariant across sharding
-    strategies (tests/test_sharding.py).  Fidelity caveat documented here
-    rather than replicated.
+    strategies (tests/test_sharding.py).
+
+    ``groups`` > 1 (cfg.bn_groups, the trainer's ``local_bn_stats`` flag)
+    restores the reference's per-rank semantics as ghost batch norm:
+    statistics per contiguous row-block of the batch.  With the batch
+    row-sharded over G = data×fsdp devices, block g IS shard g's rows, so
+    each device normalizes with exactly the statistics the reference's
+    rank g would (mmidas/nn_model.py:208-255 under DDP, train.py:141-143)
+    — expressed at the global view, so it works under any placement.
+    Running stats update with the across-group MEAN of the per-group
+    batch statistics (the reference keeps G diverging per-rank copies; a
+    single-model state has no such thing — the mean is the aggregation,
+    and eval-mode normalization is unaffected in kind).
     """
     if train:
         # statistics in f32 even under bf16 compute: the variance reduction
         # cancels catastrophically in bf16 (torch autocast also runs BN in
         # f32); the normalized output returns to x's dtype
         x32 = x.astype(jnp.float32)
+        n = x.shape[0]
+        if groups > 1:
+            assert n % groups == 0, (
+                f"batch {n} not divisible by bn_groups={groups}")
+            ng = n // groups
+            xg = x32.reshape(groups, ng, x.shape[-1])
+            mean_g = jnp.mean(xg, axis=1)   # (G, F)
+            var_g = jnp.var(xg, axis=1)     # (G, F)
+            y = ((xg - mean_g[:, None, :])
+                 * jax.lax.rsqrt(var_g[:, None, :] + eps)
+                 ).reshape(x.shape).astype(x.dtype)
+            unbiased = var_g * (ng / max(ng - 1, 1))
+            new_stats = {
+                "mean": ((1 - momentum) * stats["mean"]
+                         + momentum * jnp.mean(mean_g, axis=0)),
+                "var": ((1 - momentum) * stats["var"]
+                        + momentum * jnp.mean(unbiased, axis=0)),
+            }
+            return y, new_stats
         mean = jnp.mean(x32, axis=0)
         var = jnp.var(x32, axis=0)
-        n = x.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
@@ -194,16 +224,17 @@ def _encoder_rest_arm(p, bn, y1, cfg: VAEConfig, train: bool):
     """Encoder from the fc1 *pre-activation* onward (shared by the plain
     and fused-fc1 paths)."""
     new_bn = {}
+    g = cfg.bn_groups
     h, new_bn["bn1"] = _batch_norm(jax.nn.relu(y1), bn["bn1"],
-                                   train, cfg.momentum, cfg.eps)
+                                   train, cfg.momentum, cfg.eps, g)
     h, new_bn["bn2"] = _batch_norm(jax.nn.relu(_linear(p["fc2"], h)), bn["bn2"],
-                                   train, cfg.momentum, cfg.eps)
+                                   train, cfg.momentum, cfg.eps, g)
     h, new_bn["bn3"] = _batch_norm(jax.nn.relu(_linear(p["fc3"], h)), bn["bn3"],
-                                   train, cfg.momentum, cfg.eps)
+                                   train, cfg.momentum, cfg.eps, g)
     h, new_bn["bn4"] = _batch_norm(jax.nn.relu(_linear(p["fc4"], h)), bn["bn4"],
-                                   train, cfg.momentum, cfg.eps)
+                                   train, cfg.momentum, cfg.eps, g)
     x_low, new_bn["bn5"] = _batch_norm(jax.nn.relu(_linear(p["fc5"], h)), bn["bn5"],
-                                       train, cfg.momentum, cfg.eps)
+                                       train, cfg.momentum, cfg.eps, g)
     c_prob = jax.nn.softmax(_linear(p["fcc"], x_low), axis=-1)
     return x_low, c_prob, new_bn
 

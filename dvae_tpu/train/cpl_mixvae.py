@@ -206,6 +206,7 @@ class CplMixVAE:
                    shuffle_block: int = 1, stream: bool = False,
                    ckpt_every: int = 10, eval_every: int = 10,
                    align_arms_every: int = 0,
+                   local_bn_stats: bool = False,
                    **extra) -> None:
         """Build config + mesh + optimizer + initial state
         (reference ``init_model``, cpl_mixvae.py:193-286).
@@ -219,6 +220,13 @@ class CplMixVAE:
             fused = jax.default_backend() == "tpu"
         extra.setdefault("fused_recon", fused)
         extra.setdefault("fused_encoder", fused)
+        if local_bn_stats:
+            # reference-DDP fidelity: per-shard BN batch statistics (ghost
+            # BN over the data-parallel row blocks — mmidas/nn_model.py:
+            # 208-255 under train.py:141-143 DDP wrapping); global
+            # SyncBatchNorm-style stats stay the default
+            m = mesh or MeshConfig()
+            extra.setdefault("bn_groups", max(1, m.data * m.fsdp))
         # fused_decoder stays opt-in: measured SLOWER at the production
         # shape (3.62 vs 2.60 ms/step, v5e-1 2026-08-17) — see config.py
         self.cfg = VAEConfig(
