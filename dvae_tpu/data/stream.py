@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from collections import deque
 from typing import Iterator, NamedTuple, Optional
@@ -104,8 +105,12 @@ class BatchStreamer:
     def __init__(self, x, batch_size: int, *,
                  prior: Optional[np.ndarray] = None, seed: int = 0,
                  shuffle: bool = True, dtype=None, sharding=None,
-                 prefetch: int = 2, record_stats: bool = False):
+                 prefetch: int = 2, record_stats: bool = False,
+                 native: Optional[bool] = None):
         self.stats = StreamStats() if record_stats else None
+        if native is None:  # env seam for A/B measurement of the gather
+            native = os.environ.get("DVAE_NATIVE_GATHER", "1") != "0"
+        self._native = native
         if batch_size > x.shape[0]:
             raise ValueError(
                 f"batch_size {batch_size} > dataset size {x.shape[0]}")
@@ -173,6 +178,17 @@ class BatchStreamer:
         return sel[self._rank * span: (self._rank + 1) * span]
 
     def _gather(self, src, sel: np.ndarray, cast: bool = True) -> np.ndarray:
+        if self._native and not hasattr(src, "toarray"):
+            # native threaded gather (+ fused f32→bf16 cast) — ONE pass
+            # instead of numpy's gather-then-cast two; the host stage is
+            # the streaming bottleneck (feed_census), and the reference
+            # provisions 32 CPUs for exactly this re-gather
+            # (run-train-A5-E500000-a100.sh).  None → shape/dtype combo
+            # the kernel doesn't cover; fall through to numpy.
+            from dvae_tpu.utils.host_ops import gather_rows
+            h = gather_rows(src, sel, self.dtype if cast else None)
+            if h is not None:
+                return h
         h = src[sel]
         if hasattr(h, "toarray"):
             h = h.toarray()

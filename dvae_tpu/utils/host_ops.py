@@ -57,6 +57,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.emi_binary.argtypes = [i64p, ctypes.c_int64, i64p,
                                    ctypes.c_int64, ctypes.c_int64, f64p]
         lib.emi_binary.restype = None
+    if hasattr(lib, "gather_rows_bytes"):  # absent in pre-round-5 builds
+        lib.gather_rows_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.gather_rows_bytes.restype = None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.gather_cast_f32_bf16.argtypes = [
+            f32p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.gather_cast_f32_bf16.restype = None
     _lib = lib
     return _lib
 
@@ -107,6 +117,48 @@ def per_category_agreement(labels: np.ndarray, K: int) -> np.ndarray:
 def has_emi() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "emi_binary")
+
+
+def has_gather() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "gather_rows_bytes")
+
+
+def gather_rows(src: np.ndarray, sel: np.ndarray,
+                out_dtype=None, n_threads: int = 0):
+    """Threaded batch gather ``src[sel]`` (+ fused f32→bf16 cast) for the
+    streaming feed path — or None when the native path doesn't apply
+    (caller falls back to numpy fancy-indexing).
+
+    Handled: 2-D C-contiguous dense ``src`` with either no dtype change
+    (row memcpy, any itemsize) or an f32 source with a bfloat16 target
+    (single fused pass — numpy pays a full gather into an f32 temporary
+    and then a second cast pass).  ``n_threads`` 0 = hardware concurrency.
+    """
+    lib = _load()
+    if (lib is None or not hasattr(lib, "gather_rows_bytes")
+            or not isinstance(src, np.ndarray) or src.ndim != 2
+            or not src.flags.c_contiguous):
+        return None
+    out_dtype = src.dtype if out_dtype is None else np.dtype(out_dtype)
+    sel = np.ascontiguousarray(sel, np.int64)
+    B, D = len(sel), src.shape[1]
+    if out_dtype == src.dtype:
+        # pure row copy only pays off with threads: single-core memcpy
+        # loses to numpy's fancy-index (measured 0.82x at (5000, 5032)
+        # f32 on this host); the fused-cast path below wins even alone
+        if (os.cpu_count() or 1) <= 1 and n_threads <= 1:
+            return None
+        out = np.empty((B, D), src.dtype)
+        row_bytes = D * src.dtype.itemsize
+        lib.gather_rows_bytes(src.ctypes.data, row_bytes, sel, B,
+                              out.ctypes.data, n_threads)
+        return out
+    if src.dtype == np.float32 and out_dtype.name == "bfloat16":
+        out = np.empty((B, D), out_dtype)
+        lib.gather_cast_f32_bf16(src, D, sel, B, out.ctypes.data, n_threads)
+        return out
+    return None
 
 
 def emi_binary(tf: np.ndarray, pc: np.ndarray, N: int) -> np.ndarray:

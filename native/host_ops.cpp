@@ -13,9 +13,72 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
+namespace {
+
+// f32 → bf16, round-to-nearest-even (the XLA/ml_dtypes convention);
+// NaN payload preserved with the quiet bit forced.
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u) return (uint16_t)((x >> 16) | 0x0040u);
+  x += 0x7fffu + ((x >> 16) & 1u);
+  return (uint16_t)(x >> 16);
+}
+
+template <typename Fn>
+void parallel_rows(int64_t B, int n_threads, Fn&& body) {
+  int T = n_threads > 0
+              ? n_threads
+              : (int)std::max(1u, std::thread::hardware_concurrency());
+  if (T <= 1 || B < 2 * T) {
+    body((int64_t)0, B);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t chunk = (B + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    const int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([&body, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
 extern "C" {
+
+// Batch gather for the streaming feed path (dvae_tpu/data/stream.py): the
+// reference provisions 32 host CPUs for exactly this per-batch re-gather
+// (train-scripts/run-train-A5-E500000-a100.sh + utils/dataloader.py:
+// 123-132).  numpy's fancy-index + astype is TWO full passes (gather to an
+// f32 temporary, then cast); these fuse gather+cast into one pass and
+// split rows across threads.
+
+// dst[i, :] = src[sel[i], :] for row_bytes-wide rows (any dtype, no cast).
+void gather_rows_bytes(const uint8_t* src, int64_t row_bytes,
+                       const int64_t* sel, int64_t B, uint8_t* dst,
+                       int n_threads) {
+  parallel_rows(B, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      std::memcpy(dst + i * row_bytes, src + sel[i] * row_bytes, row_bytes);
+  });
+}
+
+// dst[i, j] = bf16(src[sel[i], j]) — fused gather + f32→bf16 cast.
+void gather_cast_f32_bf16(const float* src, int64_t D, const int64_t* sel,
+                          int64_t B, uint16_t* dst, int n_threads) {
+  parallel_rows(B, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const float* row = src + sel[i] * D;
+      uint16_t* o = dst + i * D;
+      for (int64_t j = 0; j < D; ++j) o[j] = f32_to_bf16(row[j]);
+    }
+  });
+}
 
 // K×K co-occurrence matrix of two integer label vectors.
 // out must hold K*K doubles (zeroed here).

@@ -100,3 +100,58 @@ def test_emi_binary_matches_numpy():
            + _emi_cell(N - tf[:, None], N - pc[None, :], N, T))
     got = host_ops.emi_binary(tf, pc, N)
     np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_gather_rows_bf16_fused_matches_numpy():
+    """Native fused gather+f32→bf16 cast == numpy gather-then-astype,
+    bit-exact (round-to-nearest-even, the ml_dtypes convention)."""
+    if not host_ops.has_gather():
+        pytest.skip("native gather unavailable")
+    import ml_dtypes
+
+    src = rng.normal(1.0, 2.0, (200, 37)).astype(np.float32)
+    src[0, :5] = [np.nan, np.inf, -np.inf, 0.0, -0.0]
+    sel = rng.permutation(200)[:64]
+    got = host_ops.gather_rows(src, sel, ml_dtypes.bfloat16)
+    ref = src[sel].astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(got.view(np.uint16), ref.view(np.uint16))
+
+
+def test_gather_rows_copy_matches_numpy():
+    if not host_ops.has_gather():
+        pytest.skip("native gather unavailable")
+    src = rng.normal(0.0, 1.0, (100, 16)).astype(np.float32)
+    sel = rng.integers(0, 100, 48)
+    got = host_ops.gather_rows(src, sel, None, n_threads=2)
+    np.testing.assert_array_equal(got, src[sel])
+
+
+def test_gather_rows_declines_unsupported():
+    if not host_ops.has_gather():
+        pytest.skip("native gather unavailable")
+    src = rng.normal(0.0, 1.0, (10, 4)).astype(np.float64)
+    # f64 → bf16 has no fused kernel: caller must fall back
+    import ml_dtypes
+    assert host_ops.gather_rows(src, np.arange(3), ml_dtypes.bfloat16) is None
+    # non-contiguous source
+    assert host_ops.gather_rows(
+        np.asfortranarray(src.astype(np.float32)), np.arange(3), None,
+        n_threads=2) is None
+
+
+def test_stream_native_gather_identical_batches():
+    """BatchStreamer with the native gather yields bit-identical batches
+    to the numpy path (same shuffle stream, same bf16 rounding)."""
+    if not host_ops.has_gather():
+        pytest.skip("native gather unavailable")
+    import jax.numpy as jnp
+
+    from dvae_tpu.data.stream import BatchStreamer
+
+    x = np.maximum(rng.normal(1.0, 1.0, (96, 24)), 0).astype(np.float32)
+    a = BatchStreamer(x, 32, seed=5, dtype=jnp.bfloat16, native=True)
+    b = BatchStreamer(x, 32, seed=5, dtype=jnp.bfloat16, native=False)
+    for ba, bb in zip(a.epoch(0), b.epoch(0)):
+        np.testing.assert_array_equal(
+            np.asarray(ba.x).view(np.uint16),
+            np.asarray(bb.x).view(np.uint16))
