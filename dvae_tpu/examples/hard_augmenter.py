@@ -93,7 +93,9 @@ def run(mode: str = "MSE", n_epochs: int = 10000, batch_size: int = 5000,
             round(float(np.mean([h["d_skipped"] for h in dec])), 4)
             for dec in np.array_split(np.array(hist, dtype=object), 10)],
     }
-    curve_path = os.path.join(_ART, f"augmenter_{mode}_curves.json")
+    # curves ride NEXT TO the checkpoint (a smoke run with a /tmp out must
+    # not claim the committed artifacts/ curve slot)
+    curve_path = os.path.splitext(out)[0] + "_curves.json"
     with open(curve_path, "w") as fh:
         json.dump({"summary": summary, "curves": curves}, fh)
     print(json.dumps(summary, indent=2))

@@ -73,7 +73,7 @@ print('SMOKE_OK train_consensus', r['train_consensus'])
 fi
 
 echo "=== stage 1: augmenter MSE to convergence ($(date -u))"
-if [ ! -s "$R/augmenter_MSE_curves.json" ]; then
+if [ ! -s "$R/augmenter_MSE.ckpt" ]; then
   python -u -m dvae_tpu.examples.hard_augmenter --mode MSE --epochs 10000 \
     --epochs_per_jit 100 || { echo AUG_MSE_FAILED; exit 1; }
 fi
@@ -93,7 +93,7 @@ for s in 4 5; do
 done
 
 echo "=== stage 4: ZINB augmenter + aug-in-loop row (stretch)"
-if [ ! -s "$R/augmenter_ZINB_curves.json" ]; then
+if [ ! -s "$R/augmenter_ZINB.ckpt" ]; then
   python -u -m dvae_tpu.examples.hard_augmenter --mode ZINB --epochs 10000 \
     --epochs_per_jit 100 || echo AUG_ZINB_FAILED
 fi
