@@ -13,8 +13,13 @@ defaults) — on whatever chip jax.devices()[0] is.  Variants:
   * ``train_throughput_A5_zinb``          — ZINB reconstruction mode
     (mmidas/utils/distributions.py), fused three-head loss+gradient
     kernel (~8.5 ms/step, ~590k cells/s/chip).
-  * ``infer_throughput_A5``               — the scanned eval runner
-    (serving path, cpl_mixvae.py:1450-1619).
+  * ``infer_throughput_A5`` / ``..._zinb``— the scanned eval runner
+    (serving path, cpl_mixvae.py:1450-1619) in MSE and ZINB loss modes,
+    each with its dispatch-free ``eval_device_ms_per_batch`` census.
+  * ``projected_v5e16_cells_per_sec_per_chip_{floor,ceiling}`` — the
+    measured device step combined with the ring wire model at the driver
+    target slice (v5e-16, weak scaling, ddp): floor = serialized
+    collectives, ceiling = fully overlapped.
   * ``train_throughput_A5_stream``        — the host-resident streaming
     capacity path (data/stream.py; reference per-batch shipping,
     mmidas/utils/dataloader.py:123-132).  On this container the number is
@@ -554,26 +559,53 @@ def _live_main(budget_s: float) -> None:
         skipped.append(f"stream_feed_census: {type(e).__name__}: {e}")
 
     # serving path + its own device census: eval regressions must be
-    # attributable dispatch-free, like training's device_ms_per_step
-    if left() < 200:
-        skipped.append("infer_throughput_A5: budget")
-    else:
+    # attributable dispatch-free, like training's device_ms_per_step.
+    # BOTH loss modes: the reference's eval_model is equally a ZINB
+    # consumer (cpl_mixvae.py:1450-1619 with loss_mode='ZINB'); the ZINB
+    # eval step runs the fwd-only fused kernel (unrolled scan — the
+    # SMEM-output rule, ops/zinb_pallas.py)
+    for suffix, ecfg, need in (("", cfg, 200),
+                               ("_zinb", cfg.replace(mode="ZINB"), 180)):
+        if left() < need:
+            skipped.append(f"infer_throughput_A5{suffix}: budget")
+            continue
         try:
-            cells_i, (once, K) = _infer_throughput(cfg, x_all, keep=True)
-            extra["infer_throughput_A5"] = round(cells_i, 1)
-            print(f"bench: infer_throughput_A5 {cells_i:,.0f} cells/s "
-                  f"({left():.0f}s left)", file=sys.stderr, flush=True)
+            cells_i, (once, K) = _infer_throughput(ecfg, x_all, keep=True)
+            extra[f"infer_throughput_A5{suffix}"] = round(cells_i, 1)
+            print(f"bench: infer_throughput_A5{suffix} {cells_i:,.0f} "
+                  f"cells/s ({left():.0f}s left)", file=sys.stderr,
+                  flush=True)
             if left() > 90:
-                extra["eval_device_ms_per_batch"] = round(
+                extra[f"eval_device_ms_per_batch{suffix}"] = round(
                     _trace_device_ms(once, K), 3)
             else:
-                skipped.append("eval_device_census: budget")
+                skipped.append(f"eval_device_census{suffix}: budget")
         except Exception as e:
-            skipped.append(f"infer_throughput_A5: {type(e).__name__}: {e}")
+            skipped.append(
+                f"infer_throughput_A5{suffix}: {type(e).__name__}: {e}")
     for k, rk in (("train_throughput_A5_smartseq_aug", "aug_vs_baseline"),
                   ("train_throughput_A5_zinb", "zinb_vs_baseline")):
         if k in extra:
             extra[rk] = round(extra[k] / BASELINE_CELLS_PER_SEC, 3)
+
+    # projected 16-chip slice throughput (the driver target regime,
+    # BASELINE.json: v5e-16) from the measured device step + the ring
+    # model (parallel/collective_cost.py; README "Collective cost"):
+    # weak scaling (B=5000 rows/chip), ddp default strategy (one f32
+    # gradient all-reduce across g=16 chips), v5e ICI ~90 GB/s/direction.
+    # Ceiling = collectives fully hidden behind the backward matmuls
+    # (XLA's latency-hiding scheduler; where reality sits), floor = fully
+    # serialized wire time — the honest worst case.
+    if "device_ms_per_step" in extra:
+        ms = extra["device_ms_per_step"]
+        n_elems = extra["model_tflop_per_step"] * 1e12 / (6.0 * B)
+        g = 16
+        wire_ms = 2.0 * (g - 1) / g * n_elems * 4 / 90e9 * 1e3
+        extra["projected_v5e16_wire_ms_per_step"] = round(wire_ms, 3)
+        extra["projected_v5e16_cells_per_sec_per_chip_floor"] = round(
+            B / ((ms + wire_ms) / 1e3), 1)
+        extra["projected_v5e16_cells_per_sec_per_chip_ceiling"] = round(
+            B / (ms / 1e3), 1)
     if skipped:
         extra["skipped"] = skipped
 
