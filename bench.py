@@ -399,10 +399,25 @@ def _stream_throughput(cfg, n_chunks=1):
 
 
 def _augment_fn(input_dim: int):
-    """Random-weight frozen augmenter (forward cost equals a trained one's).
-    Weights in bf16 — the bench trains in bf16, and f32 weights against
-    bf16 activations would run every augmenter matmul at the 3-pass f32
-    MXU rate.  Delegates to the one shared closure."""
+    """Frozen augmenter for the aug-in-loop variant: the TRAINED artifact
+    (examples/hard_augmenter — the reference's production configuration,
+    train.py:97-113) when its input width matches, else random weights
+    (forward cost equals a trained one's).  Weights in bf16 — the bench
+    trains in bf16, and f32 weights against bf16 activations would run
+    every augmenter matmul at the 3-pass f32 MXU rate."""
+    import jax.numpy as jnp
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "hard_synthetic", "augmenter_MSE.ckpt")
+    try:
+        from dvae_tpu.augment.augmenter import (load_augmenter,
+                                                make_augment_apply)
+        params, bn, acfg = load_augmenter(ckpt)
+        if acfg.input_dim == input_dim:
+            apply = make_augment_apply(params, bn, acfg, jnp.bfloat16)
+            return lambda key, x, n_arm: apply(key, x, n_arm, 0.1)
+    except (OSError, KeyError, ValueError):
+        pass
     from dvae_tpu.augment.augmenter import frozen_random_augment_fn
     return frozen_random_augment_fn(input_dim, bf16=True)
 
