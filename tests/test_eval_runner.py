@@ -115,3 +115,27 @@ def test_ref_prior_flows_through_eval_surfaces(tmp_path):
     # without the prior the state head consumes c_smp instead -> different
     res_np = cpl.eval_model(ds.log1p, batch_size=16)
     assert not np.allclose(res["state_mu"], res_np["state_mu"])
+
+
+def test_runner_zinb_fused_matches_per_batch_loop():
+    """ZINB mode with the fused kernels on (interpret mode off-TPU): the
+    serving path bench.py measures as infer_throughput_A5_zinb — the
+    fwd-only fused ZINB loss in an UNROLLED scan (the SMEM-output rule,
+    train/step.make_eval_runner docstring) must equal the per-batch loop."""
+    cfg = CFG.replace(mode="ZINB", fused_recon=True, fused_encoder=True)
+    tx = make_optimizer(cfg)
+    state = init_train_state(jax.random.key(1), cfg, tx)
+    ds = synthetic_dataset(n_cells=32, n_genes=40, n_types=6, seed=2)
+    x = jnp.asarray(ds.log1p)
+    K, B = 2, TCFG.batch_size
+
+    ev = make_eval_step(cfg, TCFG)
+    run = make_eval_runner(cfg, TCFG)
+    aux_r, f = run(state, x.reshape(K, B, -1), 1.0)
+    assert np.isfinite(np.asarray(aux_r.total)).all()
+    for k in range(K):
+        aux_b, lab_b, _ = ev(state, x[k * B: (k + 1) * B], None, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(f.lab[:, k * B: (k + 1) * B]), np.asarray(lab_b))
+        np.testing.assert_allclose(np.asarray(aux_r.total[k]),
+                                   np.asarray(aux_b.total), rtol=1e-6)
