@@ -91,6 +91,11 @@ done
 for s in 4 5; do
   row a5_align_s$s "n_epoch=25000, seed=$s, data_seed=3, mode='MSE', n_arm=5, align_every=500, folder='/tmp/hard_a5al_s$s'"
 done
+# align+prune K-selection recipe (candidate headline, verdict item 3):
+# K=100 -> prune toward the 92 planted types
+for s in 4 5; do
+  row k100_prune_s$s "n_epoch=25000, seed=$s, data_seed=3, mode='MSE', n_categories=100, align_every=500, n_epoch_p=2000, max_prun_it=8, folder='/tmp/hard_k100_s$s'"
+done
 
 echo "=== stage 4: ZINB augmenter + aug-in-loop row (stretch)"
 if [ ! -s "$R/augmenter_ZINB.ckpt" ]; then
