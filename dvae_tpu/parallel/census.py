@@ -301,16 +301,22 @@ def census_cells(strategies=None, modes: Sequence[str] = MODES,
         if small:
             cells.append(("small", None, "MSE"))
     cells += [("prod", FS, m) for m in head if m != "MSE"]
-    if small:
-        cells += [("small", None, m) for m in modes if m != "MSE"]
+    # the rotated pool: non-headline production compiles + the non-MSE
+    # equality cells.  At equal staleness, production compiles outrank
+    # equality cells (one equality cell already rode the head; an
+    # unverified strategy×mode lowering is the bigger blind spot) and the
+    # canonical order is the tie-break.
     tail = [("prod", s, "MSE") for s in strategies
             if s is not FS and "MSE" in modes]
     tail += [("prod", s, m) for m in modes if m != "MSE"
              for s in strategies if s is not FS]
+    if small:
+        tail += [("small", None, m) for m in modes if m != "MSE"]
     if ledger:
         order = {id(c): i for i, c in enumerate(tail)}
-        tail.sort(key=lambda c: (ledger.get(f"{c[1].value}/{c[2]}", 0),
-                                 order[id(c)]))
+        tail.sort(key=lambda c: (
+            ledger.get(f"{c[1].value if c[1] else 'small'}/{c[2]}", 0),
+            c[0] == "small", order[id(c)]))
     return cells + tail
 
 
@@ -390,6 +396,7 @@ def run_census(mesh, budget_s: Optional[float] = None,
             losses = small_equality(mode, mesh, strategies)
             equality[mode] = {k: [float(x) for x in v]
                               for k, v in losses.items()}
+            credit(f"small/{mode}")
             log(f"census: small {mode}: {len(losses)} strategies loss-equal "
                 f"(last epoch {next(iter(losses.values()))[-1]:.4f})")
 

@@ -112,16 +112,52 @@ def test_run_census_budget_zero_skips_everything(mesh):
 def test_census_cells_priority_order():
     cells = census.census_cells()
     assert len(cells) == 21  # 18 prod (6 strategies × 3 modes) + 3 small
-    # the headline FULL_SHARD/MSE compile runs first, then the EXECUTED
-    # MSE equality cell — before any other compile — then the rest of the
-    # FULL_SHARD column, then the remaining equality cells, and only then
-    # the non-headline strategies' compiles
-    head = [(k, getattr(s, "value", None), m) for k, s, m in cells[:6]]
+    # the headline FULL_SHARD column runs first with the EXECUTED MSE
+    # equality cell right after the headline compile — before any other
+    # cell; everything else lives in the rotated pool
+    head = [(k, getattr(s, "value", None), m) for k, s, m in cells[:4]]
     assert head == [("prod", "full", "MSE"), ("small", None, "MSE"),
-                    ("prod", "full", "ZINB"), ("prod", "full", "aug"),
-                    ("small", None, "ZINB"), ("small", None, "aug")]
-    assert all(k == "prod" for k, _, _ in cells[6:])
+                    ("prod", "full", "ZINB"), ("prod", "full", "aug")]
     assert len(set(cells)) == 21
+
+
+def test_census_cells_ledger_rotates_stalest_first():
+    """The staleness ledger reorders the non-headline pool: never-verified
+    cells first (production compiles outranking equality cells at equal
+    staleness), then ascending last-verified tick — so budget-bounded
+    rounds sweep the whole matrix instead of a static prefix."""
+    ledger = {"grad-op/MSE": 4, "no/MSE": 4, "hybrid/MSE": 4,
+              "hybrid-zero2/MSE": 3, "ddp/MSE": 3,
+              "grad-op/ZINB": 3, "no/ZINB": 3, "hybrid/ZINB": 3,
+              "hybrid-zero2/ZINB": 3}
+    cells = census.census_cells(ledger=ledger)
+    names = [f"{k}:{s.value if s else '-'}/{m}" for k, s, m in cells]
+    # heads fixed
+    assert names[:4] == ["prod:full/MSE", "small:-/MSE",
+                         "prod:full/ZINB", "prod:full/aug"]
+    # never-verified production cells come next (ddp/ZINB + the aug
+    # strategies), then the never-run equality cells, then tick-3 cells,
+    # then the freshest (tick-4) cells last
+    assert names[4] == "prod:ddp/ZINB"
+    assert set(names[5:10]) == {"prod:grad-op/aug", "prod:no/aug",
+                                "prod:hybrid/aug",
+                                "prod:hybrid-zero2/aug", "prod:ddp/aug"}
+    assert names[10:12] == ["small:-/ZINB", "small:-/aug"]
+    assert names[-3:] == ["prod:grad-op/MSE", "prod:no/MSE",
+                          "prod:hybrid/MSE"]
+
+
+def test_run_census_ledger_roundtrip(tmp_path):
+    """run_census writes back ticks for every landed cell; a rerun with
+    that ledger demotes them to the end of the pool."""
+    import json
+
+    p = tmp_path / "ledger.json"
+    p.write_text(json.dumps({"ddp/MSE": 1}))
+    ledger = json.loads(p.read_text())
+    cells = census.census_cells(ledger=ledger)
+    pool = [f"{k}:{s.value if s else '-'}/{m}" for k, s, m in cells[4:]]
+    assert pool[-1] == "prod:ddp/MSE"
 
 
 def test_committed_census_matrix_is_full_and_clean():
