@@ -374,15 +374,25 @@ def _run_bench(tmp_path, probe_code, budget="30", extra_env=None,
 
 def test_bench_emits_stale_line_on_fast_probe_failure(tmp_path):
     """Backend down (probe fast-fails): a parseable stale line within
-    seconds, rc=0 — the round-2 null-record failure mode, fixed."""
-    t0 = time.monotonic()
-    rc, out = _run_bench(tmp_path, "import sys; sys.exit(1)")
-    assert rc == 0
-    assert time.monotonic() - t0 < 60
-    line = bench._parse_last_json(out)
-    assert line is not None and line["value"] == 123456.0
-    assert line["extra"]["stale_from_cache"] is True
-    assert "probe failed fast" in line["extra"]["stale_reason"]
+    seconds, rc=0 — the round-2 null-record failure mode, fixed.
+
+    Timing-sensitive: on a heavily loaded 1-core host the trivial probe
+    subprocess can take longer than the parent's 5 s first wait slice to
+    even exit, and the parent then (correctly, per its rules) reports
+    "probe hung" instead of "probe failed fast".  One retry absorbs that
+    load transient; the assertion stays strict."""
+    for attempt in range(2):
+        t0 = time.monotonic()
+        rc, out = _run_bench(tmp_path, "import sys; sys.exit(1)")
+        assert rc == 0
+        assert time.monotonic() - t0 < 60
+        line = bench._parse_last_json(out)
+        assert line is not None and line["value"] == 123456.0
+        assert line["extra"]["stale_from_cache"] is True
+        if ("probe failed fast" in line["extra"]["stale_reason"]
+                or attempt == 1):
+            assert "probe failed fast" in line["extra"]["stale_reason"]
+            return
 
 
 def test_bench_emits_stale_line_on_hung_probe(tmp_path):
