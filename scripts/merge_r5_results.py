@@ -25,6 +25,8 @@ GROUPS = {
     "a5_align500": ["mse_a5_align500", "r5_a5_align_s4", "r5_a5_align_s5"],
     "k100_prune_align500": ["mse_a2_k100_prune_align500",
                             "r5_k100_prune_s4", "r5_k100_prune_s5"],
+    "k100_prune_align500_aug": ["r5_k100_aug", "r5_k100_aug_s4",
+                                "r5_k100_aug_s5"],
 }
 KMEANS = {"leaf": 0.376, "root_k92": 0.551, "root_k12": 0.613}
 
@@ -89,7 +91,9 @@ def aug_table(res: dict) -> list[str]:
     pairs = [("mse_a2 (no aug, seed 3)", "mse_a2"),
              ("mse_a2 + trained augmenter", "r5_mse_a2_aug"),
              ("zinb_a2 (no aug, seed 3)", "zinb_a2"),
-             ("zinb_a2 + trained augmenter", "r5_zinb_a2_aug")]
+             ("zinb_a2 + trained augmenter", "r5_zinb_a2_aug"),
+             ("A=5 + aug + align500 (flagship)", "r5_a5_aug_align"),
+             ("K=100 align+prune + aug", "r5_k100_aug")]
     for label, k in pairs:
         if k not in res:
             continue
