@@ -27,6 +27,9 @@ GROUPS = {
                             "r5_k100_prune_s4", "r5_k100_prune_s5"],
     "k100_prune_align500_aug": ["r5_k100_aug", "r5_k100_aug_s4",
                                 "r5_k100_aug_s5"],
+    "zinb_k100_prune_align500_aug": ["r5_zinb_k100_aug",
+                                     "r5_zinb_k100_aug_s4",
+                                     "r5_zinb_k100_aug_s5"],
 }
 KMEANS = {"leaf": 0.376, "root_k92": 0.551, "root_k12": 0.613}
 
