@@ -97,7 +97,8 @@ def aug_table(res: dict) -> list[str]:
              ("zinb_a2 + trained augmenter", "r5_zinb_a2_aug"),
              ("A=5 + aug + align500 (flagship)", "r5_a5_aug_align"),
              ("K=100 align+prune + aug", "r5_k100_aug"),
-             ("ZINB K=100 align+prune + aug", "r5_zinb_k100_aug")]
+             ("ZINB K=100 align+prune + aug", "r5_zinb_k100_aug"),
+             ("A=5 + aug + align + K=100 prune", "r5_a5_k100_aug")]
     for label, k in pairs:
         if k not in res:
             continue
