@@ -100,7 +100,8 @@ def aug_table(res: dict) -> list[str]:
              ("A=5 + aug + align500 (flagship)", "r5_a5_aug_align"),
              ("K=100 align+prune + aug", "r5_k100_aug"),
              ("ZINB K=100 align+prune + aug", "r5_zinb_k100_aug"),
-             ("A=5 + aug + align + K=100 prune", "r5_a5_k100_aug")]
+             ("A=5 + aug + align + K=100 prune", "r5_a5_k100_aug"),
+             ("ZINB A=5 + aug + align500", "r5_zinb_a5_aug_align")]
     for label, k in pairs:
         if k not in res:
             continue
