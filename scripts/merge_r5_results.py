@@ -34,6 +34,9 @@ GROUPS = {
                         "r5_a5_aug_align_s5"],
     "a5_k100_prune_align500_aug": ["r5_a5_k100_aug", "r5_a5_k100_aug_s4",
                                    "r5_a5_k100_aug_s5"],
+    "zinb_a5_aug_align500": ["r5_zinb_a5_aug_align",
+                             "r5_zinb_a5_aug_align_s4",
+                             "r5_zinb_a5_aug_align_s5"],
 }
 KMEANS = {"leaf": 0.376, "root_k92": 0.551, "root_k12": 0.613}
 
